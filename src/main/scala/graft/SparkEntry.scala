@@ -1,13 +1,750 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Fns
+import graft.operators.{Aggregates, Joins, Relational, Upsert}
+import graft.ext.{Dedup, Imputation, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Streams
+
+/** Driver contract — the operator catalog (SURVEY.md §2) plus the
+  * LLM-data-pipeline extensions, each as a `queries` entry with (where
+  * SQL-expressible) a DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout (SURVEY.md §7.4):
+  *  - double SUM/AVG go through a DECIMAL(18,4) cast (order-independent,
+  *    bit-exact in both engines — see [[Fns.dsum]]);
+  *  - order-sensitive "first/last" use explicit ordinals via min_by/max_by;
+  *  - event-time gap math uses integer epoch millis, never double seconds;
+  *  - ratios are int/int divisions promoted to double (bit-exact).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(s, dir, name)
+
+  /** SQL text of an order-independent, bit-exact double sum (see Fns.dsum). */
+  private def sqlDsum(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_summarize")(spark, "/root/testdata/sf0.001")
+
+  // ===========================================================================
+  // Catalog
+  // ===========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A2 flagship: TPC-H Q1-shaped summarize (scan+filter+hashagg) ------
+    "q01_summarize" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Fns.dsum(col("l_quantity")).as("sum_qty"),
+          Fns.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Fns.dsumDisc(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          Fns.dsumCharge(col("l_extendedprice"), col("l_discount"), col("l_tax")).as("sum_charge"),
+          Fns.davg(col("l_quantity")).as("avg_qty"),
+          Fns.davg(col("l_extendedprice")).as("avg_price"),
+          Fns.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- S3/S4 ranged scan: predicate pushed to the parquet reader --------
+    "q02_ranged_scan" -> ((s, dir) => {
+      Relational.rangedScan(t(s, dir, "lineitem"), "l_shipdate", "1996-01-01", "1996-04-01")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+    }),
+
+    // ---- P1-P4 + F1-F4 projection / derive / rename -------------------------
+    "q03_project_derive" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      l.select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          Fns.toDateCol(col("l_shipdate")).as("ship_day"),
+          Fns.fmtDate(col("l_shipdate")).as("ship_day_str"))
+        .withColumnsRenamed(Map("l_orderkey" -> "orderkey", "l_linenumber" -> "linenumber"))
+    }),
+
+    // ---- F6 date spine (the reference's per-day fetch loop, relationally) --
+    "q04_date_spine" -> ((s, _) => {
+      s.range(1).select(Fns.dateSpine("2024-01-01", "2024-03-31").as("d"))
+        .withColumn("month", date_format(col("d"), "yyyy-MM"))
+    }),
+
+    // ---- U1 unionByName with missing columns (pd.concat semantics) ---------
+    "q05_union_by_name" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val b = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+      Relational.unionAll(Seq(a, b))
+    }),
+
+    // ---- J1/J2 broadcast enrichment joins + A3 rollup -----------------------
+    "q06_enrich_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      Joins.enrich(
+          Joins.enrich(c, n, c("c_nationkey") === n("n_nationkey")),
+          r, col("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), Fns.dsum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // ---- J3/J5 left join + F11/F12 null defaults ----------------------------
+    "q07_left_join_fill" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val bigParts = t(s, dir, "part").filter(col("p_size") > 40)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      Joins.enrich(l, bigParts, l("l_partkey") === bigParts("p_partkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("p_retailprice"))
+        .na.fill(Map("p_brand" -> "No asignado", "p_retailprice" -> 0.0))
+    }),
+
+    // ---- J4 inner join silently dropping unmatched (reference parity) ------
+    "q08_inner_drop" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val richCust = t(s, dir, "customer").filter(col("c_acctbal") > 500)
+        .select(col("c_custkey"), col("c_name"))
+      Joins.enrich(o, richCust, o("o_custkey") === richCust("c_custkey"))
+        .groupBy(col("c_name")).agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- J6 anti join (incremental diff) ------------------------------------
+    "q09_anti_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01")))
+        .select(col("l_orderkey").as("o_orderkey"))
+      Joins.antiByKey(o, shipped, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
+    // ---- J7 contains-match lookup join (the reference's get_field_id) ------
+    "q10_contains_lookup" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val dim = t(s, dir, "part").select(col("p_type")).distinct()
+      Joins.containsLookup(p, dim, "p_name", "p_type", "p_type", "p_type", "matched_type")
+        .select(col("p_partkey"), col("p_name"), col("matched_type"))
+    }),
+
+    // ---- K2 insert-only merge (upsert), pure relational form ---------------
+    "q11_upsert_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val existing = o.filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+      val incoming = o.filter(
+        col("o_orderdate") >= to_timestamp(lit("1998-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("2000-01-01")))
+        .select(o.columns.map(col): _*)
+      Upsert.mergeInsertOnly(existing, incoming, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+    }),
+
+    // ---- A1 dedupe-last per natural key (max_by over full row) -------------
+    "q12_dedupe_last" -> ((s, dir) => {
+      Aggregates.dedupeLastByKey(t(s, dir, "customer"), "c_nationkey", "c_custkey")
+        .select(col("c_nationkey"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
+    // ---- A2 first-by-ordinal per group (min_by) -----------------------------
+    // (l_orderkey, l_linenumber) is not unique in the corpus, so the ordinal
+    // is the composite (l_linenumber, l_partkey) packed into one long —
+    // deterministic: ties on the full composite imply equal l_partkey.
+    "q13_first_by" -> ((s, dir) => {
+      val ord = col("l_linenumber").cast("long") * lit(1000000L) + col("l_partkey")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          Aggregates.firstBy(col("l_partkey"), ord).as("first_part"),
+          Aggregates.lastBy(col("l_partkey"), ord).as("last_part"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- A4 argmax row per group (latest event per user) --------------------
+    "q14_argmax_group" -> ((s, dir) => {
+      Aggregates.argmaxRowPerGroup(t(s, dir, "events"), Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+
+    // ---- A3 grouped sums (fichajes-style rollup) ----------------------------
+    "q15_grouped_sums" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          Fns.dsum(col("value")).as("sum_value"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ---- Window ranking (top-3 orders per priority) --------------------------
+    "q16_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("int").as("rn"), col("rk").cast("int").as("rk"))
+    }),
+
+    // ---- Global top-k (orderBy + limit with deterministic tie-break) --------
+    "q17_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    }),
+
+    // ---- F1-F5, F13 + JSON extraction over events ---------------------------
+    "q18_scalar_json" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        to_date(col("ts")).as("day"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
+        hour(col("ts")).cast("int").as("h"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        upper(col("event_type")).as("etype"))
+    }),
+
+    // ---- F9/F10 casts (truncating toward zero, null-safe) -------------------
+    "q19_casts" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        col("c_acctbal").cast("int").as("bal_int"),
+        col("c_nationkey").cast("double").as("nk_double"),
+        col("c_custkey").cast("string").as("key_str"))
+    }),
+
+    // ---- Rollup grouping sets (extension beyond reference) ------------------
+    "q20_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Fns.dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- Streaming-shaped: tumbling event-time window (batch form) ----------
+    "q21_tumbling_window" -> ((s, dir) => {
+      Streams.tumblingCounts(t(s, dir, "events"), "1 hour")
+    }),
+
+    // ---- Streaming-shaped: gap sessionization (batch form) ------------------
+    "q22_sessionize" -> ((s, dir) => {
+      Streams.sessionizeBatch(t(s, dir, "events"), 30)
+    }),
+
+    // ---- Dedup: exact content-hash groups ------------------------------------
+    "q23_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // ---- Dedup: bag-of-words fingerprint collision groups --------------------
+    "q24_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1)
+    }),
+
+    // ---- Dedup: exact n-gram Jaccard pairs (unigram word sets) ---------------
+    "q25_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 1, 0.8)
+    }),
+
+    // ---- Dedup: 3-gram Jaccard pairs (sequence shingles) ----------------------
+    "q26_jaccard3_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.1)
+    }),
+
+    // ---- Dedup: MinHash+LSH candidates, exact-verified (no oracle: engine hash)
+    "q27_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", n = 1,
+        numHashes = 64, bands = 16, verifyThreshold = 0.8)
+    }),
+
+    // ---- Dedup: SimHash near-dup pairs (no oracle: engine hash) --------------
+    "q28_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // ---- Similarity: brute-force cosine top-k ---------------------------------
+    "q29_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    // ---- Similarity: LSH-bucketed ANN top-k (no oracle: approximate) ----------
+    "q30_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    // ---- Similarity: cosine near-dup pairs -------------------------------------
+    "q31_cosine_pairs" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"))
+    }),
+
+    // ---- Text: token/char/quality stats ---------------------------------------
+    "q32_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("int").as("n_tokens"),
+        length(col("text")).cast("int").as("n_chars"),
+        (length(col("text")) - (TextAnalysis.tokenCount(col("text")) - lit(1))).cast("double")
+          ./(greatest(TextAnalysis.tokenCount(col("text")), lit(1))).as("mean_token_len"))
+    }),
+
+    // ---- Text: heuristic language ID -------------------------------------------
+    "q33_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    // ---- Multimodal: opaque binary payload stats --------------------------------
+    "q34_media_bytestats" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "txt")
+      Multimodal.byteStats(media)
+    }),
+
+    // ---- Multimodal: stub decode + frame sampling (mapPartitions boundary) ------
+    "q35_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "txt")
+      Multimodal.sampleFrames(Multimodal.decode(s, media), stride = 4)
+    }),
+
+    // ---- Imputation: mean over non-missing ("negative = missing") ---------------
+    "q36_impute_mean" -> ((s, dir) => {
+      Imputation.impute(t(s, dir, "customer"), "c_acctbal", Imputation.Mean, col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal_imputed"))
+    }),
+
+    // ---- Imputation: median ------------------------------------------------------
+    "q37_impute_median" -> ((s, dir) => {
+      Imputation.impute(t(s, dir, "customer"), "c_acctbal", Imputation.Median, col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal_imputed"))
+    }),
+
+    // ---- Imputation: categorical mode ---------------------------------------------
+    "q38_impute_mode" -> ((s, dir) => {
+      Imputation.imputeMode(t(s, dir, "orders"), "o_orderpriority", col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_orderpriority_imputed"))
+    }),
+
+    // ---- Imputation: grouped mean ---------------------------------------------------
+    "q39_impute_group_mean" -> ((s, dir) => {
+      Imputation.imputeGroupMean(t(s, dir, "customer"), "c_acctbal", Seq("c_mktsegment"), col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal_imputed"))
+    }),
+
+    // ---- TPC-H Q3-shaped: join + agg + top-k via spark.sql ---------------------------
+    "q40_sql_q3" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT l.l_orderkey AS orderkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               o.o_orderdate AS orderdate
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, orderkey ASC
+        LIMIT 10
+      """)
+    }),
+
+    // ---- TPC-H Q5-shaped: multi-join star query ----------------------------------------
+    "q41_sql_q5" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+      """)
+    }),
+
+    // ---- Composite: the reference's imputations pipeline shape -------------------------
+    "q42_pipeline" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val fact = l
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .withColumn("fecha", to_date(col("l_shipdate")))
+      fact.groupBy(col("o_custkey"), col("n_name"), col("fecha"))
+        .agg(
+          Fns.dsum(col("l_quantity")).as("horas"),
+          Aggregates.firstBy(col("o_orderpriority"), col("o_orderkey")).as("prioridad"),
+          count(lit(1)).as("n_lineas"))
+    }),
+
+    // ---- DISTINCT (set semantics) --------------------------------------------------------
+    "q43_distinct" -> ((s, dir) => {
+      t(s, dir, "events").select(col("user_id"), col("event_type")).distinct()
+    })
+  )
+
+  // ===========================================================================
+  // Oracle SQL (DuckDB dialect, same parquet tables registered by name)
+  // ===========================================================================
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_summarize" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${sqlDsum("l_quantity")} AS sum_qty,
+        ${sqlDsum("l_extendedprice")} AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+          * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        ${sqlDsum("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+        ${sqlDsum("l_extendedprice")} / COUNT(l_extendedprice) AS avg_price,
+        ${sqlDsum("l_discount")} / COUNT(l_discount) AS avg_disc,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_ranged_scan" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'""",
+
+    "q03_project_derive" -> """
+      SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+        l_extendedprice * (1 - l_discount) AS revenue,
+        CAST(l_shipdate AS DATE) AS ship_day,
+        strftime(l_shipdate, '%Y-%m-%d') AS ship_day_str
+      FROM lineitem""",
+
+    "q04_date_spine" -> """
+      SELECT CAST(d AS DATE) AS d, strftime(d, '%Y-%m') AS month
+      FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY)) AS d)""",
+
+    "q05_union_by_name" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice, NULL::TIMESTAMP AS o_orderdate
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, NULL::DOUBLE AS o_totalprice, o_orderdate
+      FROM orders WHERE o_orderstatus = 'O'""",
+
+    "q06_enrich_join" -> s"""
+      SELECT r_name, n_name, COUNT(*) AS n_cust, ${sqlDsum("c_acctbal")} AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name""",
+
+    "q07_left_join_fill" -> """
+      SELECT l_orderkey, l_linenumber,
+        COALESCE(p_brand, 'No asignado') AS p_brand,
+        COALESCE(p_retailprice, 0.0) AS p_retailprice
+      FROM lineitem
+      LEFT JOIN (SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_size > 40) p
+        ON l_partkey = p_partkey""",
+
+    "q08_inner_drop" -> """
+      SELECT c_name, COUNT(*) AS n_orders
+      FROM orders
+      JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 500) c
+        ON o_custkey = c_custkey
+      GROUP BY c_name""",
+
+    "q09_anti_join" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1999-01-01' AND l.l_orderkey = o.o_orderkey)""",
+
+    "q10_contains_lookup" -> """
+      SELECT p.p_partkey, p.p_name, MIN(d.p_type) AS matched_type
+      FROM (SELECT p_partkey, p_name FROM part) p
+      LEFT JOIN (SELECT DISTINCT p_type FROM part) d
+        ON contains(lower(p.p_name), lower(d.p_type))
+      GROUP BY p.p_partkey, p.p_name""",
+
+    "q11_upsert_merge" -> """
+      WITH existing AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+           incoming AS (SELECT * FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '2000-01-01')
+      SELECT o_orderkey, o_orderstatus, o_orderdate FROM existing
+      UNION ALL
+      SELECT i.o_orderkey, i.o_orderstatus, i.o_orderdate FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = i.o_orderkey)""",
+
+    "q12_dedupe_last" -> """
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal
+      FROM customer
+      QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey DESC) = 1""",
+
+    "q13_first_by" -> """
+      SELECT l_orderkey,
+        arg_min(l_partkey, CAST(l_linenumber AS BIGINT) * 1000000 + l_partkey) AS first_part,
+        arg_max(l_partkey, CAST(l_linenumber AS BIGINT) * 1000000 + l_partkey) AS last_part,
+        COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey""",
+
+    "q14_argmax_group" -> """
+      SELECT user_id, event_id, event_type, value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) = 1""",
+
+    "q15_grouped_sums" -> s"""
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        ${sqlDsum("value")} AS sum_value, COUNT(*) AS n_events
+      FROM events GROUP BY user_id, CAST(ts AS DATE)""",
+
+    "q16_window_rank" -> """
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+        CAST(row_number() OVER w AS INT) AS rn,
+        CAST(rank() OVER w AS INT) AS rk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+      QUALIFY row_number() OVER w <= 3""",
+
+    "q17_topk" -> """
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "q18_scalar_json" -> """
+      SELECT event_id, CAST(ts AS DATE) AS day,
+        strftime(ts, '%Y-%m-%d') AS day_str,
+        CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        upper(event_type) AS etype
+      FROM events""",
+
+    "q19_casts" -> """
+      SELECT c_custkey,
+        CAST(TRUNC(c_acctbal) AS INT) AS bal_int,
+        CAST(c_nationkey AS DOUBLE) AS nk_double,
+        CAST(c_custkey AS VARCHAR) AS key_str
+      FROM customer""",
+
+    "q20_rollup" -> s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q21_tumbling_window" -> s"""
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+        COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+      FROM events GROUP BY date_trunc('hour', ts), event_type""",
+
+    "q22_sessionize" -> """
+      WITH g AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 30*60*1000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      ), s AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM g
+      )
+      SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+        MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, session_seq""",
+
+    "q23_dedup_exact" -> """
+      SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY md5(text)""",
+
+    "q24_fingerprint" -> """
+      SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+        MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM documents
+      GROUP BY 1 HAVING COUNT(*) > 1""",
+
+    "q25_jaccard_pairs" -> """
+      WITH t AS (
+        SELECT doc_id AS id, list_distinct(string_split(lower(text), ' ')) AS sh FROM documents
+      ), inv AS (
+        SELECT id, len(sh) AS sz, unnest(sh) AS s FROM t WHERE len(sh) > 0
+      )
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) AS jaccard
+      FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id, a.sz, b.sz
+      HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.8""",
+
+    "q26_jaccard3_pairs" -> """
+      WITH toks AS (
+        SELECT doc_id AS id, string_split(lower(text), ' ') AS tk FROM documents
+      ), t AS (
+        SELECT id,
+          CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+               ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                      i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+        FROM toks
+      ), inv AS (
+        SELECT id, len(sh) AS sz, unnest(sh) AS s FROM t WHERE len(sh) > 0
+      )
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) AS jaccard
+      FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id, a.sz, b.sz
+      HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.1""",
+
+    "q29_cosine_topk" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank
+        FROM q JOIN c ON query_id <> neighbor_id)
+      WHERE rank <= 5""",
+
+    "q31_cosine_pairs" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""",
+
+    "q32_text_stats" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        CAST(length(text) AS INT) AS n_chars,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / greatest(len(string_split(text, ' ')), 1) AS mean_token_len
+      FROM documents""",
+
+    "q33_langid" -> """
+      WITH s AS (
+        SELECT doc_id,
+          len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('der','die','das','und','zu','in','ist','ein','nicht','mit'))) AS s_de,
+          len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+          len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('el','la','de','y','que','en','un','una','es','por'))) AS s_es,
+          len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('le','la','de','et','que','en','un','une','est','pour'))) AS s_fr
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM s""",
+
+    "q34_media_bytestats" -> """
+      SELECT doc_id AS media_id,
+        CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        md5(text) AS payload_md5
+      FROM documents""",
+
+    "q35_frame_sample" -> """
+      WITH d AS (
+        SELECT doc_id AS media_id,
+          1 + (octet_length(CAST(text AS BLOB)) % 16) AS n_frames
+        FROM documents)
+      SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 4)) AS INT) AS frame_idx
+      FROM d""",
+
+    "q36_impute_mean" -> """
+      WITH m AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS v
+        FROM customer WHERE NOT (c_acctbal < 0))
+      SELECT c_custkey,
+        CASE WHEN c_acctbal < 0 THEN (SELECT v FROM m) ELSE c_acctbal END AS c_acctbal_imputed
+      FROM customer""",
+
+    "q37_impute_median" -> """
+      WITH m AS (SELECT median(c_acctbal) AS v FROM customer WHERE NOT (c_acctbal < 0))
+      SELECT c_custkey,
+        CASE WHEN c_acctbal < 0 THEN (SELECT v FROM m) ELSE c_acctbal END AS c_acctbal_imputed
+      FROM customer""",
+
+    "q38_impute_mode" -> """
+      WITH ok AS (SELECT o_orderpriority FROM orders WHERE NOT (o_orderstatus = 'P')),
+           counts AS (SELECT o_orderpriority AS v, COUNT(*) AS c FROM ok GROUP BY 1),
+           m AS (SELECT MIN(v) AS mode FROM counts WHERE c = (SELECT MAX(c) FROM counts))
+      SELECT o_orderkey,
+        CASE WHEN o_orderstatus = 'P' THEN (SELECT mode FROM m) ELSE o_orderpriority END
+          AS o_orderpriority_imputed
+      FROM orders""",
+
+    "q39_impute_group_mean" -> """
+      WITH g AS (
+        SELECT c_mktsegment,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(c_acctbal) AS v
+        FROM customer WHERE NOT (c_acctbal < 0) GROUP BY c_mktsegment)
+      SELECT c_custkey,
+        CASE WHEN c_acctbal < 0 THEN g.v ELSE c_acctbal END AS c_acctbal_imputed
+      FROM customer LEFT JOIN g USING (c_mktsegment)""",
+
+    "q40_sql_q3" -> """
+      SELECT l.l_orderkey AS orderkey,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        o.o_orderdate AS orderdate
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l.l_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, orderkey ASC
+      LIMIT 10""",
+
+    "q41_sql_q5" -> """
+      SELECT n.n_name AS nation,
+        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n.n_name""",
+
+    "q42_pipeline" -> s"""
+      SELECT o_custkey, n_name, CAST(l_shipdate AS DATE) AS fecha,
+        ${sqlDsum("l_quantity")} AS horas,
+        arg_min(o_orderpriority, o_orderkey) AS prioridad,
+        COUNT(*) AS n_lineas
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY o_custkey, n_name, CAST(l_shipdate AS DATE)""",
+
+    "q43_distinct" -> """
+      SELECT DISTINCT user_id, event_type FROM events"""
+  )
 }

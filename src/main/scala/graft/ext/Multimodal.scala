@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata structs.
+  *
+  * The Spark-side machinery is real and tested — schema contract,
+  * partition-friendly batch shape, mapPartitions decode boundary — while the
+  * actual codec step is a clearly-marked DETERMINISTIC STUB (the container
+  * has no image/audio libraries; a production build swaps `stubDecode` for
+  * a real decoder without touching the plumbing).
+  */
+object Multimodal {
+
+  /** Schema contract for a media table: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true))), nullable = true)))
+
+  /** Wrap any (id, string-payload) table as a media table — the payload
+    * becomes opaque bytes, as it would arrive from an object store.
+    */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String, format: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("media"),
+      struct(
+        lit(format).as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("n_frames")).as("meta"))
+
+  /** ===== STUB ===== Deterministic fake decode: derives "dimensions" from
+    * the byte payload (length + first bytes). Replace with a real codec
+    * (e.g. via an image library in mapPartitions, batched) in production.
+    * Kept deterministic so tests and oracles are stable.
+    */
+  def stubDecode(bytes: Array[Byte]): (Int, Int, Int) = {
+    val n = if (bytes == null) 0 else bytes.length
+    val w = 64 + (n % 577)            // fake width
+    val h = 64 + ((n * 31) % 433)     // fake height
+    val f = 1 + (n % 16)              // fake frame count
+    (w, h, f)
+  }
+
+  /** Decode boundary: per-partition batched decode via mapPartitions —
+    * the idiomatic place for a heavyweight codec (amortizes per-batch init,
+    * keeps the payload off the driver, preserves partitioning).
+    */
+  def decode(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("decoded", StructType(Seq(
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false))), nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      // per-partition "codec init" would happen here
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        val (w, h, f) = stubDecode(bytes)
+        Row.fromSeq(r.toSeq :+ Row(w, h, f))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: explode a media row into every `stride`-th frame index
+    * up to the decoded frame count — pure relational explode, no codec.
+    */
+  def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
+    decoded.select(
+      col("media_id"),
+      explode(sequence(lit(0), col("decoded.n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Cheap metadata pass that needs no codec at all: byte length and a
+    * content fingerprint — runs at scan speed, oracle-verifiable.
+    */
+  def byteStats(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      length(col("media")).cast("int").as("n_bytes"),
+      md5(col("media")).as("payload_md5"))
+}

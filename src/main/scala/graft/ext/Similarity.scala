@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: LSH bucketing by
+  * random-hyperplane sign bits — candidates come from one equi-join on the
+  * bucket key instead of a cross join.
+  *
+  * All vector math is `zip_with`/`aggregate` over the array in element
+  * order, computed in double — a deterministic left fold, so scores are
+  * bit-reproducible run to run (no shuffle-order dependence).
+  */
+object Similarity {
+
+  /** Dot product in double, sequential fold over element index. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine (self excluded), deterministic tie-break on id.
+    * Queries are broadcast; the corpus is scanned once — at 100 TB the
+    * corpus never shuffles, and per-partition top-k would be the next
+    * refinement (TakeOrdered pattern) if k·|queries| grew large.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: a value in (-1, 1)
+    * derived from xxhash64(plane, index) — no RNG state, reproducible on
+    * any cluster.
+    */
+  private def planeComponent(plane: Int, idx: Column): Column =
+    (xxhash64(lit(plane), idx).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bit LSH bucket key from `numPlanes` random hyperplanes. Vectors
+    * in the same bucket are likely neighbors (angular LSH).
+    */
+  def lshBucket(vec: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates limited to the query's LSH bucket union
+    * over `tables` independent hash tables (boosts recall), then exact
+    * cosine rank within candidates. One equi-join shuffle on (table,
+    * bucket) replaces the cross join — this is the 100 TB path.
+    */
+  /** Sign-bit bucket for hash table `tbl` — each table draws its own
+    * independent hyperplanes (plane ids are disjoint across tables), so
+    * extra tables genuinely boost recall instead of re-partitioning the
+    * space identically.
+    */
+  def lshBucketForTable(vec: Column, numPlanes: Int, tbl: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val plane = tbl * 1024 + p
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(plane, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 6,
+      tables: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(
+        col(idCol).as(id), col(vecCol).as(v),
+        posexplode(array((0 until tables).map(t =>
+          lshBucketForTable(col(vecCol), numPlanes, t)): _*)))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val c = bucketed(corpus, "neighbor_id", "cv")
+    val q = bucketed(queries, "query_id", "qv")
+    val cand = c.join(q, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+    * Exact all-pairs form; the LSH-bucketed variant above is the scale
+    * path. `cos` is rounded to 6 dp for cross-engine comparability.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: tokenization
+  * stats, quality scoring, language ID, and document fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst expressions (split / regexp /
+  * array functions) — no UDFs — so a 100 TB documents scan stays inside
+  * whole-stage codegen and the text column is the only column read.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty/blank text → empty array (a bare
+    * split("") would return [""]).
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count (whitespace tokens). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: count of maximal runs of word characters plus
+    * standalone punctuation marks — approximates tokenizer token counts
+    * without a vocab (regexp is codegen'd, runs at scan speed).
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(trim(t)) > 0))
+
+  /** Character n-gram / word shingle helpers (shared with dedup). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(lower(text))
+    // slide an n-window over the token array: positions 1..size-n+1
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(t) - lit(n - 1)),
+        i => array_join(slice(t, i, lit(n)), " "))))
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"))
+
+  /** Number of tokens that belong to `lang`'s stopword list. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val sw = stopwords(lang).map(lit(_))
+    size(filter(tokens(lower(text)), t => t.isin(sw: _*)))
+  }
+
+  /** Heuristic language ID: argmax of per-language stopword-hit counts with
+    * a deterministic tie-break (language code ascending); "und" when no
+    * list scores at all. n-gram-lexicon heuristic, not a model — by design
+    * (no external deps, pure codegen).
+    */
+  def langIdScores(text: Column): Seq[(String, Column)] =
+    stopwords.keys.toSeq.sorted.map(l => l -> stopwordHits(text, l))
+
+  def langId(text: Column): Column = {
+    val scored = langIdScores(text)
+    // array of (score, lang) structs; array_max compares lexicographically:
+    // highest score wins, then the LARGEST lang code — so store the lang
+    // negated... instead sort ascending by (score, revLang) and take max
+    // with tie-break on smallest code by maxing (score, -ord). Encode the
+    // tie-break as (score, 25 - ordinal) so max picks the alphabetically
+    // first language among equals.
+    val arr = array(scored.zipWithIndex.map { case ((l, s), i) =>
+      struct(s.as("s"), lit(scored.size - i).as("tb"), lit(l).as("lang"))
+    }: _*)
+    val best = array_max(arr)
+    when(best.getField("s") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Quality-score features + a composite score in [0,1]. All ratios are
+    * exact integer divisions promoted to double, so the score is
+    * deterministic and oracle-reproducible bit-for-bit.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nChar = length(t)
+    val punct = length(t) - length(regexp_replace(t, "[.,;:!?]", ""))
+    val stop = stopwordHits(t, "en")
+    df.withColumn("n_tokens", nTok.cast("int"))
+      .withColumn("n_chars_m", nChar.cast("int"))
+      .withColumn("punct_ratio", punct.cast("double") / greatest(nChar, lit(1)))
+      .withColumn("stopword_ratio", stop.cast("double") / greatest(nTok, lit(1)))
+      .withColumn("mean_token_len",
+        (nChar - (nTok - lit(1))).cast("double") / greatest(nTok, lit(1)))
+      .withColumn("quality_score",
+        least(lit(1.0), nTok.cast("double") / lit(64.0)) * lit(0.5)
+          + least(lit(1.0), col("stopword_ratio") * lit(4.0)) * lit(0.25)
+          + (lit(1.0) - least(lit(1.0), col("punct_ratio") * lit(10.0))) * lit(0.25))
+  }
+
+  /** OpenRefine-style key-collision fingerprint: lowercase, split on
+    * whitespace, dedupe, sort, rejoin, md5. Two documents with the same
+    * bag of words collide — a cheap exact-normalized-dup key that needs
+    * only a groupBy (one shuffle) at any scale.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " ").cast("binary"))
+}

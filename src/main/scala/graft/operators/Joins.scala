@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join layer (SURVEY.md §2.4 J1-J7).
+  *
+  * Scale stance: dimension sides are explicitly `broadcast()` so the 100 TB
+  * fact side never shuffles for an enrichment join; anti/semi joins project
+  * the build side down to its key columns before joining so the existing-key
+  * scan is column-pruned at the source.
+  */
+object Joins {
+
+  /** J1/J2/J3/J5 — enrichment join against a (small) dimension.
+    * The dim is broadcast: a map-side hash join, zero shuffle of the fact.
+    */
+  def enrich(fact: DataFrame, dim: DataFrame, cond: Column, how: String = "inner"): DataFrame =
+    fact.join(broadcast(dim), cond, how)
+
+  /** Key-based semi join: fact rows whose key exists in `other`. */
+  def semiByKey(fact: DataFrame, other: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(other.select(keys.map(col): _*), keys, "left_semi")
+
+  /** J6 — anti join on a composite business key: rows of `incoming` whose
+    * key is absent from `existing` ([function_app.py:302-315, 375-388]).
+    * Build side is pruned to the key columns only, so at scale the existing
+    * fact table is scanned key-only (parquet column pruning).
+    */
+  def antiByKey(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
+
+  /** J7 — contains-match lookup join ([function_app.py:233-256]:
+    * `get_field_id`): for each fact row, the id of the FIRST dim row (in
+    * `dimOrd` order) whose lowercased `dimMatch` value is a substring of the
+    * fact's `lookupCol`; null when nothing matches.
+    *
+    * The reference runs this as an O(|fact|·|dim|) Python `iterrows` loop
+    * per fact row — its single biggest scalability cliff (SURVEY.md §3.3).
+    * Here it is a broadcast nested-loop theta join with a codegen'd
+    * `lower(...).contains(...)` predicate, followed by a `min_by` tie-break
+    * to recover the order-sensitive first-match semantics deterministically.
+    *
+    * A unique row id is attached to the fact so duplicate fact rows survive
+    * the group-back (the reference's per-row `.apply` trivially preserves
+    * duplicates; a groupBy over fact columns would not).
+    */
+  def containsLookup(
+      fact: DataFrame,
+      dim: DataFrame,
+      lookupCol: String,
+      dimMatch: String,
+      dimOrd: String,
+      dimId: String,
+      outCol: String): DataFrame = {
+    val rid = "__graft_rid"
+    val d = dim.select(
+      lower(col(dimMatch)).as("__m"),
+      col(dimOrd).as("__o"),
+      col(dimId).as("__id"))
+    val withId = fact.withColumn(rid, monotonically_increasing_id())
+    val joined = withId.join(broadcast(d), lower(col(lookupCol)).contains(col("__m")), "left")
+    val keep = fact.columns.map(c => first(col(c)).as(c))
+    joined
+      .groupBy(col(rid))
+      .agg(keep.head, keep.tail :+ min_by(col("__id"), col("__o")).as(outCol): _*)
+      .drop(rid)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface (SURVEY.md §2.10 — an extension; the reference is
+  * batch-only and gets its incremental semantics from the anti-join upsert).
+  *
+  * Each operator has (a) a batch form usable on any DataFrame — also the
+  * oracle-testable form — and (b) a Structured Streaming form with
+  * watermarks for unbounded input. Both share the same column logic.
+  */
+object Streams {
+
+  /** Tumbling event-time window aggregate (batch + streaming: `window()`
+    * works identically on both). Output: window start, event_type, count,
+    * order-independent sum of value.
+    */
+  def tumblingCounts(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(
+        col("w.start").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming form with a watermark for state eviction of late data. */
+  def tumblingCountsStream(events: DataFrame, width: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Batch sessionization: gap-based sessions per user via lag + running
+    * conditional sum. Deterministic ordering includes event_id tie-break.
+    * At scale this is one shuffle on user_id (window partition).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > gapSec, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_seq").cast("int").as("session_seq"),
+        col("session_start"), col("session_end"), col("n_events"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp, n_events: Long)
+
+  /** Streaming sessionization with explicit state: flatMapGroupsWithState
+    * emits a session when the gap timeout fires. The custom-state analog of
+    * sessionizeBatch for unbounded input.
+    */
+  def sessionizeStream(spark: SparkSession, events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new java.sql.Timestamp(s.start), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var out = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  out ::= Session(user, new java.sql.Timestamp(s.start), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Incremental, idempotent append for streams — the reference's anti-join
+    * upsert semantics ([function_app.py:302-315]) carried to streaming:
+    * exactly-once per business key via dropDuplicates within the watermark.
+    */
+  def dedupedAppendStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(keyCols :+ "ts")
+}
