@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Deduplication operators for LLM training-data pipelines.
   *
   * Five families, all shuffle-conscious:
@@ -60,13 +62,18 @@ object Dedup {
       textCol: String,
       n: Int,
       threshold: Double): DataFrame = {
-    val shingled = df.select(
+    GraftFunctions.register(df.sparkSession)
+    // Hash-partition the corpus by id before shingling: a single parquet
+    // file otherwise pins the (CPU-heavy, recomputed-per-branch) shingle
+    // extraction to one task. At cluster scale the scan is already
+    // multi-partition and this is one cheap narrow-ish shuffle of raw text.
+    val shingled = df.repartition(col(idCol)).select(
       col(idCol).as("id"),
-      TextAnalysis.wordShingles(col(textCol), n).as("sh"))
+      hashedShingles(col(textCol), n).as("sh"))
       .withColumn("sh_size", size(col("sh")))
       .filter(col("sh_size") > 0)
     val inv = shingled.select(col("id"), col("sh_size"), explode(col("sh")).as("s"))
-    // Global rarity order; ties broken by the shingle itself → total order.
+    // Global rarity order; ties broken by the shingle hash itself → total order.
     val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("s").asc)
@@ -84,7 +91,7 @@ object Dedup {
     candidates
       .join(full.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(full.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common", GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("common")))
@@ -93,16 +100,29 @@ object Dedup {
   }
 
   /** Deterministic 64-bit hash family: member k of the family applied to
-    * string column c. xxhash64 is a native codegen'd Catalyst expression.
+    * column c. xxhash64 is a native codegen'd Catalyst expression.
     */
   private def hashK(c: Column, k: Int): Column = xxhash64(lit(k), c)
+
+  /** Shingle set as a sorted, distinct array<long> of xxhash64 values —
+    * the compact set representation every pairwise stage runs on. 8 bytes
+    * per shingle instead of a ~20-byte string: smaller shuffles, and the
+    * intersection is a codegen'd two-pointer merge
+    * ([[graft.functions.expressions.SortedLongIntersectSize]]) instead of
+    * a generic interpreted array_intersect. 64-bit collisions inside one
+    * document pair (~|d|²/2⁶⁴) are negligible.
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    array_sort(array_distinct(transform(
+      TextAnalysis.wordShingles(text, n), s => xxhash64(s))))
 
   /** MinHash signatures: for each document, `numHashes` minima over its
     * shingle set. One explode + one groupBy (single shuffle); signature is
     * an array<bigint> of fixed width.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int, numHashes: Int): DataFrame = {
-    val inv = df.select(col(idCol).as("id"), explode(TextAnalysis.wordShingles(col(textCol), n)).as("s"))
+    val inv = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), explode(hashedShingles(col(textCol), n)).as("s"))
     val mins = (0 until numHashes).map(k => min(hashK(col("s"), k)).as(s"h$k"))
     inv.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
@@ -138,12 +158,14 @@ object Dedup {
     val candidates = l.join(rgt, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // exact verify on candidates only
-    val shingled = df.select(col(idCol).as("vid"), TextAnalysis.wordShingles(col(textCol), n).as("vsh"))
+    // exact verify on candidates only (codegen'd sorted-merge intersection)
+    GraftFunctions.register(df.sparkSession)
+    val shingled = df.repartition(col(idCol))
+      .select(col(idCol).as("vid"), hashedShingles(col(textCol), n).as("vsh"))
     candidates
       .join(shingled.withColumnsRenamed(Map("vid" -> "id_a", "vsh" -> "sh_a")), Seq("id_a"))
       .join(shingled.withColumnsRenamed(Map("vid" -> "id_b", "vsh" -> "sh_b")), Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common", GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("common")))

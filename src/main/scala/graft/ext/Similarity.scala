@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over an embedding column (array<float>).
   *
   * Baseline: brute-force cosine top-k (exact). Scale path: LSH bucketing by
@@ -15,12 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product in double, sequential fold over element index. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Dot product in double, sequential fold over element index — a native
+    * codegen'd expression ([[graft.functions.expressions.FloatVectorDot]]);
+    * callers must have [[GraftFunctions.register]]ed the session.
+    */
+  def dot(a: Column, b: Column): Column = GraftFunctions.floatDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -33,10 +34,15 @@ object Similarity {
     * refinement (TakeOrdered pattern) if k·|queries| grew large.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    // Norms are computed once per row BEFORE the pair join — the per-pair
+    // work is one codegen'd dot product and a divide.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -96,6 +102,7 @@ object Similarity {
       k: Int,
       numPlanes: Int = 6,
       tables: Int = 8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     def bucketed(df: DataFrame, id: String, v: String): DataFrame =
       df.select(
         col(idCol).as(id), col(vecCol).as(v),
@@ -121,10 +128,13 @@ object Similarity {
     * path. `cos` is rounded to 6 dp for cross-engine comparability.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", norm(col("va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", norm(col("vb")))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(round(col("cos"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

@@ -32,11 +32,14 @@ object TextAnalysis {
   /** Character n-gram / word shingle helpers (shared with dedup). */
   def wordShingles(text: Column, n: Int): Column = {
     val t = tokens(lower(text))
-    // slide an n-window over the token array: positions 1..size-n+1
-    when(size(t) < n, array().cast("array<string>")).otherwise(
-      array_distinct(transform(
-        sequence(lit(1), size(t) - lit(n - 1)),
-        i => array_join(slice(t, i, lit(n)), " "))))
+    if (n == 1) array_distinct(t)
+    else {
+      // slide an n-window over the token array: positions 1..size-n+1
+      when(size(t) < n, array().cast("array<string>")).otherwise(
+        array_distinct(transform(
+          sequence(lit(1), size(t) - lit(n - 1)),
+          i => array_join(slice(t, i, lit(n)), " "))))
+    }
   }
 
   private val stopwords: Map[String, Seq[String]] = Map(

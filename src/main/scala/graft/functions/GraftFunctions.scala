@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+import graft.functions.expressions.{FloatVectorDot, SortedLongIntersectSize}
+
+/** Registry for the engine's native Catalyst expressions.
+  *
+  * Two entry styles, both idiomatic Spark:
+  *  - `GraftFunctions.register(spark)` — imperative, used by the engine's
+  *    own operators (self-registering at first use);
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  *    SparkSessionExtensions route for external sessions, which also makes
+  *    the functions available to pure-SQL users.
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_sorted_intersect_size" -> (args => SortedLongIntersectSize(args(0), args(1))),
+    "graft_float_dot" -> (args => FloatVectorDot(args(0), args(1))))
+
+  def register(spark: SparkSession): Unit = synchronized {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      if (!registry.functionExists(FunctionIdentifier(name))) {
+        registry.registerFunction(
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          builder)
+      }
+    }
+  }
+
+  /** Intersection size of two sorted, distinct array<long> columns. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_size", a, b)
+
+  /** Dot product of two array<float> columns, double accumulator. */
+  def floatDot(a: Column, b: Column): Column =
+    call_function("graft_float_dot", a, b)
+}
+
+/** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}

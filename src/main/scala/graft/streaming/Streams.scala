@@ -69,7 +69,10 @@ object Streams {
   def sessionizeStream(spark: SparkSession, events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
-    events.groupByKey(_.user_id)
+    // EventTimeTimeout requires an event-time watermark on the input; the
+    // watermark also bounds how late a session can reopen.
+    events.withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>

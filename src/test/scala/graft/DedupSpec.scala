@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "the quick brown fox"),          // exact dup of 1
+    (3L, "quick brown the fox"),          // same word SET as 1 (jaccard 1.0)
+    (4L, "the quick brown wolf"),         // 3/5 overlap with 1
+    (5L, "completely different text here")
+  ).toDF("doc_id", "text")
+
+  /** Naive reference jaccard over distinct lowercase word sets. */
+  private def naiveJaccard(a: String, b: String): Double = {
+    val sa = a.toLowerCase.split("\\s+").toSet
+    val sb = b.toLowerCase.split("\\s+").toSet
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("exactGroups groups identical payloads") {
+    val got = Dedup.exactGroups(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L))) // docs 1 and 2
+    assert(got.size == 4)
+  }
+
+  test("ngramJaccardPairs(n=1) matches the naive all-pairs computation") {
+    val texts = docs.as[(Long, String)].collect().toMap
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      j = naiveJaccard(texts(a), texts(b)) if j >= 0.5
+    } yield (a, b, j)).toSet
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("prefix filtering loses nothing at a high threshold") {
+    val texts = docs.as[(Long, String)].collect().toMap
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      j = naiveJaccard(texts(a), texts(b)) if j >= 0.99
+    } yield (a, b)).toSet
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected && got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("3-gram shingles distinguish word order") {
+    // docs 1 and 3 share the word set but almost no 3-gram sequence
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // only the true exact dup survives
+  }
+
+  test("minhashLshPairs finds exact dups (jaccard 1 always survives banding)") {
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 1,
+      numHashes = 16, bands = 4, verifyThreshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical sets share every band bucket -> guaranteed candidates
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("simhashPairs reports hamming 0 for identical token bags") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)))
+  }
+
+  test("hashedShingles is sorted and distinct") {
+    val arr = docs.select(Dedup.hashedShingles(col("text"), 1).as("h"))
+      .as[Seq[Long]].collect()
+    arr.foreach { a =>
+      assert(a == a.sorted && a.distinct.size == a.size)
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+import graft.ext.Multimodal
+
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("unionAll aligns by name and fills missing columns with null") {
+    val a = Seq((1, "x")).toDF("k", "only_a")
+    val b = Seq((2, 9.5)).toDF("k", "only_b")
+    val got = Relational.unionAll(Seq(a, b))
+    assert(got.columns.toSet == Set("k", "only_a", "only_b"))
+    assert(got.count() == 2)
+    assert(rows(got) == Set(Seq(1, "x", null), Seq(2, null, 9.5)))
+  }
+
+  test("rangedScan is inclusive-exclusive") {
+    val df = Seq("2024-01-01 00:00:00", "2024-01-15 12:00:00", "2024-02-01 00:00:00")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val got = Relational.rangedScan(df, "ts", "2024-01-01", "2024-02-01")
+    assert(got.count() == 2)
+  }
+
+  test("topK with unique tie-break is deterministic") {
+    val df = Seq((1, 10.0), (2, 10.0), (3, 5.0)).toDF("id", "v")
+    val got = Relational.topK(df, 2, Seq(col("v").desc, col("id").asc))
+      .as[(Int, Double)].collect().toSeq
+    assert(got == Seq((1, 10.0), (2, 10.0)))
+  }
+
+  test("multimodal: decode stub is deterministic and sampleFrames strides") {
+    val media = Multimodal.asMediaTable(Seq((1L, "abcdef")).toDF("id", "payload"), "id", "payload", "txt")
+    val decoded = Multimodal.decode(spark, media)
+    val d1 = decoded.select("decoded.n_frames").as[Int].head()
+    val d2 = Multimodal.decode(spark, media).select("decoded.n_frames").as[Int].head()
+    assert(d1 == d2 && d1 == 1 + (6 % 16))
+    val frames = Multimodal.sampleFrames(decoded, stride = 4)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(frames == Seq(0, 4))
+  }
+
+  test("multimodal: byteStats computes length and md5 at scan") {
+    val media = Multimodal.asMediaTable(Seq((1L, "abc")).toDF("id", "p"), "id", "p", "txt")
+    val got = Multimodal.byteStats(media).select("n_bytes", "payload_md5")
+      .as[(Int, String)].head()
+    assert(got._1 == 3 && got._2 == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("driver contract: every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.size >= 40)
+  }
+}

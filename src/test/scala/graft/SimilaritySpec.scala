@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+import graft.functions.GraftFunctions
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // near 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f))   // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("floatDot matches manual computation (codegen path)") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    assert(df.select(GraftFunctions.floatDot(col("a"), col("b"))).as[Double].head() == 32.0)
+  }
+
+  test("floatDot interpreted eval matches codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val mk = (xs: Array[Float]) => Literal.create(xs, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+    val e = graft.functions.expressions.FloatVectorDot(mk(Array(1f, 2f)), mk(Array(3f, 4f)))
+    assert(e.eval(null) == 11.0)
+  }
+
+  test("sortedIntersectSize counts common elements of sorted sets") {
+    val df = Seq((Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L))).toDF("a", "b")
+    assert(df.select(GraftFunctions.sortedIntersectSize(col("a"), col("b"))).as[Int].head() == 2)
+    val e = graft.functions.expressions.SortedLongIntersectSize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1L, 2L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(2L, 3L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) == 1)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tie-break, self excluded") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1), "vec_id", "embedding", 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(got(2L) == 1) // most similar
+    assert(got(3L) == 2) // orthogonal (cos 0)
+    assert(got(4L) == 3) // opposite (cos -1)
+  }
+
+  test("cosineNearDupPairs finds only the near pair at 0.9") {
+    val got = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("lshTopK ranks an identical vector first (same buckets in every table)") {
+    val corpus = vecs.union(Seq((5L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val got = Similarity.lshTopK(corpus, corpus.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(got(5L) == 1) // identical vector always shares all buckets
+  }
+}

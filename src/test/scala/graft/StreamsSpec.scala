@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+class StreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+    (2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0),   // same session (gap 10m < 30m)
+    (3L, ts("2024-01-01 11:30:00"), 7L, "view", 3.0),    // new session (gap 80m)
+    (4L, ts("2024-01-01 10:05:00"), 8L, "click", 4.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionizeBatch splits on gap and aggregates bounds") {
+    val got = Streams.sessionizeBatch(events, 30)
+      .select("user_id", "session_seq", "n_events")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((7L, 1, 2L), (7L, 2, 1L), (8L, 1, 1L)))
+  }
+
+  test("tumblingCounts buckets by hour and event type") {
+    val got = Streams.tumblingCounts(events, "1 hour")
+      .select("win_start", "event_type", "n")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == Set(
+      (ts("2024-01-01 10:00:00"), "click", 3L),
+      (ts("2024-01-01 11:00:00"), "view", 1L)))
+  }
+
+  test("sessionizeStream emits sessions via flatMapGroupsWithState timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val sessions = Streams.sessionizeStream(spark, input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Streams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Streams.Event(2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far enough that the watermark passes the timeout
+      input.addData(Streams.Event(3L, ts("2024-01-01 13:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(4L, ts("2024-01-01 15:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+      assert(got.contains((7L, 2L))) // user 7's first session closed by timeout
+    } finally q.stop()
+  }
+
+  test("dedupedAppendStream drops duplicate business keys within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val deduped = Streams.dedupedAppendStream(
+      input.toDS().toDF(), Seq("event_id"), "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Streams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Streams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Streams.Event(2L, ts("2024-01-01 10:01:00"), 7L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+}
