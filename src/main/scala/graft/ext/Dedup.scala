@@ -63,69 +63,130 @@ object Dedup {
       n: Int,
       threshold: Double): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    // Hash-partition the corpus by id before shingling: a single parquet
-    // file otherwise pins the (CPU-heavy, recomputed-per-branch) shingle
-    // extraction to one task. At cluster scale the scan is already
-    // multi-partition and this is one cheap narrow-ish shuffle of raw text.
-    val shingled = df.repartition(col(idCol)).select(
-      col(idCol).as("id"),
-      hashedShingles(col(textCol), n).as("sh"))
-      .withColumn("sh_size", size(col("sh")))
-      .filter(col("sh_size") > 0)
-    val inv = shingled.select(col("id"), col("sh_size"), explode(col("sh")).as("s"))
+    // Discovery runs on one representative per distinct shingle set
+    // (setRepresentatives); results expand back to document pairs at the end.
+    val (reps, members) = setRepresentatives(df, idCol, textCol, n)
+    val repPairs =
+      if (threshold >= 0.5) prefixFilteredSetPairs(reps, threshold)
+      else countedSetPairs(reps, threshold)
+    expandSetPairs(repPairs, members)
+  }
+
+  /** Low-threshold path: classic inverted-index count aggregation. The
+    * prefix filter keeps `1 - t` of each set — at t = 0.1 that prunes
+    * almost nothing, and the verify joins dominate. Counting common
+    * shingles directly in one groupBy is exact and carries no arrays.
+    * Cost is Σ_shingle df², acceptable when no pruning is possible anyway.
+    */
+  private def countedSetPairs(reps: DataFrame, threshold: Double): DataFrame = {
+    val inv = reps.select(col("skey"), col("sh_size"), explode(col("sh")).as("s"))
+    val a = inv.select(col("s"), col("skey").as("skey_a"), col("sh_size").as("sz_a"))
+    val b = inv.select(col("s"), col("skey").as("skey_b"), col("sh_size").as("sz_b"))
+    a.join(b, Seq("s"))
+      .filter(col("skey_a") < col("skey_b"))
+      .groupBy("skey_a", "skey_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("skey_a", "skey_b", "jaccard")
+  }
+
+  /** High-threshold path: PPJoin-style prefix filter + codegen verify. */
+  private def prefixFilteredSetPairs(reps: DataFrame, threshold: Double): DataFrame = {
+    val inv = reps.select(col("skey"), col("sh_size"), explode(col("sh")).as("s"))
     // Global rarity order; ties broken by the shingle hash itself → total order.
     val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df").asc, col("s").asc)
+      .partitionBy("skey").orderBy(col("df").asc, col("s").asc)
     val prefix = inv.join(dfreq, Seq("s"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sh_size") - ceil(col("sh_size") * lit(threshold)) + 1)
-    val a = prefix.select(col("s"), col("id").as("id_a"), col("sh_size").as("sz_a"))
-    val b = prefix.select(col("s"), col("id").as("id_b"), col("sh_size").as("sz_b"))
+    val a = prefix.select(col("s"), col("skey").as("skey_a"), col("sh_size").as("sz_a"))
+    val b = prefix.select(col("s"), col("skey").as("skey_b"), col("sh_size").as("sz_b"))
     val candidates = a.join(b, Seq("s"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("skey_a") < col("skey_b"))
       .filter(col("sz_b") >= ceil(col("sz_a") * lit(threshold)) &&
               col("sz_a") >= ceil(col("sz_b") * lit(threshold)))
-      .select("id_a", "id_b").distinct()
-    val full = shingled.select(col("id"), col("sh"))
+      .select("skey_a", "skey_b").distinct()
+    val full = reps.select(col("skey"), col("sh"))
     candidates
-      .join(full.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(full.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(full.select(col("skey").as("skey_a"), col("sh").as("sh_a")), Seq("skey_a"))
+      .join(full.select(col("skey").as("skey_b"), col("sh").as("sh_b")), Seq("skey_b"))
       .withColumn("common", GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("skey_a", "skey_b", "jaccard")
   }
 
-  /** Deterministic 64-bit hash family: member k of the family applied to
-    * column c. xxhash64 is a native codegen'd Catalyst expression.
+  /** Exact-dedup before near-dedup: group documents by IDENTICAL shingle
+    * set and run pair discovery on one representative per set. In dup-heavy
+    * corpora (the normal case for LLM training data) this collapses the
+    * hottest candidate buckets — a cluster of k identical documents costs 1
+    * row instead of k rows in every bucket and k²/2 verifications. Pairs
+    * between identical sets have jaccard exactly 1.0 and are emitted by
+    * expansion, never verified.
+    *
+    * Returns (reps, members): reps = (skey, sh, sh_size) one row per
+    * distinct set; members = (skey, id) doc membership.
     */
-  private def hashK(c: Column, k: Int): Column = xxhash64(lit(k), c)
+  private def setRepresentatives(
+      df: DataFrame, idCol: String, textCol: String, n: Int): (DataFrame, DataFrame) = {
+    val sets = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("skey", xxhash64(col("sh")))
+    val members = sets.select(col("skey"), col("id"))
+    val reps = sets.groupBy(col("skey"))
+      .agg(min_by(col("sh"), col("id")).as("sh"))
+      .withColumn("sh_size", size(col("sh")))
+    (reps, members)
+  }
 
-  /** Shingle set as a sorted, distinct array<long> of xxhash64 values —
-    * the compact set representation every pairwise stage runs on. 8 bytes
-    * per shingle instead of a ~20-byte string: smaller shuffles, and the
-    * intersection is a codegen'd two-pointer merge
-    * ([[graft.functions.expressions.SortedLongIntersectSize]]) instead of
-    * a generic interpreted array_intersect. 64-bit collisions inside one
-    * document pair (~|d|²/2⁶⁴) are negligible.
+  /** Expand set-level pairs (skey_a, skey_b, jaccard) back to document
+    * pairs, plus the intra-group pairs (identical sets, jaccard 1.0).
+    * Output ids are ordered id_a < id_b.
+    */
+  private def expandSetPairs(repPairs: DataFrame, members: DataFrame): DataFrame = {
+    val x = members.select(col("skey").as("k1"), col("id").as("xid"))
+    val y = members.select(col("skey").as("k2"), col("id").as("yid"))
+    val intra = x.join(y, col("k1") === col("k2") && col("xid") < col("yid"))
+      .select(col("xid").as("id_a"), col("yid").as("id_b"), lit(1.0).as("jaccard"))
+    val cross = repPairs
+      .join(x, repPairs("skey_a") === x("k1"))
+      .join(y, repPairs("skey_b") === y("k2"))
+      .select(
+        least(col("xid"), col("yid")).as("id_a"),
+        greatest(col("xid"), col("yid")).as("id_b"),
+        col("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** Shingle set as a sorted, distinct array<long> of hashes — the compact
+    * set representation every pairwise stage runs on. 8 bytes per shingle
+    * instead of a ~20-byte string: smaller shuffles; the intersection is a
+    * codegen'd two-pointer merge ([[graft.functions.expressions.
+    * SortedLongIntersectSize]]); and the whole tokenize+shingle+hash+sort
+    * pipeline is ONE native expression ([[graft.functions.expressions.
+    * WordShingleHashes]]) instead of an interpreted HOF stack. 64-bit
+    * collisions inside one document pair (~|d|²/2⁶⁴) are negligible.
     */
   def hashedShingles(text: Column, n: Int): Column =
-    array_sort(array_distinct(transform(
-      TextAnalysis.wordShingles(text, n), s => xxhash64(s))))
+    GraftFunctions.wordShingleHashes(text, n)
 
   /** MinHash signatures: for each document, `numHashes` minima over its
-    * shingle set. One explode + one groupBy (single shuffle); signature is
-    * an array<bigint> of fixed width.
+    * shingle set, computed in ONE per-row codegen'd pass
+    * ([[graft.functions.expressions.MinHashSignature]]) — no explode, no
+    * shuffle; a document's signature is produced inside its scan task.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int, numHashes: Int): DataFrame = {
-    val inv = df.repartition(col(idCol))
-      .select(col(idCol).as("id"), explode(hashedShingles(col(textCol), n)).as("s"))
-    val mins = (0 until numHashes).map(k => min(hashK(col("s"), k)).as(s"h$k"))
-    inv.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
+    GraftFunctions.register(df.sparkSession)
+    df.repartition(col(idCol))
+      .select(
+        col(idCol).as("id"),
+        GraftFunctions.minhash(hashedShingles(col(textCol), n), numHashes).as("sig"))
   }
 
   /** MinHash + LSH banding: split the signature into `bands` bands of
@@ -145,50 +206,47 @@ object Dedup {
       bands: Int = 16,
       verifyThreshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(df.sparkSession)
     val r = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+    // One representative per distinct shingle set (identical sets share all
+    // bands by construction — they are expanded, not hashed).
+    val (reps, members) = setRepresentatives(df, idCol, textCol, n)
+    val sig = reps.select(
+      col("skey"), col("sh"), col("sh_size"),
+      GraftFunctions.minhash(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
-      col("id"),
+      col("skey"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b, array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val rgt = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val l = banded.select(col("band"), col("bucket"), col("skey").as("skey_a"))
+    val rgt = banded.select(col("band"), col("bucket"), col("skey").as("skey_b"))
     val candidates = l.join(rgt, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(col("skey_a") < col("skey_b"))
+      .select("skey_a", "skey_b").distinct()
     // exact verify on candidates only (codegen'd sorted-merge intersection)
-    GraftFunctions.register(df.sparkSession)
-    val shingled = df.repartition(col(idCol))
-      .select(col(idCol).as("vid"), hashedShingles(col(textCol), n).as("vsh"))
-    candidates
-      .join(shingled.withColumnsRenamed(Map("vid" -> "id_a", "vsh" -> "sh_a")), Seq("id_a"))
-      .join(shingled.withColumnsRenamed(Map("vid" -> "id_b", "vsh" -> "sh_b")), Seq("id_b"))
+    val full = reps.select(col("skey"), col("sh"))
+    val repPairs = candidates
+      .join(full.select(col("skey").as("skey_a"), col("sh").as("sh_a")), Seq("skey_a"))
+      .join(full.select(col("skey").as("skey_b"), col("sh").as("sh_b")), Seq("skey_b"))
       .withColumn("common", GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= verifyThreshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("skey_a", "skey_b", "jaccard")
+    expandSetPairs(repPairs, members)
   }
 
   /** SimHash: 64-bit signature whose bit i is the sign of Σ_token ±1 over
-    * bit i of xxhash64(token). Near-dups differ in few bits (hamming).
-    * Implemented as 64 conditional sums in ONE hash aggregation — stays in
-    * codegen, one shuffle on the doc id.
+    * bit i of the token hash. One per-row codegen'd pass
+    * ([[graft.functions.expressions.SimHash64]]) — no explode, no shuffle.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("id"), sig.as("simhash"))
+    GraftFunctions.register(df.sparkSession)
+    df.repartition(col(idCol))
+      .select(col(idCol).as("id"), GraftFunctions.simhash64(col(textCol)).as("simhash"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` bits, blocked by 16-bit

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{FloatVectorDot, SortedLongIntersectSize}
+import graft.functions.expressions.{FloatVectorDot, MinHashSignature, SimHash64, SortedLongIntersectSize, WordShingleHashes}
 
 /** Registry for the engine's native Catalyst expressions.
   *
@@ -21,7 +21,14 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_sorted_intersect_size" -> (args => SortedLongIntersectSize(args(0), args(1))),
-    "graft_float_dot" -> (args => FloatVectorDot(args(0), args(1))))
+    "graft_float_dot" -> (args => FloatVectorDot(args(0), args(1))),
+    // minhash(set, numHashes): second arg must be a foldable int literal
+    "graft_minhash" -> (args => MinHashSignature(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
+    // word_shingle_hashes(text, n): n must be a foldable int literal
+    "graft_word_shingle_hashes" -> (args => WordShingleHashes(args(0),
+      args(1).eval(null).asInstanceOf[Int])),
+    "graft_simhash" -> (args => SimHash64(args(0))))
 
   def register(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
@@ -42,6 +49,17 @@ object GraftFunctions {
   /** Dot product of two array<float> columns, double accumulator. */
   def floatDot(a: Column, b: Column): Column =
     call_function("graft_float_dot", a, b)
+
+  /** MinHash signature (array<long>, length numHashes) of a hashed set. */
+  def minhash(set: Column, numHashes: Int): Column =
+    call_function("graft_minhash", set, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Sorted-distinct hashed word-n-gram shingle set of a text column. */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    call_function("graft_word_shingle_hashes", text, org.apache.spark.sql.functions.lit(n))
+
+  /** 64-bit SimHash of a text column (occurrence-weighted token bits). */
+  def simhash64(text: Column): Column = call_function("graft_simhash", text)
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */

@@ -1,8 +1,8 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the per-pair hot loops of dedup and
@@ -61,6 +61,209 @@ case class SortedLongIntersectSize(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature of a hashed-shingle set in ONE per-row pass: element k
+  * of the result is min over the set of XXH64(shingle, seed = k). No
+  * explode, no 64-way aggregation, no shuffle — the signature of a document
+  * never leaves its scan task, which is the only formulation that scales to
+  * a 100 TB corpus (the explode+groupBy alternative shuffles |doc|·|set|
+  * rows and was measured 10× slower even locally).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData].toLongArray()
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < xs.length) {
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashLong(xs(i), k)
+        if (h < out(k)) out(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xs = ctx.freshName("xs"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      s"""
+         |long[] $xs = $a.toLongArray();
+         |long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $xs.length; $i++) {
+         |  for (int $k = 0; $k < $numHashes; $k++) {
+         |    long $h = $xxh.hashLong($xs[$i], (long) $k);
+         |    if ($h < $out[$k]) $out[$k] = $h;
+         |  }
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hashed word-shingle set of a text column in ONE per-row pass:
+  * lowercase, whitespace-tokenize, hash each token's bytes (XXH64), combine
+  * each window of `n` consecutive token hashes by chaining, then sort and
+  * deduplicate — returning the sorted-distinct array<long> set contract of
+  * [[SortedLongIntersectSize]]. Shingle STRINGS are never materialized.
+  *
+  * Replaces a transform/slice/array_join/xxhash64/array_sort/array_distinct
+  * higher-order-function stack that was measured at ~3 ms/document — this
+  * runs at ~µs/document, which at 100 TB is the difference between shingling
+  * being free at scan speed or dominating the whole dedup pipeline.
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(n >= 1, "shingle width must be >= 1")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val util = WordShingleHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $util.compute($a, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Lowercase + whitespace-tokenize + XXH64 each token's byte range.
+    * Returns (hashes, count); the array may be over-allocated.
+    */
+  def tokenHashes(s: UTF8String): (Array[Long], Int) = {
+    val bytes = s.toLowerCase.getBytes // UTF8, lowercased like lower(col)
+    var hashes = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < len && !isSpace(bytes(i))) i += 1
+      if (i > start) {
+        if (nTok == hashes.length) {
+          hashes = java.util.Arrays.copyOf(hashes, nTok * 2)
+        }
+        hashes(nTok) = XXH64.hashUnsafeBytes(
+          bytes, Platform.BYTE_ARRAY_OFFSET + start, i - start, 42L)
+        nTok += 1
+      }
+    }
+    (hashes, nTok)
+  }
+
+  /** Single-pass tokenize + hash + shingle + sort + dedupe. */
+  def compute(s: UTF8String, n: Int): GenericArrayData = {
+    val (tokenHashes, nTok) = this.tokenHashes(s)
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    // 2. shingle hashes: chain n consecutive token hashes
+    val m = nTok - n + 1
+    val sh = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(tokenHashes(p + j), h); j += 1 }
+      sh(p) = h
+      p += 1
+    }
+    // 3. sort + dedupe in place
+    java.util.Arrays.sort(sh)
+    var w = 0
+    var r = 1
+    while (r < m) {
+      if (sh(r) != sh(w)) { w += 1; sh(w) = sh(r) }
+      r += 1
+    }
+    val out = if (w + 1 == m) sh else java.util.Arrays.copyOf(sh, w + 1)
+    new GenericArrayData(out)
+  }
+
+  /** \s-equivalent for the ASCII whitespace the tokenizer splits on. */
+  @inline private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+}
+
+/** 64-bit SimHash of a text column in one per-row pass: bit i of the result
+  * is the sign of Σ_tokens ±1 over bit i of the token hash (occurrences
+  * weighted — duplicates count). Replaces an explode + 64-way conditional
+  * aggregation: the signature never leaves the scan task.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val util = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $util.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(s: UTF8String): Long = {
+    val (hashes, nTok) = WordShingleHashes.tokenHashes(s)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < nTok) {
+      val h = hashes(i)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
 }
 
 /** Dot product of two array<float> embeddings, accumulated in double in

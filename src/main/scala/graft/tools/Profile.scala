@@ -48,6 +48,33 @@ object Profile {
       return
     }
 
+    if (which == "q26c") {
+      // mirror the counted (low-threshold) set-pair path stage by stage
+      val sets = docs.repartition(col("doc_id"))
+        .select(col("doc_id").as("id"), Dedup.hashedShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("skey", xxhash64(col("sh")))
+      time("sets count")(sets.count())
+      val reps = sets.groupBy(col("skey"))
+        .agg(min_by(col("sh"), col("id")).as("sh"))
+        .withColumn("sh_size", size(col("sh")))
+      time("reps count")(reps.count())
+      val inv = reps.select(col("skey"), col("sh_size"), explode(col("sh")).as("s"))
+      time("inv count")(inv.count())
+      val a = inv.select(col("s"), col("skey").as("skey_a"), col("sh_size").as("sz_a"))
+      val b = inv.select(col("s"), col("skey").as("skey_b"), col("sh_size").as("sz_b"))
+      val joined = a.join(b, Seq("s")).filter(col("skey_a") < col("skey_b"))
+      time("raw count join")(joined.count())
+      val pairs = joined.groupBy("skey_a", "skey_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jaccard",
+          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+        .filter(col("jaccard") >= 0.1)
+      time("set pairs")(pairs.count())
+      time("end-to-end")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1).count())
+      spark.stop(); return
+    }
+
     val shingled = docs.select(
       col("doc_id").as("id"),
       Dedup.hashedShingles(col("text"), n).as("sh"))
