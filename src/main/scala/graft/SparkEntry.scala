@@ -407,6 +407,122 @@ object SparkEntry {
     // ---- DISTINCT (set semantics) --------------------------------------------------------
     "q43_distinct" -> ((s, dir) => {
       t(s, dir, "events").select(col("user_id"), col("event_type")).distinct()
+    }),
+
+    // ---- As-of join (trade/quote pattern; union+window, one shuffle) ---------
+    "q44_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
+        .select(col("event_id"), col("user_id"), col("purchase_value"))
+    }),
+
+    // ---- Range join without equi key (binned interval join) ------------------
+    "q45_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val windows = s.range(1).select(explode(sequence(
+          to_timestamp(lit("2024-01-01")).cast("timestamp_ntz"),
+          to_timestamp(lit("2024-01-29")).cast("timestamp_ntz"),
+          expr("interval 7 days"))).as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("interval 7 days"))
+      Joins.rangeJoinBinned(e, "ts", windows, "w_start", "w_end", 7L * 86400)
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n"), Fns.dsum(col("value")).as("sum_value"))
+    }),
+
+    // ---- PIVOT (explicit value list => deterministic columns) ----------------
+    "q46_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    }),
+
+    // ---- Exact percentiles + distinct aggregate ------------------------------
+    "q47_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+    }),
+
+    // ---- CUBE grouping sets ---------------------------------------------------
+    "q48_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Fns.dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- Window frames: moving sum + lag delta --------------------------------
+    "q49_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .over(w.rowsBetween(-2, Window.currentRow)).cast("double").as("moving3"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"))
+    }),
+
+    // ---- String/conditional scalar battery ------------------------------------
+    "q50_scalar_strings" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 10).as("name_prefix"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_type"), lit(" "), lit("_")).as("type_snake"),
+        length(col("p_name")).cast("int").as("name_len"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        instr(col("p_name"), " ").cast("int").as("first_space"),
+        when(col("p_size") > 25, lit("big")).otherwise(lit("small")).as("size_class"),
+        coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("OTHER")).as("brand_or_other"))
+    }),
+
+    // ---- Semi join (EXISTS) ----------------------------------------------------
+    "q51_exists_semi" -> ((s, dir) => {
+      val shipped98 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+                col("l_shipdate") < to_timestamp(lit("1999-01-01")))
+        .select(col("l_suppkey").as("s_suppkey"))
+      Joins.semiByKey(t(s, dir, "supplier"), shipped98, Seq("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // ---- Explode / unnest + token frequency ------------------------------------
+    "q52_explode_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- HLL approximate distinct (no oracle: engine-specific sketch) ----------
+    "q53_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+    }),
+
+    // ---- Full reference pipelines, end-to-end ----------------------------------
+    "q54_pipeline_imputations" -> ((s, dir) => {
+      graft.pipeline.Pipelines.imputations(s, dir,
+        from = "1998-06-01", to = "1998-09-01", loadedFrom = "1998-01-01")
+    }),
+
+    "q55_pipeline_fichajes" -> ((s, dir) => {
+      graft.pipeline.Pipelines.fichajes(s, dir)
     })
   )
 
@@ -745,6 +861,125 @@ object SparkEntry {
       GROUP BY o_custkey, n_name, CAST(l_shipdate AS DATE)""",
 
     "q43_distinct" -> """
-      SELECT DISTINCT user_id, event_type FROM events"""
+      SELECT DISTINCT user_id, event_type FROM events""",
+
+    "q44_asof_join" -> """
+      SELECT c.event_id, c.user_id, p.purchase_value
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value FROM events
+                      WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts""",
+
+    "q45_range_join" -> s"""
+      WITH w AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-29',
+                                      INTERVAL 7 DAY)) AS w_start)
+      SELECT w_start, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+      FROM events e JOIN w
+        ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 7 DAY
+      GROUP BY w_start""",
+
+    "q46_pivot" -> """
+      SELECT o_orderpriority,
+        COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority""",
+
+    "q47_percentiles" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.5)  AS p50,
+        quantile_cont(l_quantity, 0.75) AS p75,
+        COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_returnflag""",
+
+    "q48_cube" -> s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "q49_window_frames" -> """
+      SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3,
+        o_totalprice - lag(o_totalprice, 1) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS delta_prev
+      FROM orders""",
+
+    "q50_scalar_strings" -> """
+      SELECT p_partkey,
+        upper(p_name) AS name_upper,
+        substring(p_name, 1, 10) AS name_prefix,
+        concat_ws('-', p_brand, p_type) AS brand_type,
+        regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+        CAST(length(p_name) AS INT) AS name_len,
+        lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        CAST(strpos(p_name, ' ') AS INT) AS first_space,
+        CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class,
+        COALESCE(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other
+      FROM part""",
+
+    "q51_exists_semi" -> """
+      SELECT s_suppkey, s_name FROM supplier s
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_suppkey = s.s_suppkey
+                      AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+                      AND l.l_shipdate < TIMESTAMP '1999-01-01')""",
+
+    "q52_explode_tokens" -> """
+      SELECT token, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      GROUP BY token""",
+
+    "q54_pipeline_imputations" -> s"""
+      WITH emp AS (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0),
+      parts AS (SELECT p_partkey, p_name FROM part),
+      types AS (SELECT DISTINCT p_type FROM part),
+      rows_inc AS (
+        SELECT l.l_suppkey AS s_suppkey, CAST(l.l_shipdate AS DATE) AS fecha,
+               l.l_quantity AS horas, l.l_extendedprice, p.p_name
+        FROM lineitem l
+        JOIN emp e ON l.l_suppkey = e.s_suppkey
+        JOIN parts p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1998-06-01' AND l.l_shipdate < TIMESTAMP '1998-09-01'),
+      rows_ex AS (
+        SELECT l.l_suppkey AS s_suppkey, CAST(l.l_shipdate AS DATE) AS fecha,
+               l.l_quantity AS horas, l.l_extendedprice, p.p_name
+        FROM lineitem l
+        JOIN emp e ON l.l_suppkey = e.s_suppkey
+        JOIN parts p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1998-01-01' AND l.l_shipdate < TIMESTAMP '1998-06-01'),
+      agg_inc AS (
+        SELECT s_suppkey, fecha,
+          COALESCE((SELECT MIN(t.p_type) FROM types t
+                    WHERE contains(lower(r.p_name), lower(t.p_type))), 'No asignado') AS tipo,
+          ${sqlDsum("horas")} AS horas,
+          MIN(l_extendedprice) AS precio_min,
+          COUNT(*) AS n_lineas
+        FROM rows_inc r GROUP BY 1, 2, 3),
+      agg_ex AS (
+        SELECT s_suppkey, fecha,
+          COALESCE((SELECT MIN(t.p_type) FROM types t
+                    WHERE contains(lower(r.p_name), lower(t.p_type))), 'No asignado') AS tipo,
+          ${sqlDsum("horas")} AS horas,
+          MIN(l_extendedprice) AS precio_min,
+          COUNT(*) AS n_lineas
+        FROM rows_ex r GROUP BY 1, 2, 3)
+      SELECT i.* FROM agg_inc i
+      WHERE NOT EXISTS (SELECT 1 FROM agg_ex e
+        WHERE e.s_suppkey = i.s_suppkey AND e.fecha = i.fecha AND e.tipo = i.tipo)""",
+
+    "q55_pipeline_fichajes" -> s"""
+      WITH r AS (
+        SELECT user_id, CAST(ts AS DATE) AS fecha,
+          ${sqlDsum("value")} AS segundos_trabajados, COUNT(*) AS n_fichajes
+        FROM events GROUP BY 1, 2)
+      SELECT CAST(user_id AS BIGINT) AS empleado_id, fecha,
+        COALESCE(c_name, 'No asignado') AS empleado,
+        COALESCE(c_mktsegment, 'No asignado') AS departamento,
+        segundos_trabajados, n_fichajes
+      FROM r LEFT JOIN customer ON user_id = c_custkey"""
   )
 }

@@ -30,6 +30,73 @@ object Joins {
   def antiByKey(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
 
+  /** As-of join (extension; no reference analog): for each left row, attach
+    * the LATEST right row per key with right.ts <= left.ts — the
+    * trade/quote pattern.
+    *
+    * Implementation is the scale-correct union + running-window form: tag
+    * both inputs, union them, and carry the most recent right values
+    * forward with `last(..., ignoreNulls) OVER (PARTITION BY keys ORDER BY
+    * ts, side ROWS UNBOUNDED PRECEDING)`. ONE shuffle (the window
+    * partition) regardless of input sizes — no per-row subquery, no range
+    * cross join; skew only where a single key is hot.
+    *
+    * Right rows must be unique per (keys, tsCol) — pre-aggregate the build
+    * side otherwise (ties would be non-deterministic).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts => inclusive (<=) match
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rightVals.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ rightVals.map(col): _*)
+  }
+
+  /** Binned range join (extension): match `points` rows to `intervals`
+    * rows with start <= point < end, WITHOUT an equi key. The naive plan is
+    * a broadcast-nested-loop; this implementation manufactures an equi key
+    * by binning: each interval explodes into the bins it covers, points map
+    * to their single bin, and a hash join on the bin plus the residual
+    * range predicate replaces the cross product. `binSeconds` should be on
+    * the order of the typical interval width.
+    */
+  def rangeJoinBinned(
+      points: DataFrame,
+      pointTs: String,
+      intervals: DataFrame,
+      startTs: String,
+      endTs: String,
+      binSeconds: Long,
+      how: String = "inner"): DataFrame = {
+    val p = points.withColumn("__bin", floor(unix_timestamp(col(pointTs)) / binSeconds))
+    val iv = intervals.withColumn("__bin", explode(sequence(
+      floor(unix_timestamp(col(startTs)) / binSeconds),
+      floor(unix_timestamp(col(endTs)) / binSeconds))))
+    p.join(iv,
+        p("__bin") === iv("__bin") &&
+        col(pointTs) >= col(startTs) && col(pointTs) < col(endTs),
+        how)
+      .drop("__bin")
+  }
+
   /** J7 — contains-match lookup join ([function_app.py:233-256]:
     * `get_field_id`): for each fact row, the id of the FIRST dim row (in
     * `dimOrd` order) whose lowercased `dimMatch` value is a substring of the

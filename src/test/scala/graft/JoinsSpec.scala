@@ -46,6 +46,41 @@ class JoinsSpec extends SparkTestBase {
     assert(Joins.semiByKey(fact, other, Seq("k")).as[(Int, String)].collect().toSeq == Seq((2, "b")))
   }
 
+  test("asofJoin attaches the latest right row at or before the left ts") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val trades = Seq(
+      (1, ts("2024-01-01 10:00:00"), "t1"),
+      (1, ts("2024-01-01 12:00:00"), "t2"),
+      (2, ts("2024-01-01 08:00:00"), "t3") // before any quote
+    ).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1, ts("2024-01-01 09:00:00"), 5.0),
+      (1, ts("2024-01-01 10:00:00"), 6.0), // equal ts => inclusive match
+      (1, ts("2024-01-01 11:00:00"), 7.0),
+      (2, ts("2024-01-01 09:00:00"), 9.0)
+    ).toDF("k", "ts", "price")
+    val got = Joins.asofJoin(trades, quotes, Seq("k"), "ts", "ts", Seq("price"))
+      .select("trade", "price").as[(String, Option[Double])].collect().toMap
+    assert(got("t1").contains(6.0)) // equal-ts quote wins over 09:00
+    assert(got("t2").contains(7.0))
+    assert(got("t3").isEmpty)      // no quote at or before 08:00
+  }
+
+  test("rangeJoinBinned matches points to covering intervals, no equi key") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = Seq((1, ts("2024-01-01 10:30:00")), (2, ts("2024-01-03 00:00:00"))).toDF("pid", "ts")
+    val intervals = Seq(
+      ("w1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      ("w2", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+      ("w3", ts("2024-01-02 23:00:00"), ts("2024-01-03 00:00:00")) // end-exclusive
+    ).toDF("w", "start", "end")
+    val got = Joins.rangeJoinBinned(points, "ts", intervals, "start", "end", 3600)
+      .select("pid", "w").as[(Int, String)].collect().toSet
+    assert(got == Set((1, "w1"), (1, "w2"))) // point 2 excluded: end is exclusive
+  }
+
   test("enrich left join keeps unmatched fact rows with nulls") {
     val fact = Seq((1, 10), (2, 99)).toDF("k", "dimk")
     val dim = Seq((10, "ten")).toDF("dk", "label")
