@@ -30,9 +30,11 @@ object SparkEntry {
   private def sqlDsum(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
 
-  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on sf0.001 (driver smoke-checks rows>0): the reference's own
+    * imputations ETL, end-to-end as one declarative plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_summarize")(spark, "/root/testdata/sf0.001")
+    queries("q54_pipeline_imputations")(spark, "/root/testdata/sf0.001")
 
   // ===========================================================================
   // Catalog
@@ -523,6 +525,30 @@ object SparkEntry {
 
     "q55_pipeline_fichajes" -> ((s, dir) => {
       graft.pipeline.Pipelines.fichajes(s, dir)
+    }),
+
+    // ---- IVF approximate nearest neighbors (no oracle: approximate) ------------
+    "q56_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    // ---- Text quality scoring ----------------------------------------------------
+    "q57_quality_score" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+          col("stopword_ratio"), col("mean_token_len"), col("quality_score"))
+    }),
+
+    // ---- Skew-safe salted join (same result as plain inner join) ----------------
+    "q58_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Joins.saltedJoin(l, o, Seq("l_orderkey"), salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Fns.dsum(col("l_quantity")).as("sum_qty"))
     })
   )
 
@@ -980,6 +1006,31 @@ object SparkEntry {
         COALESCE(c_name, 'No asignado') AS empleado,
         COALESCE(c_mktsegment, 'No asignado') AS departamento,
         segundos_trabajados, n_fichajes
-      FROM r LEFT JOIN customer ON user_id = c_custkey"""
+      FROM r LEFT JOIN customer ON user_id = c_custkey""",
+
+    "q57_quality_score" -> """
+      WITH f AS (
+        SELECT doc_id, text,
+          len(string_split(trim(text), ' ')) AS n_tokens,
+          length(text) AS n_chars,
+          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+          len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop
+        FROM documents)
+      SELECT doc_id,
+        CAST(n_tokens AS INT) AS n_tokens,
+        CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio,
+        CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+        CAST(n_chars - (n_tokens - 1) AS DOUBLE) / greatest(n_tokens, 1) AS mean_token_len,
+        least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) * 0.5
+          + least(1.0, (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 4.0) * 0.25
+          + (1.0 - least(1.0, (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10.0)) * 0.25
+          AS quality_score
+      FROM f""",
+
+    "q58_salted_join" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""
   )
 }

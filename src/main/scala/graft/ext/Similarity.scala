@@ -123,6 +123,58 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer of
+    * `nlist` centroids partitions the corpus; each query probes only its
+    * `nprobe` nearest centroid cells, then ranks exactly within them.
+    *
+    * Centroids are chosen deterministically (the nlist corpus vectors with
+    * the smallest ids — a data-dependent but reproducible quantizer; a
+    * k-means refinement would slot in here without changing the plan
+    * shape). The corpus is assigned once (broadcast centroids, argmax dot),
+    * queries fan out to nprobe cells, and ONE equi-join on cell id replaces
+    * the cross join — the same shuffle shape as the LSH variant, but with
+    * data-adaptive cells.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cents = corpus.orderBy(col(idCol).asc).limit(nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .collect()
+    val centArr = array(cents.map(r =>
+      struct(lit(r.getLong(0)).as("cid"),
+        typedLit(r.getSeq[Float](1)).as("cv"))): _*)
+    // nearest-centroid assignment: argmax over dot(vec, centroid)
+    def cellOf(vec: Column, probe: Int): Column = {
+      val scored = transform(centArr, c =>
+        struct(dot(vec, c.getField("cv")).as("s"), c.getField("cid").as("cid")))
+      // descending by score: sort ascending on (-s, cid)
+      val sorted = array_sort(transform(scored, s =>
+        struct((-s.getField("s")).as("ns"), s.getField("cid").as("cid"))))
+      element_at(sorted, probe + 1).getField("cid")
+    }
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", cellOf(col("cv"), 0))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(array((0 until nprobe).map(p =>
+        cellOf(col("qv"), p)): _*)))
+    val cand = assigned.join(probed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
     * Exact all-pairs form; the LSH-bucketed variant above is the scale
     * path. `cos` is rounded to 6 dp for cross-engine comparability.

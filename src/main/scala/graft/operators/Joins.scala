@@ -30,6 +30,27 @@ object Joins {
   def antiByKey(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
 
+  /** Skew-safe equi join (extension): when a handful of join-key values
+    * carry a disproportionate share of fact rows, a plain shuffle join puts
+    * whole hot keys on single reducers. Salting splits each hot key into
+    * `salts` sub-keys: the fact side gets a deterministic salt derived from
+    * hashing its whole row (uniform, reproducible — no rand()), the build
+    * side is replicated `salts` times. Same result set as a plain inner
+    * join; reducer load per key drops by ~`salts`.
+    *
+    * Use for fact-to-MEDIUM-table joins where the build side is too big to
+    * broadcast but small enough to replicate; for small dims prefer
+    * [[enrich]] (broadcast beats salting), and AQE's skew-join handles the
+    * sort-merge case — this is the explicit form for when you know the keys.
+    */
+  def saltedJoin(fact: DataFrame, build: DataFrame, keys: Seq[String], salts: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
   /** As-of join (extension; no reference analog): for each left row, attach
     * the LATEST right row per key with right.ts <= left.ts — the
     * trade/quote pattern.

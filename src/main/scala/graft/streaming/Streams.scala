@@ -111,4 +111,25 @@ object Streams {
     */
   def dedupedAppendStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keyCols :+ "ts")
+
+  /** Streaming sink with the reference's K1/K2 upsert semantics: each
+    * micro-batch runs the same anti-join insert-only merge the batch
+    * pipeline uses ([[graft.operators.Upsert.upsertParquet]]), so a
+    * restarted/replayed stream never duplicates a business key — the
+    * streaming and batch sinks share one code path and one idempotence
+    * contract.
+    */
+  def upsertSink(
+      df: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Upsert.upsertParquet(
+          batch.sparkSession, batch.toDF(), targetPath, keys): Unit
+      }
+      .start()
 }

@@ -48,6 +48,37 @@ class RelationalSpec extends SparkTestBase {
     assert(got._1 == 3 && got._2 == "900150983cd24fb0d6963f7d28e17f72")
   }
 
+  test("csv source infers header and types (S1 fetch-to-staging model)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("staged.csv")
+    java.nio.file.Files.writeString(f, "id,name,score\n1,ana,9.5\n2,bo,8.0\n")
+    val df = graft.sources.Tables.csv(spark, f.toString)
+    assert(df.columns.toSeq == Seq("id", "name", "score"))
+    assert(df.schema("id").dataType.typeName == "integer")
+    assert(df.schema("score").dataType.typeName == "double")
+    assert(df.count() == 2)
+  }
+
+  test("saltedJoin returns exactly the plain inner-join result") {
+    val fact = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d")).toDF("k", "v")
+    val build = Seq((1, "x"), (2, "y")).toDF("k", "w")
+    val got = graft.operators.Joins.saltedJoin(fact, build, Seq("k"), salts = 4)
+    val plain = fact.join(build, Seq("k"))
+    assert(rows(got) == rows(plain))
+    assert(got.count() == 3)
+  }
+
+  test("ivfTopK ranks an identical vector first within its cell") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.ivfTopK(
+      vecs, vecs.filter(col("vec_id") === 1), "vec_id", "embedding", 2, nlist = 2, nprobe = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(got(2L) == 1) // nearest neighbor found despite cell partitioning
+  }
+
   test("driver contract: every oracle key has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.size >= 40)

@@ -55,6 +55,25 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("upsertSink: replayed keys across micro-batches are not duplicated") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.upsertSink(input.toDS().toDF(),
+      s"$base/fact", Seq("event_id"), s"$base/ckpt")
+    try {
+      input.addData(Streams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      // second batch replays key 1 (at-least-once upstream) + a new key
+      input.addData(
+        Streams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Streams.Event(2L, ts("2024-01-01 10:05:00"), 7L, "view", 2.0))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$base/fact")
+      assert(stored.count() == 2) // key 1 inserted exactly once
+    } finally q.stop()
+  }
+
   test("dedupedAppendStream drops duplicate business keys within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
