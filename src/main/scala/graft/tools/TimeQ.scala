@@ -1,0 +1,22 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Time selected queries twice (cold + warm) with the noop sink. */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(1).foreach { name =>
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
