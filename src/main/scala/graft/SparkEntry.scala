@@ -540,6 +540,33 @@ object SparkEntry {
           col("stopword_ratio"), col("mean_token_len"), col("quality_score"))
     }),
 
+    // ---- Deterministic second-moment stats (cov/corr via decimal sums) ----------
+    // stddev/corr over doubles are accumulation-order-dependent; computing the
+    // moments as exact decimal sums and combining in double is bit-reproducible
+    // on any cluster AND matches the oracle exactly.
+    "q59_stats_moments" -> ((s, dir) => {
+      val dq = col("l_quantity").cast(DecimalType(18, 2))
+      val dp = col("l_extendedprice").cast(DecimalType(18, 2))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dq).as("sx"), sum(dp).as("sy"),
+          sum(dq * dp).as("sxy"), sum(dq * dq).as("sxx"), sum(dp * dp).as("syy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          (col("sxy").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n")))
+            .as("cov_qty_price"),
+          ((col("sxy").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n"))) /
+            sqrt((col("sxx").cast("double") / col("n") -
+              (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n"))) *
+              (col("syy").cast("double") / col("n") -
+                (col("sy").cast("double") / col("n")) * (col("sy").cast("double") / col("n")))))
+            .as("corr_qty_price"))
+    }),
+
     // ---- Skew-safe salted join (same result as plain inner join) ----------------
     "q58_salted_join" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -1031,6 +1058,24 @@ object SparkEntry {
     "q58_salted_join" -> s"""
       SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY o_orderpriority"""
+      GROUP BY o_orderpriority""",
+
+    "q59_stats_moments" -> """
+      WITH m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+          SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+          SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+          AS cov_qty_price,
+        (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+          / sqrt((CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+               * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+          AS corr_qty_price
+      FROM m"""
   )
 }

@@ -78,6 +78,20 @@ object Imputation {
       .drop("mode")
   }
 
+  /** MLlib bridge: the same mean/median imputation via
+    * `org.apache.spark.ml.feature.Imputer` — for pipelines already living
+    * in spark.ml (Pipeline stages, model persistence). Null-missing only
+    * (the ml Imputer's contract); for predicate-missing semantics use
+    * [[impute]].
+    */
+  def mlImpute(df: DataFrame, cols: Seq[String], strategy: String = "mean"): DataFrame = {
+    val imputer = new org.apache.spark.ml.feature.Imputer()
+      .setInputCols(cols.toArray)
+      .setOutputCols(cols.map(c => s"${c}_imputed").toArray)
+      .setStrategy(strategy)
+    imputer.fit(df).transform(df)
+  }
+
   /** Grouped mean imputation: missing values take their group's mean —
     * one aggregate + one broadcast-joined dimension of group means.
     */

@@ -112,6 +112,14 @@ object Streams {
   def dedupedAppendStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keyCols :+ "ts")
 
+  /** Stream-static enrichment (J1/J5 carried to streaming): every
+    * micro-batch hash-joins against the broadcast dimension — the static
+    * side is re-resolved per batch, so slowly-changing dims pick up
+    * updates without restarting the query.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, cond: org.apache.spark.sql.Column, how: String = "left"): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), cond, how)
+
   /** Streaming sink with the reference's K1/K2 upsert semantics: each
     * micro-batch runs the same anti-join insert-only merge the batch
     * pipeline uses ([[graft.operators.Upsert.upsertParquet]]), so a

@@ -40,12 +40,33 @@ object Profile {
     }
 
     if (which == "q27") {
-      val sig = time("minhash signatures")(
-        Dedup.minhashSignatures(docs, "doc_id", "text", 1, 64).cache())
-      time("signatures count")(sig.count())
+      // mirror minhashLshPairs stage by stage (reps-based)
+      val sets = docs.repartition(col("doc_id"))
+        .select(col("doc_id").as("id"), Dedup.hashedShingles(col("text"), 1).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("skey", xxhash64(col("sh")))
+      val reps = sets.groupBy(col("skey"))
+        .agg(min_by(col("sh"), col("id")).as("sh"))
+        .withColumn("sh_size", size(col("sh")))
+      time("reps")(reps.count())
+      val sig = reps.select(col("skey"),
+        GraftFunctions.minhash(col("sh"), 64).as("sig"))
+      time("signatures")(sig.count())
+      val r = 4
+      val banded = sig.select(col("skey"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          b => xxhash64(lit("band"), b, array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      time("banded")(banded.count())
+      val l = banded.select(col("band"), col("bucket"), col("skey").as("skey_a"))
+      val rgt = banded.select(col("band"), col("bucket"), col("skey").as("skey_b"))
+      val raw = l.join(rgt, Seq("band", "bucket")).filter(col("skey_a") < col("skey_b"))
+      time("raw band candidates")(raw.count())
+      val cand = raw.select("skey_a", "skey_b").distinct()
+      time("distinct candidates")(cand.count())
       time("full lsh pairs")(
         Dedup.minhashLshPairs(docs, "doc_id", "text", 1, 64, 16, 0.8).count())
-      return
+      spark.stop(); return
     }
 
     if (which == "q26c") {

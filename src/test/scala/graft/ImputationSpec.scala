@@ -28,6 +28,13 @@ class ImputationSpec extends SparkTestBase {
     assert(got(1) == "a") // a and b both occur twice; smallest wins
   }
 
+  test("mlImpute (spark.ml bridge) fills nulls with the mean") {
+    val d = Seq((1, Some(10.0)), (2, None), (3, Some(20.0))).toDF("id", "x")
+    val got = Imputation.mlImpute(d, Seq("x"))
+      .select("id", "x_imputed").as[(Int, Double)].collect().toMap
+    assert(got(2) == 15.0 && got(1) == 10.0)
+  }
+
   test("grouped mean imputation uses the row's group") {
     val d = Seq(("g1", -1.0), ("g1", 10.0), ("g2", -1.0), ("g2", 30.0)).toDF("g", "x")
     val got = Imputation.imputeGroupMean(d, "x", Seq("g"), col("x") < 0)

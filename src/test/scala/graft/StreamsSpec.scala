@@ -55,6 +55,26 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichStream joins each micro-batch against a broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val dim = Seq((7L, "gold"), (9L, "basic")).toDF("uid", "tier")
+    val enriched = Streams.enrichStream(input.toDS().toDF(), dim,
+      col("user_id") === col("uid"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Streams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Streams.Event(2L, ts("2024-01-01 10:01:00"), 8L, "view", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").select("event_id", "tier")
+        .as[(Long, Option[String])].collect().toMap
+      assert(got(1L).contains("gold"))
+      assert(got(2L).isEmpty) // left join keeps unmatched
+    } finally q.stop()
+  }
+
   test("upsertSink: replayed keys across micro-batches are not duplicated") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
