@@ -567,6 +567,13 @@ object SparkEntry {
             .as("corr_qty_price"))
     }),
 
+    // ---- DataSourceV2: the reference's per-day fetch loop as a parallel source --
+    "q60_dsv2_dayrange" -> ((s, _) => {
+      s.read.format("graft.sources.v2.DayRangeSource")
+        .option("from", "2024-01-01").option("to", "2024-03-31")
+        .option("numPartitions", "8").load()
+    }),
+
     // ---- Skew-safe salted join (same result as plain inner join) ----------------
     "q58_salted_join" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
@@ -1076,6 +1083,12 @@ object SparkEntry {
           / sqrt((CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
                * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
           AS corr_qty_price
-      FROM m"""
+      FROM m""",
+
+    "q60_dsv2_dayrange" -> """
+      SELECT CAST(d AS DATE) AS day,
+        CAST(row_number() OVER (ORDER BY d) - 1 AS INT) AS day_ordinal
+      FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31',
+                                          INTERVAL 1 DAY)) AS d)"""
   )
 }

@@ -71,6 +71,25 @@ class DedupSpec extends SparkTestBase {
     assert(got.contains((1L, 2L)) && got.contains((1L, 3L)))
   }
 
+  test("randomized: prefix and counted paths both equal the naive result") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val corpus = (1L to 30L).map { id =>
+      (id, Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val texts = corpus.toMap
+    for (t <- Seq(0.2, 0.6, 0.9)) { // exercises counted (0.2) and prefix paths
+      val expected = (for {
+        a <- texts.keys; b <- texts.keys if a < b
+        j = naiveJaccard(texts(a), texts(b)) if j >= t
+      } yield (a, b, j)).toSet
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 1, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"threshold $t")
+    }
+  }
+
   test("hashedShingles is sorted and distinct") {
     val arr = docs.select(Dedup.hashedShingles(col("text"), 1).as("h"))
       .as[Seq[Long]].collect()
