@@ -567,6 +567,17 @@ object SparkEntry {
             .as("corr_qty_price"))
     }),
 
+    // ---- Dedup clustering: connected components over near-dup pairs -------------
+    // Threshold 0.98 > 30/31 guarantees (for this corpus's <=31-element word
+    // sets) that edges connect exactly-identical sets, making the expected
+    // components expressible in SQL; the Spark side still runs the general
+    // label-propagation algorithm on the pair graph.
+    "q61_dedup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.98)
+      Dedup.connectedComponents(docs, "doc_id", pairs)
+    }),
+
     // ---- DataSourceV2: the reference's per-day fetch loop as a parallel source --
     "q60_dsv2_dayrange" -> ((s, _) => {
       s.read.format("graft.sources.v2.DayRangeSource")
@@ -1084,6 +1095,13 @@ object SparkEntry {
                * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
           AS corr_qty_price
       FROM m""",
+
+    "q61_dedup_components" -> """
+      WITH t AS (
+        SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+        FROM documents)
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM t""",
 
     "q60_dsv2_dayrange" -> """
       SELECT CAST(d AS DATE) AS day,

@@ -121,6 +121,47 @@ object Dedup {
       .select("skey_a", "skey_b", "jaccard")
   }
 
+  /** Connected components over a near-duplicate pair graph by min-label
+    * propagation: every node ends with `rep` = the smallest id reachable
+    * from it. The canonical post-processing of pairwise dedup — collapse
+    * the pair graph into clusters, keep one representative per cluster.
+    *
+    * Each iteration is one shuffle (groupBy node, min over neighbor
+    * labels); iteration count is bounded by the graph diameter, which for
+    * near-dup graphs (dense cliques + short bridges) is small. Convergence
+    * is detected by an exact changed-label count. `nodes` supplies isolated
+    * documents (components of size 1).
+    */
+  def connectedComponents(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = nodes.select(col(idCol).as("id")).withColumn("rep", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts min(own rep, neighbors' reps)
+      val neighborReps = sym
+        .join(labels.withColumnsRenamed(Map("id" -> "dst", "rep" -> "nrep")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nrep")).as("minNeighborRep"))
+      val updated = labels.join(neighborReps, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("minNeighborRep"), col("rep"))).as("rep"))
+        .persist()
+      val changed = updated.join(labels.withColumnsRenamed(Map("rep" -> "oldRep")), Seq("id"))
+        .filter(col("rep") =!= col("oldRep")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("rep"))
+  }
+
   /** Exact-dedup before near-dedup: group documents by IDENTICAL shingle
     * set and run pair discovery on one representative per set. In dup-heavy
     * corpora (the normal case for LLM training data) this collapses the

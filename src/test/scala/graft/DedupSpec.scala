@@ -90,6 +90,15 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents propagates labels across chains, keeps singletons") {
+    val nodes = (1L to 6L).toDF("id")
+    // chain 1-2-3, pair 4-5, isolated 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("hashedShingles is sorted and distinct") {
     val arr = docs.select(Dedup.hashedShingles(col("text"), 1).as("h"))
       .as[Seq[Long]].collect()
