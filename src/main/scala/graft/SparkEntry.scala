@@ -567,6 +567,40 @@ object SparkEntry {
             .as("corr_qty_price"))
     }),
 
+    // ---- Set operations: INTERSECT / EXCEPT (distinct semantics) ----------------
+    "q62_set_ops" -> ((s, dir) => {
+      val buyers = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      val both = buyers.intersect(rich).withColumn("tag", lit("rich_buyer"))
+      val richOnly = rich.except(buyers).withColumn("tag", lit("rich_no_orders"))
+      both.unionByName(richOnly)
+    }),
+
+    // ---- Null semantics: null-safe equality, IS DISTINCT FROM, null ordering ----
+    "q63_null_semantics" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .withColumn("maybe_brand",
+          when(col("p_size") % 7 === 0, lit(null).cast("string")).otherwise(col("p_brand")))
+      p.select(
+          col("p_partkey"),
+          col("maybe_brand"),
+          col("maybe_brand").eqNullSafe(lit("Brand#13")).as("nullsafe_eq"),
+          col("maybe_brand").isNull.as("is_null"))
+        .orderBy(col("maybe_brand").asc_nulls_last, col("p_partkey").asc)
+        .limit(100)
+    }),
+
+    // ---- Array functions over embeddings ----------------------------------------
+    "q64_array_ops" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("int").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        (element_at(col("embedding"), 1).cast("double") >= 0).as("first_nonneg"),
+        size(filter(col("embedding"), x => x > 0)).cast("int").as("n_pos"))
+    }),
+
     // ---- Dedup clustering: connected components over near-dup pairs -------------
     // Threshold 0.98 > 30/31 guarantees (for this corpus's <=31-element word
     // sets) that edges connect exactly-identical sets, making the expected
@@ -1095,6 +1129,37 @@ object SparkEntry {
                * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
           AS corr_qty_price
       FROM m""",
+
+    "q62_set_ops" -> """
+      SELECT custkey, 'rich_buyer' AS tag FROM (
+        SELECT o_custkey AS custkey FROM orders
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      UNION ALL
+      SELECT custkey, 'rich_no_orders' AS tag FROM (
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT o_custkey FROM orders)""",
+
+    "q63_null_semantics" -> """
+      WITH p AS (
+        SELECT p_partkey,
+          CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_brand END AS maybe_brand
+        FROM part)
+      SELECT p_partkey, maybe_brand,
+        maybe_brand IS NOT DISTINCT FROM 'Brand#13' AS nullsafe_eq,
+        maybe_brand IS NULL AS is_null
+      FROM p
+      ORDER BY maybe_brand ASC NULLS LAST, p_partkey ASC
+      LIMIT 100""",
+
+    "q64_array_ops" -> """
+      SELECT vec_id,
+        CAST(len(embedding) AS INT) AS dim,
+        CAST(embedding[1] AS DOUBLE) AS first_val,
+        CAST(embedding[1] AS DOUBLE) >= 0 AS first_nonneg,
+        CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+      FROM embeddings""",
 
     "q61_dedup_components" -> """
       WITH t AS (

@@ -55,6 +55,27 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("tumblingCountsStream aggregates with a watermark over MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val agg = Streams.tumblingCountsStream(input.toDS().toDF(), "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("tumble_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Streams.Event(1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0),
+        Streams.Event(2L, ts("2024-01-01 10:50:00"), 8L, "click", 2.0),
+        Streams.Event(3L, ts("2024-01-01 11:10:00"), 7L, "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("tumble_out")
+        .select("win_start", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 11:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
   test("enrichStream joins each micro-batch against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
