@@ -567,6 +567,33 @@ object SparkEntry {
             .as("corr_qty_price"))
     }),
 
+    // ---- Full MERGE (update-or-insert, last writer wins) -------------------------
+    "q65_merge_full" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val existing = o.filter(col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val incoming = o.filter(
+          col("o_orderdate") >= to_timestamp(lit("1998-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("2000-01-01")))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      Upsert.mergeUpsert(existing, incoming, Seq("o_orderkey"))
+    }),
+
+    // ---- SCD Type-2 dimension maintenance ----------------------------------------
+    "q66_scd2" -> ((s, dir) => {
+      val cur = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        .withColumn("valid_from", to_timestamp(lit("2020-01-01")).cast("timestamp_ntz"))
+        .withColumn("valid_to", lit(null).cast("timestamp_ntz"))
+      val upd = Aggregates.argmaxRowPerGroup(
+          t(s, dir, "orders"), Seq("o_custkey"), "o_orderdate", "o_orderkey")
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_orderpriority").as("segment"),
+          col("o_orderdate").as("updated_at"))
+      Upsert.scd2Apply(cur, upd, "c_custkey", Seq("segment"), "updated_at")
+    }),
+
     // ---- Set operations: INTERSECT / EXCEPT (distinct semantics) ----------------
     "q62_set_ops" -> ((s, dir) => {
       val buyers = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
@@ -1129,6 +1156,39 @@ object SparkEntry {
                * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
           AS corr_qty_price
       FROM m""",
+
+    "q65_merge_full" -> """
+      WITH existing AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+      incoming AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '2000-01-01')
+      SELECT e.* FROM existing e
+      WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.o_orderkey = e.o_orderkey)
+      UNION ALL
+      SELECT * FROM incoming""",
+
+    "q66_scd2" -> """
+      WITH upd AS (
+        SELECT o_custkey AS c_custkey,
+          arg_min(o_orderpriority,
+                  -CAST(epoch(o_orderdate) AS BIGINT) * 10000000 + o_orderkey) AS segment,
+          MAX(o_orderdate) AS updated_at
+        FROM orders GROUP BY o_custkey),
+      cur AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+          TIMESTAMP '2020-01-01' AS valid_from, NULL::TIMESTAMP AS valid_to
+        FROM customer)
+      SELECT c.c_custkey, c.segment, c.valid_from, u.updated_at AS valid_to
+      FROM cur c JOIN upd u USING (c_custkey)
+      UNION ALL
+      SELECT u.c_custkey, u.segment, u.updated_at AS valid_from, NULL::TIMESTAMP AS valid_to
+      FROM upd u
+      UNION ALL
+      SELECT c.c_custkey, c.segment, c.valid_from, NULL::TIMESTAMP AS valid_to
+      FROM cur c
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = c.c_custkey)""",
 
     "q62_set_ops" -> """
       SELECT custkey, 'rich_buyer' AS tag FROM (

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, struct, when}
 
 /** Incremental insert-only merge sink (SURVEY.md §2.2 K1/K2).
   *
@@ -59,4 +59,64 @@ object Upsert {
     */
   def mergeInsertOnly(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     existing.unionByName(Joins.antiByKey(incoming, existing, keys).select(existing.columns.map(col): _*))
+
+  /** Full upsert (MERGE WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN
+    * INSERT — last writer wins): incoming rows replace existing rows with
+    * the same key, everything else is kept. One anti join: existing rows
+    * whose key is NOT incoming, plus all of incoming. The extension of the
+    * reference's insert-only K2 to in-place dimension maintenance.
+    */
+  def mergeUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    Joins.antiByKey(existing, incoming, keys)
+      .unionByName(incoming.select(existing.columns.map(col): _*))
+
+  /** SCD Type-2 apply: maintain a dimension with validity intervals.
+    * `current` has (key, attrs..., valid_from, valid_to) where open rows
+    * have valid_to = null; `updates` has (key, attrs..., effective ts).
+    * Changed keys get their open row CLOSED at the update's timestamp and
+    * a new open row inserted; unchanged keys (same values in `compareCols`)
+    * pass through untouched. One broadcast-or-shuffle join on the key +
+    * one union — no per-row driver logic, scales with the dimension.
+    */
+  def scd2Apply(
+      current: DataFrame,
+      updates: DataFrame,
+      key: String,
+      compareCols: Seq[String],
+      tsCol: String): DataFrame = {
+    val open = current.filter(col("valid_to").isNull)
+    val closed = current.filter(col("valid_to").isNotNull)
+    val u = updates.select(
+      col(key).as("__k"),
+      struct(compareCols.map(col): _*).as("__newVals"),
+      col(tsCol).as("__ts"))
+    val joined = open.join(u, open(key) === col("__k"), "left")
+    val changed = col("__k").isNotNull &&
+      struct(compareCols.map(col): _*) =!= col("__newVals")
+    // open rows: close the changed ones, keep the rest
+    val maintained = joined.select(
+      (current.columns.filterNot(_ == "valid_to").map(col) :+
+        when(changed, col("__ts")).otherwise(col("valid_to")).as("valid_to")): _*)
+    // new open rows for changed keys
+    val fresh = joined.filter(changed).select(
+      (current.columns.map {
+        case c if c == key => col(key)
+        case "valid_from" => col("__ts").as("valid_from")
+        case "valid_to" => lit(null).cast(current.schema("valid_to").dataType).as("valid_to")
+        case c if compareCols.contains(c) => col("__newVals").getField(c).as(c)
+        case c => col(c)
+      }): _*)
+    // brand-new keys (not in the dimension yet) open their first row
+    val newKeys = Joins.antiByKey(
+      updates.select(col(key) +: compareCols.map(col) :+ col(tsCol): _*), current, Seq(key))
+    val opened = newKeys.select(
+      (current.columns.map {
+        case c if c == key => col(key)
+        case "valid_from" => col(tsCol).as("valid_from")
+        case "valid_to" => lit(null).cast(current.schema("valid_to").dataType).as("valid_to")
+        case c if compareCols.contains(c) => col(c)
+        case c => lit(null).cast(current.schema(c).dataType).as(c)
+      }): _*)
+    closed.unionByName(maintained).unionByName(fresh).unionByName(opened)
+  }
 }

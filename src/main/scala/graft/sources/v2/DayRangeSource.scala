@@ -7,10 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DateType, IntegerType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSourceV2 form of the reference's per-day windowed extraction
   * ([function_app.py:89-121]): the serial `for day in date_range: fetch(day)`
@@ -55,18 +55,62 @@ private class DayRangeTable(props: Map[String, String]) extends Table with Suppo
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      private val from = LocalDate.parse(options.get("from"))
-      private val to = LocalDate.parse(options.get("to")) // inclusive, like pd.date_range
+    new ScanBuilder with Scan with Batch with SupportsPushDownFilters {
+      private var from = LocalDate.parse(options.get("from"))
+      private var to = LocalDate.parse(options.get("to")) // inclusive, like pd.date_range
       private val nPart = math.max(1, Option(options.get("numPartitions")).map(_.toInt).getOrElse(4))
+      private var pushed: Array[Filter] = Array.empty
+
+      /** Source-level partition pruning: range predicates on `day` narrow
+        * [from, to] BEFORE planning, so pruned day windows are never even
+        * scheduled — the DSv2 analog of parquet partition pruning.
+        */
+      private def asDate(v: Any): Option[LocalDate] = v match {
+        case d: java.sql.Date => Some(d.toLocalDate)
+        case d: LocalDate => Some(d)
+        case _ => None
+      }
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (accepted, rejected) = filters.partition {
+          case EqualTo("day", v) => asDate(v).isDefined
+          case GreaterThanOrEqual("day", v) => asDate(v).isDefined
+          case GreaterThan("day", v) => asDate(v).isDefined
+          case LessThanOrEqual("day", v) => asDate(v).isDefined
+          case LessThan("day", v) => asDate(v).isDefined
+          case _ => false
+        }
+        accepted.foreach {
+          case EqualTo("day", v) => asDate(v).foreach { d =>
+            if (d.isAfter(from)) from = d
+            if (d.isBefore(to)) to = d
+          }
+          case GreaterThanOrEqual("day", v) => asDate(v).foreach { d =>
+            if (d.isAfter(from)) from = d
+          }
+          case GreaterThan("day", v) => asDate(v).map(_.plusDays(1)).foreach { d =>
+            if (d.isAfter(from)) from = d
+          }
+          case LessThanOrEqual("day", v) => asDate(v).foreach { d =>
+            if (d.isBefore(to)) to = d
+          }
+          case LessThan("day", v) => asDate(v).map(_.minusDays(1)).foreach { d =>
+            if (d.isBefore(to)) to = d
+          }
+          case _ => ()
+        }
+        pushed = accepted
+        rejected // Spark re-applies these above the scan
+      }
+      override def pushedFilters(): Array[Filter] = pushed
 
       override def build(): Scan = this
       override def readSchema(): StructType = DayRangeSource.schema
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
-        val nDays = (to.toEpochDay - from.toEpochDay + 1).toInt
-        require(nDays >= 0, s"from $from after to $to")
+        // contradictory pushed filters legitimately yield an empty range
+        val nDays = math.max(0, (to.toEpochDay - from.toEpochDay + 1).toInt)
         val per = math.max(1, math.ceil(nDays.toDouble / nPart).toInt)
         (0 until nDays by per).map { start =>
           DayRangePartition(

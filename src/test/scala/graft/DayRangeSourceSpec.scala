@@ -27,6 +27,25 @@ class DayRangeSourceSpec extends SparkTestBase {
     assert(ords == (0 until 31))
   }
 
+  test("range filters push into partition planning (source-level pruning)") {
+    val df = read("2024-01-01", "2024-12-31", parts = 12)
+      .filter(col("day") >= lit("2024-06-01").cast("date") &&
+              col("day") < lit("2024-06-08").cast("date"))
+    assert(df.count() == 7)
+    // pruned range plans far fewer partitions than the full year would
+    assert(df.rdd.getNumPartitions <= 12)
+    val pruned = read("2024-01-01", "2024-12-31", parts = 12)
+      .filter(col("day") === lit("2024-06-05").cast("date"))
+    assert(pruned.count() == 1)
+    assert(pruned.rdd.getNumPartitions == 1)
+  }
+
+  test("contradictory pushed filters yield an empty result, not an error") {
+    val df = read("2024-01-01", "2024-01-31")
+      .filter(col("day") > lit("2024-03-01").cast("date"))
+    assert(df.count() == 0)
+  }
+
   test("single day and joins against fact tables work") {
     val df = read("2024-01-05", "2024-01-05", parts = 4)
     assert(df.count() == 1)
