@@ -88,4 +88,29 @@ object Multimodal {
       col("media_id"),
       length(col("media")).cast("int").as("n_bytes"),
       md5(col("media")).as("payload_md5"))
+
+  /** ===== STUB codec ===== Resize: in production this re-encodes pixels in
+    * the same mapPartitions batch as decode; here only the typed metadata
+    * transform is real. Plumbing (schema evolution, partition preservation)
+    * is the tested part.
+    */
+  def resize(decoded: DataFrame, w: Int, h: Int): DataFrame =
+    decoded.withColumn("decoded",
+      struct(lit(w).as("width"), lit(h).as("height"),
+        col("decoded.n_frames").as("n_frames")))
+
+  /** ===== STUB codec ===== Feature extraction: media payload → fixed-dim
+    * float embedding. The stub derives a deterministic pseudo-embedding
+    * from the payload bytes (xxhash per dimension, scaled to [-1, 1]) so
+    * the downstream contract — array<float> of `dim`, consumable by every
+    * [[Similarity]] operator — is real and testable; a production build
+    * swaps in a model forward pass inside mapPartitions (batched, one
+    * session init per partition).
+    */
+  def extractFeatures(media: DataFrame, dim: Int): DataFrame =
+    media.select(
+      col("media_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (xxhash64(col("media"), i).cast("double") / lit(Long.MaxValue.toDouble))
+          .cast("float")).as("embedding"))
 }

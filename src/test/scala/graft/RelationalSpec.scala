@@ -41,6 +41,19 @@ class RelationalSpec extends SparkTestBase {
     assert(frames == Seq(0, 4))
   }
 
+  test("multimodal: resize rewrites metadata, extractFeatures feeds similarity ops") {
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("id", "p"), "id", "p", "img")
+    val resized = Multimodal.resize(Multimodal.decode(spark, media), 224, 224)
+    assert(resized.select("decoded.width").as[Int].collect().toSet == Set(224))
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    assert(feats.select(size(col("embedding"))).as[Int].head() == 16)
+    // identical payloads => identical embeddings => cosine pair found
+    val pairs = graft.ext.Similarity.cosineNearDupPairs(feats, "media_id", "embedding", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("multimodal: byteStats computes length and md5 at scan") {
     val media = Multimodal.asMediaTable(Seq((1L, "abc")).toDF("id", "p"), "id", "p", "txt")
     val got = Multimodal.byteStats(media).select("n_bytes", "payload_md5")
