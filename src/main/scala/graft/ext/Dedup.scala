@@ -137,8 +137,11 @@ object Dedup {
       idCol: String,
       pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // materialized once: every iteration re-reads the edge list, and the
+    // upstream pair-discovery DAG must not recompute per round
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
     var labels = nodes.select(col(idCol).as("id")).withColumn("rep", col("id"))
     var converged = false
     var iter = 0
@@ -159,6 +162,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
     labels.select(col("id").as(idCol), col("rep"))
   }
 
