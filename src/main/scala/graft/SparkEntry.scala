@@ -567,6 +567,14 @@ object SparkEntry {
             .as("corr_qty_price"))
     }),
 
+    // ---- J7 fast path: contains lookup as a codegen projection (no join) --------
+    "q67_contains_indexed" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val dim = t(s, dir, "part").select(col("p_type")).distinct()
+      Joins.containsLookupIndexed(p, dim, "p_name", "p_type", "p_type", "p_type", "matched_type")
+        .select(col("p_partkey"), col("p_name"), col("matched_type"))
+    }),
+
     // ---- Full MERGE (update-or-insert, last writer wins) -------------------------
     "q65_merge_full" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1156,6 +1164,13 @@ object SparkEntry {
                * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
           AS corr_qty_price
       FROM m""",
+
+    "q67_contains_indexed" -> """
+      SELECT p.p_partkey, p.p_name, MIN(d.p_type) AS matched_type
+      FROM (SELECT p_partkey, p_name FROM part) p
+      LEFT JOIN (SELECT DISTINCT p_type FROM part) d
+        ON contains(lower(p.p_name), lower(d.p_type))
+      GROUP BY p.p_partkey, p.p_name""",
 
     "q65_merge_full" -> """
       WITH existing AS (

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{FloatVectorDot, MinHashSignature, SimHash64, SortedLongIntersectSize, WordShingleHashes}
+import graft.functions.expressions.{FirstContainsIndex, FloatVectorDot, MinHashSignature, SimHash64, SortedLongIntersectSize, WordShingleHashes}
 
 /** Registry for the engine's native Catalyst expressions.
   *
@@ -28,7 +28,15 @@ object GraftFunctions {
     // word_shingle_hashes(text, n): n must be a foldable int literal
     "graft_word_shingle_hashes" -> (args => WordShingleHashes(args(0),
       args(1).eval(null).asInstanceOf[Int])),
-    "graft_simhash" -> (args => SimHash64(args(0))))
+    "graft_simhash" -> (args => SimHash64(args(0))),
+    // first_contains_index(haystack, array('needle1', ...)): second arg must
+    // be a foldable array<string> literal (the lowercased dim vocabulary)
+    "graft_first_contains_index" -> (args => FirstContainsIndex(args(0), {
+      val arr = args(1).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      arr.toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+    })))
 
   def register(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
@@ -60,6 +68,12 @@ object GraftFunctions {
 
   /** 64-bit SimHash of a text column (occurrence-weighted token bits). */
   def simhash64(text: Column): Column = call_function("graft_simhash", text)
+
+  /** 0-based index of the first needle contained in lower(haystack). */
+  def firstContainsIndex(haystack: Column, needlesLower: Seq[String]): Column =
+    call_function("graft_first_contains_index", haystack,
+      org.apache.spark.sql.functions.array(
+        needlesLower.map(org.apache.spark.sql.functions.lit): _*))
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */

@@ -30,6 +30,37 @@ object Joins {
   def antiByKey(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
 
+  /** J7 fast path — contains-match lookup as a pure projection: the dim is
+    * collected once (it is a lookup VOCABULARY — same memory contract as a
+    * broadcast), sorted by `dimOrd`, and each fact row is answered in place
+    * by the codegen'd [[graft.functions.expressions.FirstContainsIndex]]
+    * with early exit at the first match. Zero joins, zero shuffles, fully
+    * inside whole-stage codegen — strictly less work than the relational
+    * form below at any scale where the dim fits in memory.
+    */
+  def containsLookupIndexed(
+      fact: DataFrame,
+      dim: DataFrame,
+      lookupCol: String,
+      dimMatch: String,
+      dimOrd: String,
+      dimId: String,
+      outCol: String): DataFrame = {
+    val entries = dim.select(col(dimMatch), col(dimOrd), col(dimId))
+      .collect()
+      .sortBy(r => r.get(1) match {
+        case s: String => s
+        case other => other.toString
+      })
+    val needles = entries.map(_.get(0).toString.toLowerCase)
+    val ids = entries.map(r => lit(r.get(2)))
+    graft.functions.GraftFunctions.register(fact.sparkSession)
+    val idx = graft.functions.GraftFunctions.firstContainsIndex(col(lookupCol), needles)
+    fact.withColumn(outCol,
+      when(idx.isNotNull, element_at(array(ids: _*), idx + 1))
+        .otherwise(lit(null)))
+  }
+
   /** Skew-safe equi join (extension): when a handful of join-key values
     * carry a disproportionate share of fact rows, a plain shuffle join puts
     * whole hot keys on single reducers. Salting splits each hot key into

@@ -28,6 +28,15 @@ class JoinsSpec extends SparkTestBase {
     assert(out(4L).contains(10))
   }
 
+  test("containsLookupIndexed matches the relational containsLookup exactly") {
+    val relational = Joins.containsLookup(facts, dims, "name", "nombre", "ord", "id", "dept_id")
+      .select("fid", "dept_id").as[(Long, Option[Int])].collect().toMap
+    val indexed = Joins.containsLookupIndexed(facts, dims, "name", "nombre", "ord", "id", "dept_id")
+      .select("fid", "dept_id").as[(Long, Option[Int])].collect().toMap
+    assert(indexed == relational)
+    assert(indexed(1L).contains(10) && indexed(3L).isEmpty)
+  }
+
   test("containsLookup preserves duplicate fact rows") {
     val out = Joins.containsLookup(facts, dims, "name", "nombre", "ord", "id", "dept_id")
     assert(out.count() == 4)
