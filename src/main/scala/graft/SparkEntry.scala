@@ -567,6 +567,31 @@ object SparkEntry {
             .as("corr_qty_price"))
     }),
 
+    // ---- TF / DF term statistics (exact-ratio form; log-free for determinism) ---
+    "q68_tf_df" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(docLen, Seq("doc_id"))
+        .join(broadcast(dfreq), Seq("token"))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          (col("tf").cast("double") / col("doc_len")).as("tf_norm"))
+    }),
+
+    // ---- Deterministic train/val/test split (stable across runs & engines) ------
+    "q69_train_split" -> ((s, dir) => {
+      val split = when(pmod(col("doc_id"), lit(10)) < 8, lit("train"))
+        .when(pmod(col("doc_id"), lit(10)) === 8, lit("val"))
+        .otherwise(lit("test"))
+      t(s, dir, "documents")
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          Fns.dsum(length(col("text")).cast("double")).as("total_chars"))
+    }),
+
     // ---- J7 fast path: contains lookup as a codegen projection (no join) --------
     "q67_contains_indexed" -> ((s, dir) => {
       val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
@@ -1164,6 +1189,24 @@ object SparkEntry {
                * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
           AS corr_qty_price
       FROM m""",
+
+    "q68_tf_df" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        CAST(tf.tf AS DOUBLE) / dl.doc_len AS tf_norm
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token)""",
+
+    "q69_train_split" -> s"""
+      SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                  WHEN doc_id % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split,
+        COUNT(*) AS n_docs,
+        ${sqlDsum("CAST(length(text) AS DOUBLE)")} AS total_chars
+      FROM documents GROUP BY 1""",
 
     "q67_contains_indexed" -> """
       SELECT p.p_partkey, p.p_name, MIN(d.p_type) AS matched_type
