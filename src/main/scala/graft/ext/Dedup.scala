@@ -67,9 +67,55 @@ object Dedup {
     // (setRepresentatives); results expand back to document pairs at the end.
     val (reps, members) = setRepresentatives(df, idCol, textCol, n)
     val repPairs =
-      if (threshold >= 0.5) prefixFilteredSetPairs(reps, threshold)
+      if (threshold >= 0.9) partitionedSetPairs(reps, threshold)
+      else if (threshold >= 0.5) prefixFilteredSetPairs(reps, threshold)
       else countedSetPairs(reps, threshold)
     expandSetPairs(repPairs, members)
+  }
+
+  /** Very-high-threshold path (PartEnum-style partition filtering): hash-
+    * partition the shingle universe into c = floor(2·maxSize·(1-t)) + 1
+    * residue classes. J(A,B) >= t bounds the symmetric difference by
+    * |A∆B| <= |A∪B|(1-t) <= c-1, so by pigeonhole at least one class is
+    * UNTOUCHED by the difference — i.e. has identical content in A and B —
+    * and candidates are exactly the pairs sharing a (class, content-hash)
+    * key. Lossless, and unlike token-prefix filtering it keeps pruning when
+    * every individual token is hot (tiny-vocabulary corpora): matching
+    * requires a whole identical class, not one shared token.
+    */
+  private def partitionedSetPairs(reps: DataFrame, threshold: Double): DataFrame = {
+    val maxSz = reps.agg(max(col("sh_size"))).head().getInt(0)
+    val c = math.max(2, (2 * maxSz * (1 - threshold)).toInt + 1)
+    val classKeys = reps.select(
+      col("skey"), col("sh_size"),
+      posexplode(transform(sequence(lit(0), lit(c - 1)),
+        j => xxhash64(lit("cls"), j,
+          array_join(transform(
+            filter(col("sh"), x => pmod(x, lit(c.toLong)) === j),
+            _.cast("string")), ",")))))
+      .withColumnsRenamed(Map("pos" -> "cls", "col" -> "chash"))
+    val a = classKeys.select(col("cls"), col("chash"), col("skey").as("skey_a"), col("sh_size").as("sz_a"))
+    val b = classKeys.select(col("cls"), col("chash"), col("skey").as("skey_b"), col("sh_size").as("sz_b"))
+    val candidates = a.join(b, Seq("cls", "chash"))
+      .filter(col("skey_a") < col("skey_b"))
+      .filter(col("sz_b") >= ceil(col("sz_a") * lit(threshold)) &&
+              col("sz_a") >= ceil(col("sz_b") * lit(threshold)))
+      .select("skey_a", "skey_b").distinct()
+    verifySetPairs(reps, candidates, threshold)
+  }
+
+  /** Exact verification of candidate set pairs (codegen'd intersection). */
+  private def verifySetPairs(reps: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+    val full = reps.select(col("skey"), col("sh"))
+    candidates
+      .join(full.select(col("skey").as("skey_a"), col("sh").as("sh_a")), Seq("skey_a"))
+      .join(full.select(col("skey").as("skey_b"), col("sh").as("sh_b")), Seq("skey_b"))
+      .withColumn("common", GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("skey_a", "skey_b", "jaccard")
   }
 
   /** Low-threshold path: classic inverted-index count aggregation. The
@@ -109,16 +155,7 @@ object Dedup {
       .filter(col("sz_b") >= ceil(col("sz_a") * lit(threshold)) &&
               col("sz_a") >= ceil(col("sz_b") * lit(threshold)))
       .select("skey_a", "skey_b").distinct()
-    val full = reps.select(col("skey"), col("sh"))
-    candidates
-      .join(full.select(col("skey").as("skey_a"), col("sh").as("sh_a")), Seq("skey_a"))
-      .join(full.select(col("skey").as("skey_b"), col("sh").as("sh_b")), Seq("skey_b"))
-      .withColumn("common", GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("skey_a", "skey_b", "jaccard")
+    verifySetPairs(reps, candidates, threshold)
   }
 
   /** Connected components over a near-duplicate pair graph by min-label
