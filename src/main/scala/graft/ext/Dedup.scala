@@ -174,12 +174,16 @@ object Dedup {
       idCol: String,
       pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    // materialized once: every iteration re-reads the edge list, and the
-    // upstream pair-discovery DAG must not recompute per round
+    // localCheckpoint (not just persist): iterative algorithms grow the
+    // LOGICAL plan each round — Catalyst would re-analyze an ever-larger
+    // tree and driver-side planning, not execution, becomes the cost.
+    // Checkpointing truncates the lineage so every iteration plans against
+    // a flat scan of the previous labels.
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = nodes.select(col(idCol).as("id")).withColumn("rep", col("id"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -191,15 +195,13 @@ object Dedup {
       val updated = labels.join(neighborReps, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("minNeighborRep"), col("rep"))).as("rep"))
-        .persist()
+        .localCheckpoint()
       val changed = updated.join(labels.withColumnsRenamed(Map("rep" -> "oldRep")), Seq("id"))
         .filter(col("rep") =!= col("oldRep")).count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
     labels.select(col("id").as(idCol), col("rep"))
   }
 
