@@ -84,7 +84,9 @@ object Dedup {
     * requires a whole identical class, not one shared token.
     */
   private def partitionedSetPairs(reps: DataFrame, threshold: Double): DataFrame = {
-    val maxSz = reps.agg(max(col("sh_size"))).head().getInt(0)
+    // empty corpus -> max is null -> no pairs by construction
+    val maxSz = Option(reps.agg(max(col("sh_size"))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
     val c = math.max(2, (2 * maxSz * (1 - threshold)).toInt + 1)
     val classKeys = reps.select(
       col("skey"), col("sh_size"),
