@@ -545,26 +545,39 @@ object SparkEntry {
     // moments as exact decimal sums and combining in double is bit-reproducible
     // on any cluster AND matches the oracle exactly.
     "q59_stats_moments" -> ((s, dir) => {
-      val dq = col("l_quantity").cast(DecimalType(18, 2))
-      val dp = col("l_extendedprice").cast(DecimalType(18, 2))
-      t(s, dir, "lineitem")
+      // Per-row work is pure long arithmetic: the 2-decimal doubles are lifted
+      // to scaled longs (qty*100, price*100 — exact: representation error of a
+      // 2-dec double is ~1e-9, far below the 0.5 rounding margin), multiplied
+      // as longs, and summed as DECIMAL(38,0) so the running sum can never
+      // overflow even at 100 TB group sizes. Decimal(38,0) of a long stays on
+      // the compact (long-backed) fast path — no per-row BigDecimal, unlike a
+      // Decimal(18,2)×Decimal(18,2) product which widens to Decimal(37,4).
+      // Finalization: each integer sum gets ONE correctly-rounded cast to
+      // double (identical to DuckDB's hugeint→double), then the covariance /
+      // correlation formulas run in doubles with the 10^4 scale divided out
+      // once — the oracle SQL evaluates the exact same expression tree.
+      val q100 = round(col("l_quantity") * lit(100)).cast("long")
+      val p100 = round(col("l_extendedprice") * lit(100)).cast("long")
+      val d380 = DecimalType(38, 0)
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), q100.as("q100"), p100.as("p100"))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dq).as("sx"), sum(dp).as("sy"),
-          sum(dq * dp).as("sxy"), sum(dq * dq).as("sxx"), sum(dp * dp).as("syy"))
-        .select(
-          col("l_returnflag"), col("n"),
-          (col("sxy").cast("double") / col("n") -
-            (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n")))
-            .as("cov_qty_price"),
-          ((col("sxy").cast("double") / col("n") -
-            (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n"))) /
-            sqrt((col("sxx").cast("double") / col("n") -
-              (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n"))) *
-              (col("syy").cast("double") / col("n") -
-                (col("sy").cast("double") / col("n")) * (col("sy").cast("double") / col("n")))))
-            .as("corr_qty_price"))
+          sum(col("q100").cast(d380)).as("sx"),
+          sum(col("p100").cast(d380)).as("sy"),
+          sum((col("q100") * col("p100")).cast(d380)).as("sxy"),
+          sum((col("q100") * col("q100")).cast(d380)).as("sxx"),
+          sum((col("p100") * col("p100")).cast(d380)).as("syy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val cov = (col("sxy").cast("double") / n - (sx / n) * (sy / n)) / lit(1.0e4)
+      val varX = (col("sxx").cast("double") / n - (sx / n) * (sx / n)) / lit(1.0e4)
+      val varY = (col("syy").cast("double") / n - (sy / n) * (sy / n)) / lit(1.0e4)
+      base.select(
+        col("l_returnflag"), col("n"),
+        cov.as("cov_qty_price"),
+        (cov / sqrt(varX * varY)).as("corr_qty_price"))
     }),
 
     // ---- TF / DF term statistics (exact-ratio form; log-free for determinism) ---
@@ -1173,22 +1186,29 @@ object SparkEntry {
       GROUP BY o_orderpriority""",
 
     "q59_stats_moments" -> """
-      WITH m AS (
+      WITH s AS (
+        SELECT l_returnflag,
+          CAST(round(l_quantity * 100) AS BIGINT) AS q100,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS p100
+        FROM lineitem),
+      m AS (
         SELECT l_returnflag, COUNT(*) AS n,
-          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-          SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
-          SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
-          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
-        FROM lineitem GROUP BY l_returnflag)
+          SUM(q100) AS sx, SUM(p100) AS sy,
+          SUM(q100 * p100) AS sxy, SUM(q100 * q100) AS sxx, SUM(p100 * p100) AS syy
+        FROM s GROUP BY l_returnflag),
+      d AS (
+        SELECT l_returnflag, n,
+          CAST(n AS DOUBLE) AS nd,
+          CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+          CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        FROM m)
       SELECT l_returnflag, n,
-        CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
-          AS cov_qty_price,
-        (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
-          / sqrt((CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
-               * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+        (sxyd / nd - (sxd / nd) * (syd / nd)) / 1.0e4 AS cov_qty_price,
+        ((sxyd / nd - (sxd / nd) * (syd / nd)) / 1.0e4)
+          / sqrt(((sxxd / nd - (sxd / nd) * (sxd / nd)) / 1.0e4)
+               * ((syyd / nd - (syd / nd) * (syd / nd)) / 1.0e4))
           AS corr_qty_price
-      FROM m""",
+      FROM d""",
 
     "q68_tf_df" -> """
       WITH toks AS (
