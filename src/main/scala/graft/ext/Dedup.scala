@@ -301,15 +301,24 @@ object Dedup {
       col("skey"), col("sh"), col("sh_size"),
       GraftFunctions.minhash(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
-      col("skey"),
+      col("skey"), col("sh_size"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b, array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("skey").as("skey_a"))
-    val rgt = banded.select(col("band"), col("bucket"), col("skey").as("skey_b"))
+    val l = banded.select(col("band"), col("bucket"), col("skey").as("skey_a"), col("sh_size").as("size_a"))
+    val rgt = banded.select(col("band"), col("bucket"), col("skey").as("skey_b"), col("sh_size").as("size_b"))
+    // Size-compatibility prefilter (same bound the Jaccard prefix path uses at
+    // [[exactSetPairs]]): j(a,b) <= min/max, so j >= t requires
+    // t*|a| <= |b| <= |a|/t. Applied on the raw band join, BEFORE the
+    // distinct and the full-set fetch joins, it discards impossible pairs
+    // while they are still 16-byte key rows — on flood-prone corpora (hot
+    // vocab => band buckets collide) this is the difference between
+    // verifying every bucket pair and verifying only feasible ones.
     val candidates = l.join(rgt, Seq("band", "bucket"))
-      .filter(col("skey_a") < col("skey_b"))
+      .filter(col("skey_a") < col("skey_b") &&
+        col("size_b") >= col("size_a") * lit(verifyThreshold) &&
+        col("size_a") >= col("size_b") * lit(verifyThreshold))
       .select("skey_a", "skey_b").distinct()
     // exact verify on candidates only (codegen'd sorted-merge intersection)
     val full = reps.select(col("skey"), col("sh"))

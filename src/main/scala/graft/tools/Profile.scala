@@ -49,20 +49,23 @@ object Profile {
         .agg(min_by(col("sh"), col("id")).as("sh"))
         .withColumn("sh_size", size(col("sh")))
       time("reps")(reps.count())
-      val sig = reps.select(col("skey"),
+      val sig = reps.select(col("skey"), col("sh_size"),
         GraftFunctions.minhash(col("sh"), 64).as("sig"))
       time("signatures")(sig.count())
       val r = 4
-      val banded = sig.select(col("skey"),
+      val banded = sig.select(col("skey"), col("sh_size"),
         posexplode(transform(sequence(lit(0), lit(15)),
           b => xxhash64(lit("band"), b, array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
       time("banded")(banded.count())
-      val l = banded.select(col("band"), col("bucket"), col("skey").as("skey_a"))
-      val rgt = banded.select(col("band"), col("bucket"), col("skey").as("skey_b"))
+      val l = banded.select(col("band"), col("bucket"), col("skey").as("skey_a"), col("sh_size").as("size_a"))
+      val rgt = banded.select(col("band"), col("bucket"), col("skey").as("skey_b"), col("sh_size").as("size_b"))
       val raw = l.join(rgt, Seq("band", "bucket")).filter(col("skey_a") < col("skey_b"))
       time("raw band candidates")(raw.count())
-      val cand = raw.select("skey_a", "skey_b").distinct()
+      val feasible = raw.filter(col("size_b") >= col("size_a") * lit(0.8) &&
+        col("size_a") >= col("size_b") * lit(0.8))
+      time("size-feasible candidates")(feasible.count())
+      val cand = feasible.select("skey_a", "skey_b").distinct()
       time("distinct candidates")(cand.count())
       time("full lsh pairs")(
         Dedup.minhashLshPairs(docs, "doc_id", "text", 1, 64, 16, 0.8).count())
