@@ -189,21 +189,28 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts min(own rep, neighbors' reps)
+      // each node adopts min(own rep, neighbors' reps); the previous label
+      // rides along in the checkpointed frame so the convergence check is a
+      // scan of the blocks the checkpoint job just wrote — not a second
+      // join against the previous labels (which would re-shuffle per round).
       val neighborReps = sym
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "rep" -> "nrep")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("minNeighborRep"))
       val updated = labels.join(neighborReps, Seq("id"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("minNeighborRep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("minNeighborRep"), col("rep"))).as("rep"),
+          col("rep").as("prevRep"))
         .localCheckpoint()
-      val changed = updated.join(labels.withColumnsRenamed(Map("rep" -> "oldRep")), Seq("id"))
-        .filter(col("rep") =!= col("oldRep")).count()
-      labels = updated
+      val changed = updated.filter(col("rep") =!= col("prevRep")).count()
+      labels = updated.select(col("id"), col("rep"))
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents: NOT converged after $maxIter iterations; " +
+          "labels may be intermediate. Raise maxIter (diameter exceeds it).")
     labels.select(col("id").as(idCol), col("rep"))
   }
 
