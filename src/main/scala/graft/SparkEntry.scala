@@ -30,6 +30,15 @@ object SparkEntry {
   private def sqlDsum(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** DuckDB-side tokenization matching [[graft.ext.TextAnalysis.tokens]] on
+    * ARBITRARY input (not just the single-space-separated test corpus):
+    * trim, split on whitespace RUNS, blank text → empty list. Every
+    * token-based oracle uses this so Spark and DuckDB tokenize identically
+    * on leading/trailing/repeated whitespace and tabs.
+    */
+  private def sqlTokens(x: String): String =
+    s"CASE WHEN trim($x) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim($x), '\\s+') END"
+
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the reference's own
     * imputations ETL, end-to-end as one declarative plan.
     */
@@ -537,7 +546,7 @@ object SparkEntry {
     // ---- Explode / unnest + token frequency ------------------------------------
     "q52_explode_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     }),
 
@@ -615,7 +624,7 @@ object SparkEntry {
     // ---- TF / DF term statistics (exact-ratio form; log-free for determinism) ---
     "q68_tf_df" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -906,15 +915,15 @@ object SparkEntry {
       SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       FROM documents GROUP BY md5(text)""",
 
-    "q24_fingerprint" -> """
-      SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+    "q24_fingerprint" -> s"""
+      SELECT md5(array_to_string(list_sort(list_distinct(${sqlTokens("lower(text)")})), ' ')) AS fp,
         MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
       FROM documents
       GROUP BY 1 HAVING COUNT(*) > 1""",
 
-    "q25_jaccard_pairs" -> """
+    "q25_jaccard_pairs" -> s"""
       WITH t AS (
-        SELECT doc_id AS id, list_distinct(string_split(lower(text), ' ')) AS sh FROM documents
+        SELECT doc_id AS id, list_distinct(${sqlTokens("lower(text)")}) AS sh FROM documents
       ), inv AS (
         SELECT id, len(sh) AS sz, unnest(sh) AS s FROM t WHERE len(sh) > 0
       )
@@ -924,9 +933,9 @@ object SparkEntry {
       GROUP BY a.id, b.id, a.sz, b.sz
       HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.8""",
 
-    "q26_jaccard3_pairs" -> """
+    "q26_jaccard3_pairs" -> s"""
       WITH toks AS (
-        SELECT doc_id AS id, string_split(lower(text), ' ') AS tk FROM documents
+        SELECT doc_id AS id, ${sqlTokens("lower(text)")} AS tk FROM documents
       ), t AS (
         SELECT id,
           CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
@@ -958,26 +967,29 @@ object SparkEntry {
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""",
 
-    "q32_text_stats" -> """
+    "q32_text_stats" -> s"""
+      WITH f AS (SELECT doc_id, length(text) AS n_chars,
+                        len(${sqlTokens("text")}) AS n_tokens FROM documents)
       SELECT doc_id,
-        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-        CAST(length(text) AS INT) AS n_chars,
-        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-          / greatest(len(string_split(text, ' ')), 1) AS mean_token_len
-      FROM documents""",
+        CAST(n_tokens AS INT) AS n_tokens,
+        CAST(n_chars AS INT) AS n_chars,
+        CAST(n_chars - (n_tokens - 1) AS DOUBLE)
+          / greatest(n_tokens, 1) AS mean_token_len
+      FROM f""",
 
-    "q33_langid" -> """
-      WITH s AS (
+    "q33_langid" -> s"""
+      WITH tk AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS w FROM documents),
+      s AS (
         SELECT doc_id,
-          len(list_filter(string_split(lower(text), ' '),
+          len(list_filter(w,
             w -> w IN ('der','die','das','und','zu','in','ist','ein','nicht','mit'))) AS s_de,
-          len(list_filter(string_split(lower(text), ' '),
+          len(list_filter(w,
             w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
-          len(list_filter(string_split(lower(text), ' '),
+          len(list_filter(w,
             w -> w IN ('el','la','de','y','que','en','un','una','es','por'))) AS s_es,
-          len(list_filter(string_split(lower(text), ' '),
+          len(list_filter(w,
             w -> w IN ('le','la','de','et','que','en','un','une','est','pour'))) AS s_fr
-        FROM documents)
+        FROM tk)
       SELECT doc_id,
         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
              WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
@@ -1138,9 +1150,9 @@ object SparkEntry {
                       AND l.l_shipdate >= TIMESTAMP '1998-01-01'
                       AND l.l_shipdate < TIMESTAMP '1999-01-01')""",
 
-    "q52_explode_tokens" -> """
+    "q52_explode_tokens" -> s"""
       SELECT token, COUNT(*) AS cnt
-      FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      FROM (SELECT unnest(${sqlTokens("lower(text)")}) AS token FROM documents)
       GROUP BY token""",
 
     "q54_pipeline_imputations" -> s"""
@@ -1192,13 +1204,13 @@ object SparkEntry {
         segundos_trabajados, n_fichajes
       FROM r LEFT JOIN customer ON user_id = c_custkey""",
 
-    "q57_quality_score" -> """
+    "q57_quality_score" -> s"""
       WITH f AS (
         SELECT doc_id, text,
-          len(string_split(trim(text), ' ')) AS n_tokens,
+          len(${sqlTokens("text")}) AS n_tokens,
           length(text) AS n_chars,
           length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-          len(list_filter(string_split(lower(text), ' '),
+          len(list_filter(${sqlTokens("lower(text)")},
             w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop
         FROM documents)
       SELECT doc_id,
@@ -1242,9 +1254,9 @@ object SparkEntry {
           AS corr_qty_price
       FROM d""",
 
-    "q68_tf_df" -> """
+    "q68_tf_df" -> s"""
       WITH toks AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS token FROM documents),
       tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
       dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
       dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1)
@@ -1331,10 +1343,10 @@ object SparkEntry {
         CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
       FROM embeddings""",
 
-    "q61_dedup_components" -> """
+    "q61_dedup_components" -> s"""
       WITH t AS (
         SELECT doc_id,
-          md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+          md5(array_to_string(list_sort(list_distinct(${sqlTokens("lower(text)")})), ' ')) AS fp
         FROM documents)
       SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM t""",
 

@@ -46,12 +46,15 @@ object Joins {
       dimOrd: String,
       dimId: String,
       outCol: String): DataFrame = {
+    // Sort with the ordinal column's NATIVE ordering (numeric ordinals must
+    // not order lexicographically) by sorting in the plan, not driver-side;
+    // null match values can never match and are dropped, null ordinals sort
+    // last (same outcome as min_by, which never selects a null ordinal over
+    // a non-null one).
     val entries = dim.select(col(dimMatch), col(dimOrd), col(dimId))
+      .filter(col(dimMatch).isNotNull)
+      .orderBy(col(dimOrd).asc_nulls_last)
       .collect()
-      .sortBy(r => r.get(1) match {
-        case s: String => s
-        case other => other.toString
-      })
     val needles = entries.map(_.get(0).toString.toLowerCase)
     val ids = entries.map(r => lit(r.get(2)))
     graft.functions.GraftFunctions.register(fact.sparkSession)

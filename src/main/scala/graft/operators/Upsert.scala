@@ -37,9 +37,13 @@ object Upsert {
     val fresh =
       if (!tableExists(spark, path)) incoming
       else Joins.antiByKey(incoming, spark.read.parquet(path), keys)
-    // One pass decides and writes; count() on the written result would
-    // recompute the anti join, so persist the small delta first.
-    val materialized = fresh.persist()
+    // The delta must be FULLY materialized before the append starts: the
+    // anti-join plan reads the same parquet path the append writes into, so
+    // a lazily-(re)computed delta would race its own write. persist() is not
+    // a barrier (evicted partitions recompute mid-write); localCheckpoint
+    // eagerly stores the rows (memory+disk) and truncates the lineage, so
+    // the append job can no longer re-read the target path at all.
+    val materialized = fresh.localCheckpoint()
     try {
       val n = materialized.count()
       if (n > 0) {

@@ -105,12 +105,17 @@ object Streams {
       }
   }
 
-  /** Incremental, idempotent append for streams — the reference's anti-join
-    * upsert semantics ([function_app.py:302-315]) carried to streaming:
-    * exactly-once per business key via dropDuplicates within the watermark.
+  /** Incremental append dedup for streams — the reference's anti-join upsert
+    * semantics ([function_app.py:302-315]) approximated in-stream: emit each
+    * business key AT MOST ONCE within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes it). This is weaker than the batch anti-join contract:
+    * a key that re-arrives after its state expired IS emitted again — true
+    * end-to-end idempotence needs the sink-side merge ([[upsertSink]]),
+    * which anti-joins each micro-batch against the target table.
     */
   def dedupedAppendStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates(keyCols :+ "ts")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
 
   /** Stream-static enrichment (J1/J5 carried to streaming): every
     * micro-batch hash-joins against the broadcast dimension — the static
