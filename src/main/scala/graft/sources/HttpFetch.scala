@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** HTTP-CSV ingestion (SURVEY.md §2.1 S1): the reference's staging fetch —
+  * GET with a Bearer token, treat any non-2xx as "no data for this window"
+  * ([function_app.py:56-73]: `if resp.status_code != 200: return None`),
+  * optionally pause between calls (the reference's rate limiting,
+  * [function_app.py:111-112]).
+  *
+  * Architecture note for 100 TB: the HTTP hop is an EDGE concern — a
+  * single-writer staging step that lands files once, after which everything
+  * is a declarative scan ([[Tables.csv]]) with Catalyst pruning. Keeping the
+  * fetch out of executors is deliberate: an HTTP call per partition would
+  * hammer the upstream API from a thousand workers and make retries
+  * non-idempotent. Fetch-to-staging once; scan forever.
+  */
+object HttpFetch {
+
+  final case class FetchConfig(
+      bearerToken: Option[String] = None,
+      maxRetries: Int = 3,
+      retryBackoffMs: Long = 200,
+      requestTimeout: Duration = Duration.ofSeconds(30),
+      /** reference-style politeness delay between consecutive fetches */
+      interRequestDelayMs: Long = 0)
+
+  private def client(cfg: FetchConfig): HttpClient =
+    HttpClient.newBuilder().connectTimeout(cfg.requestTimeout).build()
+
+  private def request(url: String, cfg: FetchConfig): HttpRequest = {
+    val b = HttpRequest.newBuilder(URI.create(url)).timeout(cfg.requestTimeout).GET()
+    cfg.bearerToken.foreach(t => b.header("Authorization", s"Bearer $t"))
+    b.build()
+  }
+
+  /** Fetch one URL into `stagingDir/fileName`.
+    *
+    * Returns Some(path) on 2xx; None on 4xx (deterministic — the
+    * reference's "no data" signal, not worth retrying); retries
+    * connect/transport errors and 5xx up to `maxRetries` times with linear
+    * backoff, then None. The write is atomic (temp file + move) so a
+    * concurrent [[Tables.csv]] scan never sees a half-written file.
+    */
+  def fetchToStaging(url: String, stagingDir: String, fileName: String,
+      cfg: FetchConfig = FetchConfig()): Option[Path] = {
+    val dir = Paths.get(stagingDir)
+    Files.createDirectories(dir)
+    val target = dir.resolve(fileName)
+    val http = client(cfg)
+    var attempt = 0
+    while (attempt <= cfg.maxRetries) {
+      if (attempt > 0) Thread.sleep(cfg.retryBackoffMs * attempt)
+      try {
+        val tmp = Files.createTempFile(dir, s".$fileName", ".part")
+        val resp = http.send(request(url, cfg), HttpResponse.BodyHandlers.ofFile(tmp))
+        val code = resp.statusCode()
+        if (code >= 200 && code < 300) {
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+          return Some(target)
+        }
+        Files.deleteIfExists(tmp)
+        if (code < 500) return None // 4xx: deterministic "no data" (reference contract)
+      } catch {
+        case _: java.io.IOException => // transport error: retry
+      }
+      attempt += 1
+    }
+    None
+  }
+
+  /** The reference's multi-fetch loop ([function_app.py:95-112]): fetch each
+    * (url, fileName) into the staging dir — skipping windows that returned
+    * no data, like the reference's `if df is not None` guard — then hand the
+    * landed files to [[Tables.csv]] as ONE DataFrame (union happens at scan
+    * level; Spark lists the files, not the driver).
+    *
+    * Returns None when every fetch came back empty (so callers can
+    * distinguish "no files at all" from an empty CSV).
+    */
+  def fetchCsvBatch(spark: SparkSession, fetches: Seq[(String, String)], stagingDir: String,
+      cfg: FetchConfig = FetchConfig()): Option[DataFrame] = {
+    val landed = fetches.zipWithIndex.flatMap { case ((url, name), i) =>
+      if (i > 0 && cfg.interRequestDelayMs > 0) Thread.sleep(cfg.interRequestDelayMs)
+      fetchToStaging(url, stagingDir, name, cfg)
+    }
+    if (landed.isEmpty) None
+    else Some(Tables.csv(spark, landed.map(_.toString): _*))
+  }
+}

@@ -53,6 +53,6 @@ object Tables {
     * reference's HTTP-CSV fetch ([function_app.py:56-73]): fetch-to-staging
     * then declarative scan, instead of an eager in-memory parse.
     */
-  def csv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+  def csv(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*)
 }
