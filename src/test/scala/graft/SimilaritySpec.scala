@@ -58,4 +58,28 @@ class SimilaritySpec extends SparkTestBase {
       .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
     assert(got(5L) == 1) // identical vector always shares all buckets
   }
+
+  // ---- measured recall of the approximate ops vs the exact baseline --------
+  // The corpus embeddings are near-random (max cos ~0.5) — the ADVERSARIAL
+  // regime for ANN. The floors document measured reality on this corpus:
+  // sign-bit LSH degrades (~0.46 macro recall@5 at sf0.01) while IVF holds
+  // (~0.92); both are deterministic (seed-free hyperplanes/centroids), so a
+  // regression below the floor is a code change, not noise.
+  private lazy val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+
+  test("measured recall@5: IVF >= 0.7 on corpus embeddings") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val r = graft.ext.Recall.macroAvg(graft.ext.Recall.topKRecall(
+      exact, Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5)))
+    assert(r >= 0.7, s"IVF recall@5 regressed: $r")
+  }
+
+  test("measured recall@5: LSH >= 0.3 on corpus embeddings (near-random => weak by nature)") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    val r = graft.ext.Recall.macroAvg(graft.ext.Recall.topKRecall(
+      exact, Similarity.lshTopK(emb, q, "vec_id", "embedding", 5)))
+    assert(r >= 0.3, s"LSH recall@5 regressed: $r")
+  }
 }
