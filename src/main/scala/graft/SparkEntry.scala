@@ -674,6 +674,13 @@ object SparkEntry {
         Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8))
     }),
 
+    // ---- Cosine near-dup pairs, LSH-bucketed (the scale path for q31) ---------
+    "q73_cosine_pairs_bucketed" -> ((s, dir) => {
+      Similarity.cosineNearDupPairsBucketed(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"))
+    }),
+
     // ---- J7 fast path: contains lookup as a codegen projection (no join) --------
     "q67_contains_indexed" -> ((s, dir) => {
       val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))

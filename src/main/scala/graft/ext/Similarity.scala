@@ -190,4 +190,36 @@ object Similarity {
       .filter(round(col("cos"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Near-dup pairs, BUCKETED: the same output contract as
+    * [[cosineNearDupPairs]] (exact cosine, id_a < id_b, 6-dp rounding) but
+    * candidates come from multi-table sign-bit LSH buckets — one equi-join
+    * on (table, bucket) instead of the all-pairs theta join. This is the
+    * default/scale path for embedding pair discovery; the all-pairs form is
+    * the exactness baseline the oracle checks. Recall < 1 by construction
+    * (a pair must share at least one bucket): measure it with
+    * [[Recall.pairRecall]] and tune `numPlanes` (bucket selectivity) /
+    * `tables` (recall) against that number.
+    */
+  def cosineNearDupPairsBucketed(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 4, tables: Int = 8): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = base.select(
+      col("id"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucketForTable(col("v"), numPlanes, t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val cand = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = base.select(col("id").as("id_a"), col("v").as("va")).withColumn("na", norm(col("va")))
+    val vb = base.select(col("id").as("id_b"), col("v").as("vb")).withColumn("nb", norm(col("vb")))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
 }

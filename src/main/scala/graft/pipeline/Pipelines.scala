@@ -35,6 +35,10 @@ object Pipelines {
       from: String,
       to: String,
       loadedFrom: String): DataFrame = {
+    // F5 gate: reject malformed windows before planning anything — the
+    // reference's 400 response ([function_app.py:31-50]).
+    Params.parseDateRange(from, to)
+    Params.parseDate("loadedFrom", loadedFrom)
     val staged = Relational.rangedScan(
       Tables.lineitem(spark, sfDir), "l_shipdate", from, to)
     def transform(src: DataFrame): DataFrame = {

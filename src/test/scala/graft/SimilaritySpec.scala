@@ -75,6 +75,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(r >= 0.7, s"IVF recall@5 regressed: $r")
   }
 
+  test("bucketed near-dup pairs: identical vectors always pair; subset of exact pairs") {
+    val corpus = vecs.union(Seq((5L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val bucketed = Similarity.cosineNearDupPairsBucketed(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.contains((1L, 5L))) // identical vectors share every bucket
+    val exact = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact)) // verify stage is exact: no false pairs
+  }
+
+  test("measured pair recall: bucketed cosine pairs vs exact all-pairs on corpus") {
+    val r = graft.ext.Recall.pairRecall(
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4),
+      Similarity.cosineNearDupPairsBucketed(emb, "vec_id", "embedding", 0.4))
+      .select("recall").head().getDouble(0)
+    assert(r >= 0.5, s"bucketed cosine pair recall regressed: $r")
+  }
+
   test("measured recall@5: LSH >= 0.3 on corpus embeddings (near-random => weak by nature)") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
