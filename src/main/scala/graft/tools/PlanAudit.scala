@@ -50,9 +50,16 @@ object PlanAudit {
             .filter(_._2 > 0).map { case (k, v) => s"$k=$v" }
           val shuffles = all.count(_.isInstanceOf[ShuffleExchangeExec])
           val wsc = all.count(_.isInstanceOf[WholeStageCodegenExec])
+          // rank-filter windows should be served by WindowGroupLimitExec
+          // (partial per-partition top-k BEFORE the shuffle) — if a ranked
+          // top-k query has windows but no group-limit, the filter shape
+          // defeated InferWindowGroupLimit and whole partitions get sorted
+          val windows = all.count(_.getClass.getSimpleName == "WindowExec")
+          val groupLimits = all.count(_.getClass.getSimpleName == "WindowGroupLimitExec")
           println(s"== $name")
           scans.distinct.foreach(s => println(s"   scan: $s"))
-          println(s"   joins: ${joins.mkString(" ")}  shuffles=$shuffles  codegenSpans=$wsc  scanNodes=${scans.length}")
+          val winInfo = if (windows + groupLimits > 0) s"  windows=$windows groupLimits=$groupLimits" else ""
+          println(s"   joins: ${joins.mkString(" ")}  shuffles=$shuffles  codegenSpans=$wsc  scanNodes=${scans.length}$winInfo")
         } catch {
           case e: Throwable => println(s"== $name FAILED: ${e.getMessage.take(100)}")
         }
