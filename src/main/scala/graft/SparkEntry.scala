@@ -681,6 +681,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // ---- Interval join (batch form of the stream-stream join) -----------------
+    "q74_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      Streams.intervalJoin(clicks, buys, "user_id", "0 seconds", "1 hour")
+        .select(col("user_id"),
+          col("event_id").as("click_id"), col("r_event_id").as("purchase_id"),
+          col("ts").as("click_ts"), col("r_ts").as("purchase_ts"))
+    }),
+
     // ---- J7 fast path: contains lookup as a codegen projection (no join) --------
     "q67_contains_indexed" -> ((s, dir) => {
       val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
@@ -1389,6 +1402,14 @@ object SparkEntry {
       SELECT CAST(d AS DATE) AS day,
         CAST(row_number() OVER (ORDER BY d) - 1 AS INT) AS day_ordinal
       FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-03-31',
-                                          INTERVAL 1 DAY)) AS d)"""
+                                          INTERVAL 1 DAY)) AS d)""",
+
+    "q74_interval_join" -> """
+      WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             c.ts AS click_ts, p.ts AS purchase_ts
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"""
   )
 }

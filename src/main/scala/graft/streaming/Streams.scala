@@ -117,6 +117,35 @@ object Streams {
   def dedupedAppendStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Interval join, batch form (extension; also the oracle-testable form):
+    * each left row matches right rows with the same `key` whose timestamp
+    * lies in [left.ts - before, left.ts + after]. Right columns come back
+    * `r_`-prefixed. One equi-shuffle on the key; the time predicate is a
+    * post-join filter band, not a cross join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      before: String, after: String,
+      tsLeft: String = "ts", tsRight: String = "ts"): DataFrame = {
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    left.join(r,
+      col(key) === col(s"r_$key") &&
+        col(s"r_$tsRight") >= col(tsLeft) - expr(s"INTERVAL $before") &&
+        col(s"r_$tsRight") <= col(tsLeft) + expr(s"INTERVAL $after"))
+  }
+
+  /** Stream-stream form of [[intervalJoin]]: BOTH sides carry watermarks —
+    * mandatory for stream-stream joins, since the time bound plus the
+    * watermarks is what lets Spark evict buffered join state (state is
+    * bounded by watermark + interval width, not by stream length).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      watermark: String, before: String, after: String,
+      tsLeft: String = "ts", tsRight: String = "ts"): DataFrame =
+    intervalJoin(
+      left.withWatermark(tsLeft, watermark),
+      right.withWatermark(tsRight, watermark),
+      key, before, after, tsLeft, tsRight)
+
   /** Stream-static enrichment (J1/J5 carried to streaming): every
     * micro-batch hash-joins against the broadcast dimension — the static
     * side is re-resolved per batch, so slowly-changing dims pick up

@@ -33,6 +33,43 @@ class StreamsSpec extends SparkTestBase {
       (ts("2024-01-01 11:00:00"), "view", 1L)))
   }
 
+  test("intervalJoin batch: purchases within the window after a click") {
+    val clicks = Seq((7L, ts("2024-01-01 10:00:00"), 1L))
+      .toDF("user_id", "ts", "event_id")
+    val buys = Seq(
+      (7L, ts("2024-01-01 10:30:00"), 2L),  // in window
+      (7L, ts("2024-01-01 11:30:00"), 3L),  // outside (+90m)
+      (7L, ts("2024-01-01 09:59:00"), 4L),  // before the click
+      (8L, ts("2024-01-01 10:30:00"), 5L)   // other user
+    ).toDF("user_id", "ts", "event_id")
+    val got = Streams.intervalJoin(clicks, buys, "user_id", "0 seconds", "1 hour")
+      .select("event_id", "r_event_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("intervalJoinStream joins two MemoryStreams within the watermarked band") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val buys = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streams.intervalJoinStream(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      buys.toDF().toDF("user_id", "ts", "event_id"),
+      "user_id", "10 minutes", "0 seconds", "1 hour")
+      .select(col("event_id"), col("r_event_id"))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((7L, ts("2024-01-01 10:00:00"), 1L))
+      buys.addData(
+        (7L, ts("2024-01-01 10:30:00"), 2L),
+        (7L, ts("2024-01-01 12:00:00"), 3L), // outside the interval
+        (8L, ts("2024-01-01 10:30:00"), 4L)) // other user
+      q.processAllAvailable()
+      val got = spark.table("ij_out").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionizeStream emits sessions via flatMapGroupsWithState timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
