@@ -458,42 +458,14 @@ object SparkEntry {
 
     // ---- Exact percentiles + distinct aggregate ------------------------------
     "q47_percentiles" -> ((s, dir) => {
-      // Exact interpolated percentiles computed from a value histogram rather
-      // than the buffering `percentile` UDAF: l_quantity has ~50 distinct
-      // values, so the histogram is a map-side-combined groupBy yielding a
-      // tiny frame, and the interpolation indexes into it with window
-      // cumsums — no per-group value buffering, and the scan stays in
-      // whole-stage codegen. countDistinct runs as its own two-phase
-      // aggregate (mixing it with other aggs forces an Expand that
-      // duplicates the input) and joins back on the 3-row result.
-      // Interpolation identity with quantile_cont: for zero-based position
-      // h = p*(n-1), result = x[floor(h)] + (h-floor(h))*(x[ceil(h)]-x[floor(h)]).
+      // Exact percentiles via the histogram operator (no per-group value
+      // buffering — see Aggregates.exactPercentilesByKey); countDistinct
+      // runs as its own two-phase aggregate (mixing it with other aggs
+      // forces an Expand that duplicates the input) and joins back on the
+      // 3-row result.
       val li = t(s, dir, "lineitem")
-      val hist = li.groupBy(col("l_returnflag"), col("l_quantity"))
-        .agg(count(lit(1)).as("cnt"))
-      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      val h = hist
-        .withColumn("cum", sum(col("cnt")).over(wOrd))
-        .withColumn("n", sum(col("cnt")).over(wAll))
-        .withColumn("prev", col("cum") - col("cnt"))
-      def pos(p: Double): Column = lit(p) * (col("n") - lit(1)).cast("double")
-      def vAt(idx: Column): Column =
-        min(when(idx >= col("prev") && idx < col("cum"), col("l_quantity")))
-      val agg = h.groupBy(col("l_returnflag")).agg(
-        max(col("n")).as("n"),
-        vAt(floor(pos(0.25))).as("lo25"), vAt(ceil(pos(0.25))).as("hi25"),
-        vAt(floor(pos(0.5))).as("lo50"), vAt(ceil(pos(0.5))).as("hi50"),
-        vAt(floor(pos(0.75))).as("lo75"), vAt(ceil(pos(0.75))).as("hi75"))
-      def interp(p: Double, loC: String, hiC: String): Column = {
-        val hp = lit(p) * (col("n") - lit(1)).cast("double")
-        val frac = hp - floor(hp).cast("double")
-        (col(loC) + frac * (col(hiC) - col(loC))).cast("double")
-      }
-      val pcts = agg.select(col("l_returnflag"),
-        interp(0.25, "lo25", "hi25").as("p25"),
-        interp(0.5, "lo50", "hi50").as("p50"),
-        interp(0.75, "lo75", "hi75").as("p75"))
+      val pcts = Aggregates.exactPercentilesByKey(li, "l_returnflag", "l_quantity",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
       val nd = li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"))
       pcts.join(nd, Seq("l_returnflag"))

@@ -41,4 +41,42 @@ object Aggregates {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord).desc, col(tiebreak).asc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Exact interpolated percentiles per key WITHOUT buffering values: the
+    * input collapses to a (key, value) → count histogram first (map-side
+    * combined — one shuffle of the reduced keyspace), then window cumsums
+    * over the histogram locate each percentile's bracketing values and
+    * interpolate. Memory scales with |distinct values| per key, not |rows|,
+    * so a 100 TB column with bounded cardinality aggregates like a count.
+    *
+    * Matches `percentile(value, p)` / DuckDB `quantile_cont` exactly: for
+    * zero-based position h = p·(n-1), result =
+    * x[⌊h⌋] + (h-⌊h⌋)·(x[⌈h⌉]-x[⌊h⌋]) over the sorted multiset.
+    *
+    * Output: key column plus one double column per (p, name) in `ps`.
+    */
+  def exactPercentilesByKey(df: DataFrame, key: String, valueCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val hist = df.groupBy(col(key), col(valueCol)).agg(count(lit(1)).as("__cnt"))
+    val wOrd = Window.partitionBy(col(key)).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(col(key))
+    val h = hist
+      .withColumn("__cum", sum(col("__cnt")).over(wOrd))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .withColumn("__prev", col("__cum") - col("__cnt"))
+    def pos(p: Double): Column = lit(p) * (col("__n") - lit(1)).cast("double")
+    def vAt(idx: Column): Column =
+      min(when(idx >= col("__prev") && idx < col("__cum"), col(valueCol)))
+    val aggs = ps.flatMap { case (p, name) =>
+      Seq(vAt(floor(pos(p))).as(s"__lo_$name"), vAt(ceil(pos(p))).as(s"__hi_$name"))
+    }
+    val agg = h.groupBy(col(key)).agg(max(col("__n")).as("__n"), aggs: _*)
+    val outs = ps.map { case (p, name) =>
+      val hp = lit(p) * (col("__n") - lit(1)).cast("double")
+      val frac = hp - floor(hp).cast("double")
+      (col(s"__lo_$name") + frac * (col(s"__hi_$name") - col(s"__lo_$name")))
+        .cast("double").as(name)
+    }
+    agg.select(col(key) +: outs: _*)
+  }
 }
