@@ -174,4 +174,24 @@ object Streams {
           batch.sparkSession, batch.toDF(), targetPath, keys): Unit
       }
       .start()
+
+  /** [[upsertSink]] with a JDBC target: each micro-batch runs
+    * [[graft.sources.Jdbc.upsertJdbc]]'s anti-join insert-only merge, so a
+    * replayed micro-batch (restart, retry) never duplicates a business key
+    * in the database — the streaming, batch-parquet and batch-JDBC sinks
+    * all share one idempotence contract.
+    */
+  def jdbcUpsertSink(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Jdbc.upsertJdbc(batch.toDF(), url, table, keys): Unit
+      }
+      .start()
 }

@@ -68,6 +68,25 @@ class JdbcSpec extends SparkTestBase {
     assert(got == Set("EUROPE", "ASIA"))
   }
 
+  test("streaming jdbcUpsertSink: replayed keys never duplicate in the database") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Int, String)]
+    val ckpt = Files.createTempDirectory("graft_jdbc_ckpt").toString
+    val q = graft.streaming.Streams.jdbcUpsertSink(
+      input.toDF().toDF("k", "v"), url, "stream_facts", Seq("k"), ckpt)
+    try {
+      input.addData((1, "a"), (2, "b"))
+      q.processAllAvailable()
+      input.addData((2, "REPLAY"), (3, "c")) // key 2 replayed with new payload
+      q.processAllAvailable()
+      val stored = Jdbc.readTable(spark, url, "stream_facts")
+        .as[(Int, String)].collect().toSet
+      assert(stored == Set((1, "a"), (2, "b"), (3, "c"))) // no dup, no overwrite
+    } finally q.stop()
+  }
+
   test("filter + projection are pushed into the JDBC scan") {
     val plan = Jdbc.readTable(spark, url, "bigfact")
       .filter($"id" > 90).select("payload")
