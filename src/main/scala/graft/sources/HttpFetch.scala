@@ -74,6 +74,39 @@ object HttpFetch {
     None
   }
 
+  /** K3 — the reference's HTTP response surface ([function_app.py:397-402]:
+    * the pipeline answers with a small JSON summary of what it loaded).
+    * Driver-side POST of a summary payload to a callback endpoint; the
+    * payload is summary-scale BY CONTRACT (row counts, window bounds) —
+    * results themselves stay in the sinks, never on the wire.
+    *
+    * Returns Some(status) on 2xx; retries transport errors/5xx like
+    * [[fetchToStaging]]; None when the endpoint never accepted it.
+    */
+  def postJson(url: String, json: String, cfg: FetchConfig = FetchConfig()): Option[Int] = {
+    val http = client(cfg)
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(cfg.requestTimeout)
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(json))
+    cfg.bearerToken.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val req = b.build()
+    var attempt = 0
+    while (attempt <= cfg.maxRetries) {
+      if (attempt > 0) Thread.sleep(cfg.retryBackoffMs * attempt)
+      try {
+        val resp = http.send(req, HttpResponse.BodyHandlers.discarding())
+        val code = resp.statusCode()
+        if (code >= 200 && code < 300) return Some(code)
+        if (code < 500) return None
+      } catch {
+        case _: java.io.IOException => // transport error: retry
+      }
+      attempt += 1
+    }
+    None
+  }
+
   /** The reference's multi-fetch loop ([function_app.py:95-112]): fetch each
     * (url, fileName) into the staging dir — skipping windows that returned
     * no data, like the reference's `if df is not None` guard — then hand the

@@ -20,6 +20,7 @@ class HttpFetchSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
   private var base: String = _
   private val flakyHits = new AtomicInteger(0)
   @volatile private var seenAuth: Option[String] = None
+  @volatile private var seenBody: Option[String] = None
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes("UTF-8")
@@ -42,6 +43,10 @@ class HttpFetchSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
     server.createContext("/flaky.csv", (ex: HttpExchange) => {
       if (flakyHits.incrementAndGet() <= 2) respond(ex, 500, "boom")
       else respond(ex, 200, "id,value\n9,90.0\n")
+    })
+    server.createContext("/callback", (ex: HttpExchange) => {
+      seenBody = Some(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+      respond(ex, 200, "ok")
     })
     server.start()
     base = s"http://localhost:${server.getAddress.getPort}"
@@ -98,5 +103,16 @@ class HttpFetchSpec extends SparkTestBase with org.scalatest.BeforeAndAfterAll {
   test("fetchCsvBatch with all days missing is None, not an empty scan") {
     assert(HttpFetch.fetchCsvBatch(spark,
       Seq(s"$base/missing.csv" -> "x.csv"), freshDir()).isEmpty)
+  }
+
+  test("postJson delivers the summary payload (K3 response surface)") {
+    val payload = """{"rows_loaded":2878,"from":"1998-06-01","to":"1998-09-01"}"""
+    assert(HttpFetch.postJson(s"$base/callback", payload).contains(200))
+    assert(seenBody.contains(payload))
+  }
+
+  test("postJson: unreachable endpoint is None after retries") {
+    assert(HttpFetch.postJson("http://localhost:1/cb", "{}",
+      FetchConfig(maxRetries = 1, retryBackoffMs = 10)).isEmpty)
   }
 }
