@@ -653,6 +653,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // ---- Winnowing (MOSS) fingerprints: substring-level dedup keys ------------
+    "q75_winnowing" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        explode(TextAnalysis.winnowingFingerprints(col("text"), 3, 4)).as("fp"))
+    }),
+
     // ---- Interval join (batch form of the stream-stream join) -----------------
     "q74_interval_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1382,6 +1389,21 @@ object SparkEntry {
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              c.ts AS click_ts, p.ts AS purchase_ts
       FROM c JOIN p ON c.user_id = p.user_id
-        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR"""
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+
+    "q75_winnowing" -> s"""
+      WITH tk AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS t FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                   ELSE list_transform(generate_series(1, len(t) - 2),
+                          i -> md5(array_to_string(t[i:i+2], ' '))) END AS grams
+            FROM tk),
+      f AS (SELECT doc_id,
+              CASE WHEN len(grams) = 0 THEN []::VARCHAR[]
+                   WHEN len(grams) < 4 THEN [list_min(grams)]
+                   ELSE list_distinct(list_transform(generate_series(1, len(grams) - 3),
+                          j -> list_min(grams[j:j+3]))) END AS fps
+            FROM g)
+      SELECT doc_id, unnest(fps) AS fp FROM f"""
   )
 }

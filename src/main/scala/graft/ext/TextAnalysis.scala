@@ -106,4 +106,34 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " ").cast("binary"))
+
+  /** Winnowing document fingerprints (the MOSS selection algorithm):
+    * hash every k-token gram, slide a window of `w` consecutive gram
+    * hashes, keep each window's minimum, dedupe. Guarantee: two documents
+    * sharing a token run of at least w+k-1 tokens share at least one
+    * fingerprint — substring-level dedup with output density ~2/(w+1),
+    * versus whole-set signatures (minhash/simhash) that only see documents
+    * as bags.
+    *
+    * Fewer than w grams degenerate to one fingerprint (the global min);
+    * fewer than k tokens yield none. Gram hashes are md5 strings so the
+    * selection is engine-neutral (DuckDB-oracle-testable); at 100 TB the
+    * same selection runs over [[graft.functions.GraftFunctions
+    * .wordShingleHashes]]' chained XXH64 longs for an 8-byte hash — the
+    * windowing logic is identical and everything stays codegen'd
+    * (transform/slice/array_min — no explode, no shuffle).
+    */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    val t = tokens(lower(text))
+    val none = array().cast("array<string>")
+    val grams = when(size(t) < k, none)
+      .otherwise(transform(
+        sequence(lit(1), size(t) - lit(k - 1)),
+        i => md5(array_join(slice(t, i, lit(k)), " ").cast("binary"))))
+    when(size(grams) === 0, none)
+      .when(size(grams) < w, array(array_min(grams)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(grams) - lit(w - 1)),
+        j => array_min(slice(grams, j, lit(w))))))
+  }
 }

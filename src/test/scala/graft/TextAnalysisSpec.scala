@@ -53,4 +53,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out._2 == 1.0 / 12.0)
     assert(out._3 >= 0.0 && out._3 <= 1.0)
   }
+
+  test("winnowing guarantee: shared run of >= w+k-1 tokens => shared fingerprint") {
+    val (k, w) = (3, 4)
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
+    val docs = Seq(
+      (1L, s"one two three $shared four five"),
+      (2L, s"nine eight $shared seven six"),
+      (3L, "completely different words with no overlap at all here")
+    ).toDF("id", "text")
+    val fps = docs.select(col("id"),
+        TextAnalysis.winnowingFingerprints(col("text"), k, w).as("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty) // the guarantee
+    assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty)  // disjoint text
+    // density: ~2/(w+1) of grams get selected, never more than #windows
+    assert(fps(1L).size <= 11 - k + 1)
+  }
+
+  test("winnowing edges: short docs degenerate to one fingerprint, tiny to none") {
+    val docs = Seq(
+      (1L, "just four tokens here"),  // 2 grams < w -> single global-min fp
+      (2L, "two tokens"),             // < k tokens -> no grams -> no fps
+      (3L, "")
+    ).toDF("id", "text")
+    val fps = docs.select(col("id"),
+        TextAnalysis.winnowingFingerprints(col("text"), 3, 4).as("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(fps(1L).size == 1)
+    assert(fps(2L).isEmpty)
+    assert(fps(3L).isEmpty)
+  }
 }
