@@ -30,5 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // noise instead of measurements, and a small -Xms charges the first heavy
   // query for the whole heap ramp
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  "-Xms16g",
+  // pre-size the heap only up to the max: SPARK_DRIVER_MEM below 16g would
+  // otherwise conflict with a fixed -Xms and abort JVM start
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -48,11 +48,12 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $sec%8.2f s")
       name -> sec
     }
-    // fixed-notation seconds (no scientific notation — keeps every JSON
-    // parser happy) at millisecond precision
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // fixed-notation seconds at millisecond precision, Locale.ROOT so a
+    // comma-decimal default locale cannot produce invalid JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = num(results.map(_._2).sum)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout AND a file: the driver's stdout capture truncated the line in
     // round 1 (parsed: null) — the file is the robust channel.

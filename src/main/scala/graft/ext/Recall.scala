@@ -43,7 +43,10 @@ object Recall {
     ex.agg(count(lit(1)).as("n_exact"))
       .crossJoin(found.agg(count(lit(1)).as("n_found")))
       .select(col("n_exact"), col("n_found"),
-        (col("n_found").cast("double") / col("n_exact")).as("recall"))
+        // an empty exact set makes recall vacuous — report 1.0, not null
+        // (0/0), so callers reading a Double do not crash on a clean corpus
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(col("n_found").cast("double") / col("n_exact")).as("recall"))
   }
 
   /** Macro-averaged scalar from [[topKRecall]] output (driver-friendly:

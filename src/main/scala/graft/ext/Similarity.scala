@@ -94,6 +94,18 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Explode a frame into one row per (LSH table, bucket) membership —
+    * the shared candidate-generation front end of [[lshTopK]] and
+    * [[cosineNearDupPairsBucketed]].
+    */
+  private def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, tables: Int, idOut: String, vecOut: String): DataFrame =
+    df.select(
+      col(idCol).as(idOut), col(vecCol).as(vecOut),
+      posexplode(array((0 until tables).map(t =>
+        lshBucketForTable(col(vecCol), numPlanes, t)): _*)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -103,14 +115,8 @@ object Similarity {
       numPlanes: Int = 6,
       tables: Int = 8): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    def bucketed(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(
-        col(idCol).as(id), col(vecCol).as(v),
-        posexplode(array((0 until tables).map(t =>
-          lshBucketForTable(col(vecCol), numPlanes, t)): _*)))
-        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
-    val c = bucketed(corpus, "neighbor_id", "cv")
-    val q = bucketed(queries, "query_id", "qv")
+    val c = lshBucketed(corpus, idCol, vecCol, numPlanes, tables, "neighbor_id", "cv")
+    val q = lshBucketed(queries, idCol, vecCol, numPlanes, tables, "query_id", "qv")
     val cand = c.join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv").distinct()
@@ -179,16 +185,28 @@ object Similarity {
     * Exact all-pairs form; the LSH-bucketed variant above is the scale
     * path. `cos` is rounded to 6 dp for cross-engine comparability.
     */
-  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    GraftFunctions.register(df.sparkSession)
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+  /** Shared exact-verify tail of both near-dup pair forms: attach vectors
+    * and precomputed norms to (id_a, id_b) pairs, compute exact cosine,
+    * filter at the 6-dp-rounded threshold (the cross-engine comparability
+    * contract — one place, so the exact and bucketed paths cannot diverge).
+    */
+  private def verifyCosinePairs(pairs: DataFrame, base: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val va = base.select(col(idCol).as("id_a"), col(vecCol).as("va"))
       .withColumn("na", norm(col("va")))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val vb = base.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("nb", norm(col("vb")))
-    a.join(b, col("id_a") < col("id_b"))
+    pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(round(col("cos"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val ids = df.select(col(idCol).as("id_a"))
+    val pairs = ids.join(df.select(col(idCol).as("id_b")), col("id_a") < col("id_b"))
+    verifyCosinePairs(pairs, df, idCol, vecCol, threshold)
   }
 
   /** Near-dup pairs, BUCKETED: the same output contract as
@@ -204,22 +222,12 @@ object Similarity {
   def cosineNearDupPairsBucketed(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int = 4, tables: Int = 8): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = base.select(
-      col("id"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucketForTable(col("v"), numPlanes, t)): _*)))
-      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val bucketed = lshBucketed(df, idCol, vecCol, numPlanes, tables, "id", "v")
     val cand = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
       .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val va = base.select(col("id").as("id_a"), col("v").as("va")).withColumn("na", norm(col("va")))
-    val vb = base.select(col("id").as("id_b"), col("v").as("vb")).withColumn("nb", norm(col("vb")))
-    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(round(col("cos"), 6) >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+    verifyCosinePairs(cand, df, idCol, vecCol, threshold)
   }
 }

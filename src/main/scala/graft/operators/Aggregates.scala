@@ -57,7 +57,10 @@ object Aggregates {
     */
   def exactPercentilesByKey(df: DataFrame, key: String, valueCol: String,
       ps: Seq[(Double, String)]): DataFrame = {
-    val hist = df.groupBy(col(key), col(valueCol)).agg(count(lit(1)).as("__cnt"))
+    // percentile()/quantile_cont ignore nulls — drop them before the
+    // histogram or they would count toward n and sort ahead of every value
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(key), col(valueCol)).agg(count(lit(1)).as("__cnt"))
     val wOrd = Window.partitionBy(col(key)).orderBy(col(valueCol))
     val wAll = Window.partitionBy(col(key))
     val h = hist

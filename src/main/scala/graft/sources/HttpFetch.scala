@@ -33,45 +33,69 @@ object HttpFetch {
   private def client(cfg: FetchConfig): HttpClient =
     HttpClient.newBuilder().connectTimeout(cfg.requestTimeout).build()
 
-  private def request(url: String, cfg: FetchConfig): HttpRequest = {
-    val b = HttpRequest.newBuilder(URI.create(url)).timeout(cfg.requestTimeout).GET()
+  private def request(url: String, cfg: FetchConfig): HttpRequest.Builder = {
+    val b = HttpRequest.newBuilder(URI.create(url)).timeout(cfg.requestTimeout)
     cfg.bearerToken.foreach(t => b.header("Authorization", s"Bearer $t"))
-    b.build()
+    b
   }
 
-  /** Fetch one URL into `stagingDir/fileName`.
-    *
-    * Returns Some(path) on 2xx; None on 4xx (deterministic — the
-    * reference's "no data" signal, not worth retrying); retries
-    * connect/transport errors and 5xx up to `maxRetries` times with linear
-    * backoff, then None. The write is atomic (temp file + move) so a
-    * concurrent [[Tables.csv]] scan never sees a half-written file.
-    */
-  def fetchToStaging(url: String, stagingDir: String, fileName: String,
-      cfg: FetchConfig = FetchConfig()): Option[Path] = {
-    val dir = Paths.get(stagingDir)
-    Files.createDirectories(dir)
-    val target = dir.resolve(fileName)
-    val http = client(cfg)
+  // One retry state machine for every HTTP interaction: 2xx → Done, 4xx →
+  // NoData (deterministic "no data", the reference contract — never
+  // retried), 5xx/transport error → Retry with linear backoff.
+  private sealed trait Attempt[+T]
+  private final case class Done[T](value: T) extends Attempt[T]
+  private case object NoData extends Attempt[Nothing]
+  private case object Retry extends Attempt[Nothing]
+
+  private def withRetries[T](cfg: FetchConfig)(op: () => Attempt[T]): Option[T] = {
     var attempt = 0
     while (attempt <= cfg.maxRetries) {
       if (attempt > 0) Thread.sleep(cfg.retryBackoffMs * attempt)
-      try {
-        val tmp = Files.createTempFile(dir, s".$fileName", ".part")
-        val resp = http.send(request(url, cfg), HttpResponse.BodyHandlers.ofFile(tmp))
-        val code = resp.statusCode()
-        if (code >= 200 && code < 300) {
-          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
-          return Some(target)
-        }
-        Files.deleteIfExists(tmp)
-        if (code < 500) return None // 4xx: deterministic "no data" (reference contract)
-      } catch {
-        case _: java.io.IOException => // transport error: retry
+      op() match {
+        case Done(v) => return Some(v)
+        case NoData  => return None
+        case Retry   => ()
       }
       attempt += 1
     }
     None
+  }
+
+  /** Fetch one URL into `stagingDir/fileName`.
+    *
+    * Returns Some(path) on 2xx; None on 4xx; retries connect/transport
+    * errors and 5xx up to `maxRetries` times, then None. The write is
+    * atomic (temp file + move) so a concurrent [[Tables.csv]] scan never
+    * sees a half-written file; failed attempts delete their temp file.
+    */
+  def fetchToStaging(url: String, stagingDir: String, fileName: String,
+      cfg: FetchConfig = FetchConfig()): Option[Path] =
+    fetchToStaging(url, stagingDir, fileName, cfg, client(cfg))
+
+  private def fetchToStaging(url: String, stagingDir: String, fileName: String,
+      cfg: FetchConfig, http: HttpClient): Option[Path] = {
+    val dir = Paths.get(stagingDir)
+    Files.createDirectories(dir)
+    val target = dir.resolve(fileName)
+    withRetries(cfg) { () =>
+      val tmp = Files.createTempFile(dir, s".$fileName", ".part")
+      try {
+        val resp = http.send(request(url, cfg).GET().build(),
+          HttpResponse.BodyHandlers.ofFile(tmp))
+        val code = resp.statusCode()
+        if (code >= 200 && code < 300) {
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+          Done(target)
+        } else {
+          Files.deleteIfExists(tmp)
+          if (code < 500) NoData else Retry
+        }
+      } catch {
+        case _: java.io.IOException =>
+          Files.deleteIfExists(tmp)
+          Retry
+      }
+    }
   }
 
   /** K3 — the reference's HTTP response surface ([function_app.py:397-402]:
@@ -85,26 +109,20 @@ object HttpFetch {
     */
   def postJson(url: String, json: String, cfg: FetchConfig = FetchConfig()): Option[Int] = {
     val http = client(cfg)
-    val b = HttpRequest.newBuilder(URI.create(url))
-      .timeout(cfg.requestTimeout)
+    val req = request(url, cfg)
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(json))
-    cfg.bearerToken.foreach(t => b.header("Authorization", s"Bearer $t"))
-    val req = b.build()
-    var attempt = 0
-    while (attempt <= cfg.maxRetries) {
-      if (attempt > 0) Thread.sleep(cfg.retryBackoffMs * attempt)
+      .build()
+    withRetries(cfg) { () =>
       try {
-        val resp = http.send(req, HttpResponse.BodyHandlers.discarding())
-        val code = resp.statusCode()
-        if (code >= 200 && code < 300) return Some(code)
-        if (code < 500) return None
+        val code = http.send(req, HttpResponse.BodyHandlers.discarding()).statusCode()
+        if (code >= 200 && code < 300) Done(code)
+        else if (code < 500) NoData
+        else Retry
       } catch {
-        case _: java.io.IOException => // transport error: retry
+        case _: java.io.IOException => Retry
       }
-      attempt += 1
     }
-    None
   }
 
   /** The reference's multi-fetch loop ([function_app.py:95-112]): fetch each
@@ -118,9 +136,10 @@ object HttpFetch {
     */
   def fetchCsvBatch(spark: SparkSession, fetches: Seq[(String, String)], stagingDir: String,
       cfg: FetchConfig = FetchConfig()): Option[DataFrame] = {
+    val http = client(cfg) // ONE client (selector thread + pool) for the whole batch
     val landed = fetches.zipWithIndex.flatMap { case ((url, name), i) =>
       if (i > 0 && cfg.interRequestDelayMs > 0) Thread.sleep(cfg.interRequestDelayMs)
-      fetchToStaging(url, stagingDir, name, cfg)
+      fetchToStaging(url, stagingDir, name, cfg, http)
     }
     if (landed.isEmpty) None
     else Some(Tables.csv(spark, landed.map(_.toString): _*))
