@@ -653,6 +653,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
     }),
 
+    // ---- Per-key row caps (per-source document limits) ------------------------
+    "q76_cap_per_key" -> ((s, dir) => {
+      Relational.capPerKey(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+        "o_custkey", 3, col("o_orderkey"))
+    }),
+
+    // ---- Deterministic hash sampling (engine-neutral md5 threshold) ------------
+    "q77_hash_sample" -> ((s, dir) => {
+      Relational.deterministicSample(t(s, dir, "documents"), "doc_id", "19999999")
+        .select(col("doc_id"))
+    }),
+
     // ---- Winnowing (MOSS) fingerprints: substring-level dedup keys ------------
     "q75_winnowing" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -1390,6 +1403,17 @@ object SparkEntry {
              c.ts AS click_ts, p.ts AS purchase_ts
       FROM c JOIN p ON c.user_id = p.user_id
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+
+    "q76_cap_per_key" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3""",
+
+    "q77_hash_sample" -> """
+      SELECT doc_id FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'""",
 
     "q75_winnowing" -> s"""
       WITH tk AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS t FROM documents),

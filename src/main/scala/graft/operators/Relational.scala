@@ -39,4 +39,31 @@ object Relational {
     */
   def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** Cap rows per key (extension): keep at most `n` rows per `key`,
+    * selected deterministically by `ord` ascending (e.g. cap documents per
+    * source domain in a training-data pipeline). Plans as a ranked window
+    * that Spark serves with WindowGroupLimitExec — a partial per-partition
+    * top-n BEFORE the shuffle, so a 100 TB scan ships at most n rows per
+    * key per input partition, never whole groups.
+    */
+  def capPerKey(df: DataFrame, key: String, n: Int, ord: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(ord.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Deterministic hash sample (extension): keep rows whose md5(keyCol)
+    * falls under `hexThreshold8` (first 8 hex chars, lexicographic) —
+    * ~uniform sampling at rate threshold/16^8 that is reproducible on any
+    * cluster, any partitioning, any engine (md5 is engine-neutral, unlike
+    * rand() or engine hashes). The sampling DECISION rides the scan
+    * (codegen'd md5 + substring compare — no shuffle); the same key always
+    * samples the same way, so joins between two sampled tables stay
+    * consistent.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, hexThreshold8: String): DataFrame =
+    df.filter(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8) < lit(hexThreshold8))
 }

@@ -54,6 +54,20 @@ class AggregatesSpec extends SparkTestBase {
     for (k <- got.keySet) assert(got(k) == want(k), s"group $k: ${got(k)} vs ${want(k)}")
   }
 
+  test("exactPercentilesByKey ignores nulls, matching the percentile UDAF") {
+    import org.apache.spark.sql.functions.expr
+    val df = Seq(("a", Some(10)), ("a", None), ("a", Some(20)), ("b", None))
+      .toDF("k", "v")
+    val got = Aggregates.exactPercentilesByKey(df, "k", "v", Seq(0.5 -> "p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // percentile() over [10, 20] (null dropped) -> 15.0; group b: all null -> no row
+    assert(got == Map("a" -> 15.0))
+    val want = df.groupBy("k").agg(expr("percentile(v, 0.5)").as("p50"))
+      .filter(col("p50").isNotNull)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+  }
+
   test("scaled-long moment sums == decimal-domain reference on random 2-dec data (property)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType

@@ -107,6 +107,13 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("pairRecall on an empty exact set is vacuous 1.0, not null") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val some = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = graft.ext.Recall.pairRecall(empty, some).select("recall").head().getDouble(0)
+    assert(r == 1.0)
+  }
+
   test("measured pair recall: MinHash banding finds >= 0.95 of exact Jaccard pairs") {
     // 64 hashes / 16 bands has ~0.9998 theoretical recall at j=0.8; on the
     // sf0.01 corpus the measured value is 1.0. Deterministic — a drop below

@@ -96,4 +96,25 @@ class RelationalSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     assert(SparkEntry.queries.size >= 40)
   }
+
+  test("capPerKey keeps at most n rows per key, deterministically by ordinal") {
+    val df = Seq((1, 30), (1, 10), (1, 20), (1, 40), (2, 5)).toDF("k", "v")
+    val got = graft.operators.Relational.capPerKey(df, "k", 2, col("v"))
+      .as[(Int, Int)].collect().toSet
+    assert(got == Set((1, 10), (1, 20), (2, 5))) // two smallest per key
+  }
+
+  test("deterministicSample: stable subset, same key same verdict") {
+    val df = (1L to 1000L).toDF("id")
+    val s1 = graft.operators.Relational.deterministicSample(df, "id", "19999999")
+      .as[Long].collect().toSet
+    val s2 = graft.operators.Relational.deterministicSample(df, "id", "19999999")
+      .as[Long].collect().toSet
+    assert(s1 == s2)                      // reproducible
+    assert(s1.size > 50 && s1.size < 200) // ~1/10 rate, md5-uniform
+    // monotone: a larger threshold strictly widens the sample
+    val wider = graft.operators.Relational.deterministicSample(df, "id", "33333333")
+      .as[Long].collect().toSet
+    assert(s1.subsetOf(wider))
+  }
 }
