@@ -668,9 +668,15 @@ object SparkEntry {
 
     // ---- Winnowing (MOSS) fingerprints: substring-level dedup keys ------------
     "q75_winnowing" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        explode(TextAnalysis.winnowingFingerprints(col("text"), 3, 4)).as("fp"))
+      // explode_outer, NOT explode: for a plain explode the optimizer infers
+      // a `size(fps) > 0` pre-filter (InferFiltersFromGenerate) and pushes
+      // it below the staged projections — inlining the ENTIRE fingerprint
+      // expression into an interpreted per-row Filter (measured 300x
+      // slowdown). The outer form gets no inferred filter; the explicit
+      // null filter on the generator OUTPUT is unpushable and free.
+      TextAnalysis.winnowingFingerprints(t(s, dir, "documents"), "text", 3, 4, "fps")
+        .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+        .filter(col("fp").isNotNull)
     }),
 
     // ---- Interval join (batch form of the stream-stream join) -----------------

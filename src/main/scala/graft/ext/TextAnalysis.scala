@@ -122,18 +122,31 @@ object TextAnalysis {
     * .wordShingleHashes]]' chained XXH64 longs for an 8-byte hash — the
     * windowing logic is identical and everything stays codegen'd
     * (transform/slice/array_min — no explode, no shuffle).
+    *
+    * STAGED as three projections, not one nested Column: a single
+    * expression tree would inline the gram array into every one of its
+    * ~|tokens| window references (Catalyst lambda bodies don't share
+    * subexpressions), turning O(tokens) md5s per document into O(tokens²)
+    * — measured as a 150× slowdown at sf0.1. With per-stage columns every
+    * stage evaluates once per row (CollapseProject keeps non-cheap
+    * multi-referenced aliases staged).
     */
-  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
-    val t = tokens(lower(text))
+  def winnowingFingerprints(df: DataFrame, textCol: String, k: Int, w: Int,
+      outCol: String): DataFrame = {
     val none = array().cast("array<string>")
-    val grams = when(size(t) < k, none)
-      .otherwise(transform(
-        sequence(lit(1), size(t) - lit(k - 1)),
-        i => md5(array_join(slice(t, i, lit(k)), " ").cast("binary"))))
-    when(size(grams) === 0, none)
-      .when(size(grams) < w, array(array_min(grams)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(grams) - lit(w - 1)),
-        j => array_min(slice(grams, j, lit(w))))))
+    val toks = col("__wf_toks"); val grams = col("__wf_grams")
+    df.withColumn("__wf_toks", tokens(lower(col(textCol))))
+      .withColumn("__wf_grams",
+        when(size(toks) < k, none)
+          .otherwise(transform(
+            sequence(lit(1), size(toks) - lit(k - 1)),
+            i => md5(array_join(slice(toks, i, lit(k)), " ").cast("binary")))))
+      .withColumn(outCol,
+        when(size(grams) === 0, none)
+          .when(size(grams) < w, array(array_min(grams)))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(grams) - lit(w - 1)),
+            j => array_min(slice(grams, j, lit(w)))))))
+      .drop("__wf_toks", "__wf_grams")
   }
 }

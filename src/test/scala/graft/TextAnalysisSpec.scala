@@ -62,8 +62,8 @@ class TextAnalysisSpec extends SparkTestBase {
       (2L, s"nine eight $shared seven six"),
       (3L, "completely different words with no overlap at all here")
     ).toDF("id", "text")
-    val fps = docs.select(col("id"),
-        TextAnalysis.winnowingFingerprints(col("text"), k, w).as("fps"))
+    val fps = TextAnalysis.winnowingFingerprints(docs, "text", k, w, "fps")
+      .select("id", "fps")
       .as[(Long, Seq[String])].collect().toMap
     assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty) // the guarantee
     assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty)  // disjoint text
@@ -77,8 +77,8 @@ class TextAnalysisSpec extends SparkTestBase {
       (2L, "two tokens"),             // < k tokens -> no grams -> no fps
       (3L, "")
     ).toDF("id", "text")
-    val fps = docs.select(col("id"),
-        TextAnalysis.winnowingFingerprints(col("text"), 3, 4).as("fps"))
+    val fps = TextAnalysis.winnowingFingerprints(docs, "text", 3, 4, "fps")
+      .select("id", "fps")
       .as[(Long, Seq[String])].collect().toMap
     assert(fps(1L).size == 1)
     assert(fps(2L).isEmpty)
