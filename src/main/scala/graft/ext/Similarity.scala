@@ -185,28 +185,29 @@ object Similarity {
     * Exact all-pairs form; the LSH-bucketed variant above is the scale
     * path. `cos` is rounded to 6 dp for cross-engine comparability.
     */
-  /** Shared exact-verify tail of both near-dup pair forms: attach vectors
-    * and precomputed norms to (id_a, id_b) pairs, compute exact cosine,
-    * filter at the 6-dp-rounded threshold (the cross-engine comparability
+  /** Shared exact-verify tail of both near-dup pair forms: given a frame
+    * carrying (id_a, va, na, id_b, vb, nb), compute exact cosine and filter
+    * at the 6-dp-rounded threshold (the cross-engine comparability
     * contract — one place, so the exact and bucketed paths cannot diverge).
     */
-  private def verifyCosinePairs(pairs: DataFrame, base: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val va = base.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-      .withColumn("na", norm(col("va")))
-    val vb = base.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-      .withColumn("nb", norm(col("vb")))
-    pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+  private def finishCosinePairs(joined: DataFrame, threshold: Double): DataFrame =
+    joined
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(round(col("cos"), 6) >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-  }
+
+  private def withNorms(df: DataFrame, idCol: String, vecCol: String,
+      idOut: String, vecOut: String, normOut: String): DataFrame =
+    df.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
+      .withColumn(normOut, norm(col(vecOut)))
 
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val ids = df.select(col(idCol).as("id_a"))
-    val pairs = ids.join(df.select(col(idCol).as("id_b")), col("id_a") < col("id_b"))
-    verifyCosinePairs(pairs, df, idCol, vecCol, threshold)
+    // the vector-carrying rows join DIRECTLY (id_a < id_b): row-level
+    // semantics are preserved even when ids are not unique
+    val a = withNorms(df, idCol, vecCol, "id_a", "va", "na")
+    val b = withNorms(df, idCol, vecCol, "id_b", "vb", "nb")
+    finishCosinePairs(a.join(b, col("id_a") < col("id_b")), threshold)
   }
 
   /** Near-dup pairs, BUCKETED: the same output contract as
@@ -228,6 +229,8 @@ object Similarity {
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyCosinePairs(cand, df, idCol, vecCol, threshold)
+    val va = withNorms(df, idCol, vecCol, "id_a", "va", "na")
+    val vb = withNorms(df, idCol, vecCol, "id_b", "vb", "nb")
+    finishCosinePairs(cand.join(va, Seq("id_a")).join(vb, Seq("id_b")), threshold)
   }
 }

@@ -133,6 +133,8 @@ object TextAnalysis {
     */
   def winnowingFingerprints(df: DataFrame, textCol: String, k: Int, w: Int,
       outCol: String): DataFrame = {
+    require(!df.columns.contains("__wf_toks") && !df.columns.contains("__wf_grams"),
+      "input already carries a __wf_toks/__wf_grams column — it would be clobbered")
     val none = array().cast("array<string>")
     val toks = col("__wf_toks"); val grams = col("__wf_grams")
     df.withColumn("__wf_toks", tokens(lower(col(textCol))))

@@ -80,6 +80,10 @@ object Aggregates {
       (col(s"__lo_$name") + frac * (col(s"__hi_$name") - col(s"__lo_$name")))
         .cast("double").as(name)
     }
-    agg.select(col(key) +: outs: _*)
+    val computed = agg.select(col(key) +: outs: _*)
+    // groups whose values are ALL null have no histogram rows but must
+    // still appear (with null percentiles), exactly like percentile() /
+    // quantile_cont — restore them from the distinct key set
+    df.select(col(key)).distinct().join(computed, Seq(key), "left")
   }
 }

@@ -78,8 +78,12 @@ object HttpFetch {
     Files.createDirectories(dir)
     val target = dir.resolve(fileName)
     withRetries(cfg) { () =>
-      val tmp = Files.createTempFile(dir, s".$fileName", ".part")
+      // temp-file creation stays inside the retry scope: a transient
+      // staging-volume error (ENOSPC, concurrent cleanup) retries then
+      // yields None like any transport error — it must not crash the batch
+      var tmp: Path = null
       try {
+        tmp = Files.createTempFile(dir, s".$fileName", ".part")
         val resp = http.send(request(url, cfg).GET().build(),
           HttpResponse.BodyHandlers.ofFile(tmp))
         val code = resp.statusCode()
@@ -92,7 +96,7 @@ object HttpFetch {
         }
       } catch {
         case _: java.io.IOException =>
-          Files.deleteIfExists(tmp)
+          if (tmp != null) Files.deleteIfExists(tmp)
           Retry
       }
     }

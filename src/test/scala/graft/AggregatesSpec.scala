@@ -59,12 +59,12 @@ class AggregatesSpec extends SparkTestBase {
     val df = Seq(("a", Some(10)), ("a", None), ("a", Some(20)), ("b", None))
       .toDF("k", "v")
     val got = Aggregates.exactPercentilesByKey(df, "k", "v", Seq(0.5 -> "p50"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    // percentile() over [10, 20] (null dropped) -> 15.0; group b: all null -> no row
-    assert(got == Map("a" -> 15.0))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    // percentile() over [10, 20] (null dropped) -> 15.0; all-null group b
+    // still gets a row, with a NULL percentile — exactly like the UDAF
+    assert(got == Map("a" -> Some(15.0), "b" -> None))
     val want = df.groupBy("k").agg(expr("percentile(v, 0.5)").as("p50"))
-      .filter(col("p50").isNotNull)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
     assert(got == want)
   }
 

@@ -119,10 +119,14 @@ class DedupSpec extends SparkTestBase {
     // sf0.01 corpus the measured value is 1.0. Deterministic — a drop below
     // the floor means the banding or the size prefilter broke.
     val corpus = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "documents")
-    val r = graft.ext.Recall.pairRecall(
+    val row = graft.ext.Recall.pairRecall(
       Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 1, 0.8),
       Dedup.minhashLshPairs(corpus, "doc_id", "text", 1, 64, 16, 0.8))
-      .select("recall").head().getDouble(0)
+      .select("n_exact", "recall").head()
+    // a broken exact generator would make recall vacuously 1.0 — require a
+    // real denominator so the floor stays meaningful
+    assert(row.getLong(0) > 0, "exact pair generator returned no pairs")
+    val r = row.getDouble(1)
     assert(r >= 0.95, s"MinHash pair recall regressed: $r")
   }
 }

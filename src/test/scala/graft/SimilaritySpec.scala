@@ -86,10 +86,12 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("measured pair recall: bucketed cosine pairs vs exact all-pairs on corpus") {
-    val r = graft.ext.Recall.pairRecall(
+    val row = graft.ext.Recall.pairRecall(
       Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4),
       Similarity.cosineNearDupPairsBucketed(emb, "vec_id", "embedding", 0.4))
-      .select("recall").head().getDouble(0)
+      .select("n_exact", "recall").head()
+    assert(row.getLong(0) > 0, "exact pair generator returned no pairs")
+    val r = row.getDouble(1)
     assert(r >= 0.5, s"bucketed cosine pair recall regressed: $r")
   }
 
