@@ -83,7 +83,11 @@ object Aggregates {
     val computed = agg.select(col(key) +: outs: _*)
     // groups whose values are ALL null have no histogram rows but must
     // still appear (with null percentiles), exactly like percentile() /
-    // quantile_cont — restore them from the distinct key set
-    df.select(col(key)).distinct().join(computed, Seq(key), "left")
+    // quantile_cont — restore them from the distinct key set. The join is
+    // null-safe (<=>): NULL is an ordinary group key to percentile(), so a
+    // NULL-key group must keep its computed percentiles, not be re-nulled.
+    val keys = df.select(col(key)).distinct()
+    keys.join(computed, keys(key) <=> computed(key), "left")
+      .select(keys(key) +: ps.map { case (_, name) => computed(name) }: _*)
   }
 }

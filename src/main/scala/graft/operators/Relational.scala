@@ -42,14 +42,18 @@ object Relational {
 
   /** Cap rows per key (extension): keep at most `n` rows per `key`,
     * selected deterministically by `ord` ascending (e.g. cap documents per
-    * source domain in a training-data pipeline). Plans as a ranked window
-    * that Spark serves with WindowGroupLimitExec — a partial per-partition
-    * top-n BEFORE the shuffle, so a 100 TB scan ships at most n rows per
-    * key per input partition, never whole groups.
+    * source domain in a training-data pipeline). Ties on `ord` are broken
+    * by a content hash of the whole row, so the selection is reproducible
+    * across runs and partitionings even when `ord` is not unique per key
+    * (exact duplicate rows remain interchangeable, which is harmless).
+    * Plans as a ranked window that Spark serves with WindowGroupLimitExec —
+    * a partial per-partition top-n BEFORE the shuffle, so a 100 TB scan
+    * ships at most n rows per key per input partition, never whole groups.
     */
   def capPerKey(df: DataFrame, key: String, n: Int, ord: Column): DataFrame = {
+    val tieBreak = xxhash64(df.columns.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(ord.asc)
+      .partitionBy(col(key)).orderBy(ord.asc, tieBreak.asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")

@@ -65,8 +65,10 @@ object HttpFetch {
     *
     * Returns Some(path) on 2xx; None on 4xx; retries connect/transport
     * errors and 5xx up to `maxRetries` times, then None. The write is
-    * atomic (temp file + move) so a concurrent [[Tables.csv]] scan never
-    * sees a half-written file; failed attempts delete their temp file.
+    * atomic (temp file + ATOMIC_MOVE rename) wherever the staging
+    * filesystem supports atomic rename, best-effort (plain move) elsewhere,
+    * so a concurrent [[Tables.csv]] scan never sees a half-written file;
+    * failed attempts delete their temp file.
     */
   def fetchToStaging(url: String, stagingDir: String, fileName: String,
       cfg: FetchConfig = FetchConfig()): Option[Path] =
@@ -88,7 +90,15 @@ object HttpFetch {
           HttpResponse.BodyHandlers.ofFile(tmp))
         val code = resp.statusCode()
         if (code >= 200 && code < 300) {
-          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+          // publish via atomic rename where the filesystem supports it so a
+          // concurrent Tables.csv scan never observes a half-written target;
+          // fall back to a plain (best-effort) move elsewhere
+          try Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.AtomicMoveNotSupportedException =>
+              Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+          }
           Done(target)
         } else {
           Files.deleteIfExists(tmp)

@@ -73,13 +73,21 @@ object Jdbc {
   }
 
   /** Driver-side existence probe via JDBC metadata (identifier case depends
-    * on the database's fold rule, so the compare is case-insensitive).
+    * on the database's fold rule, so the compare is case-insensitive). The
+    * scan is restricted to the connection's current schema when the driver
+    * reports one — a same-named table in another schema must not read as
+    * "exists" or [[upsertJdbc]] would skip creation and then append into a
+    * table the default schema doesn't have.
     */
   def tableExists(url: String, table: String,
       connProps: Properties = new Properties()): Boolean = {
     val conn = DriverManager.getConnection(url, connProps)
     try {
-      val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+      // getSchema is JDBC 4.1 but some drivers still throw/return null —
+      // fall back to the all-schemas scan only in that case
+      val schemaPattern =
+        try conn.getSchema catch { case _: Throwable => null }
+      val rs = conn.getMetaData.getTables(null, schemaPattern, null, Array("TABLE"))
       var found = false
       while (!found && rs.next())
         found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)

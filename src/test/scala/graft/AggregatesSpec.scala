@@ -68,6 +68,22 @@ class AggregatesSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("exactPercentilesByKey keeps computed percentiles for a NULL group key") {
+    import org.apache.spark.sql.functions.expr
+    // NULL is an ordinary group to percentile()/quantile_cont: a NULL-key
+    // group with non-null values must keep its computed percentiles (the
+    // restore join is null-safe), and an all-null NULL-key group still rows
+    val df = Seq((Option("a"), Some(10)), (None, Some(4)), (None, Some(8)),
+      (Option("a"), Some(20)), (Option("b"), Option.empty[Int]))
+      .toDF("k", "v")
+    val got = Aggregates.exactPercentilesByKey(df, "k", "v", Seq(0.5 -> "p50"))
+      .collect().map(r => Option(r.getString(0)) -> Option(r.get(1))).toMap
+    val want = df.groupBy("k").agg(expr("percentile(v, 0.5)").as("p50"))
+      .collect().map(r => Option(r.getString(0)) -> Option(r.get(1))).toMap
+    assert(got == Map(Some("a") -> Some(15.0), None -> Some(6.0), Some("b") -> None))
+    assert(got == want)
+  }
+
   test("scaled-long moment sums == decimal-domain reference on random 2-dec data (property)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
