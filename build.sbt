@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked run output goes straight to this process's stdout/stderr instead
+// of through sbt's logger: no "[info] " prefix on the Bench JSON line (the
+// driver parses raw stdout) and no logger-side truncation of long lines
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -30,7 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // noise instead of measurements, and a small -Xms charges the first heavy
   // query for the whole heap ramp
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  // pre-size the heap only up to the max: SPARK_DRIVER_MEM below 16g would
-  // otherwise conflict with a fixed -Xms and abort JVM start
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // NO -Xms: measured on this box (round 3), pre-committing a large initial
+  // heap makes the bench 1.4-3x SLOWER with erratic per-query spikes —
+  // first-touch page faults on the up-front 16 GiB cost far more than the
+  // incremental heap growth they were meant to avoid. Let the heap grow.
 )
