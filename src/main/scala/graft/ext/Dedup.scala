@@ -66,11 +66,71 @@ object Dedup {
     // Discovery runs on one representative per distinct shingle set
     // (setRepresentatives); results expand back to document pairs at the end.
     val (reps, members) = setRepresentatives(df, idCol, textCol, n)
-    val repPairs =
-      if (threshold >= 0.9) partitionedSetPairs(reps, threshold)
-      else if (threshold >= 0.5) prefixFilteredSetPairs(reps, threshold)
-      else countedSetPairs(reps, threshold)
+    val repPairs = smallUniverse(df, textCol, n) match {
+      // tiny-universe corpora (<= 64 distinct shingles — the hot-vocab case
+      // where token-frequency pruning is useless): sets become 64-bit masks,
+      // pair discovery becomes popcount arithmetic — see bitmaskSetPairs
+      case Some(universe) => bitmaskSetPairs(reps, threshold, universe)
+      case None =>
+        if (threshold >= 0.9) partitionedSetPairs(reps, threshold)
+        else if (threshold >= 0.5) prefixFilteredSetPairs(reps, threshold)
+        else countedSetPairs(reps, threshold)
+    }
     expandSetPairs(repPairs, members)
+  }
+
+  /** Probe whether the corpus' distinct-shingle universe fits in `maxBits`
+    * bits; Some(sorted universe) if so. Two phases so the common case (big
+    * universe) stays cheap: a 256-document LOCAL sample first — LocalLimit
+    * stops the scan after one partition-ish of rows, no shuffle — and only
+    * when the sample already fits do we pay the full distinct pass (one
+    * shuffle of unique 8-byte hashes, trivially cheap next to the pairwise
+    * job it unlocks). The sample can only under-count, so the full probe is
+    * the correctness gate.
+    */
+  private def smallUniverse(
+      df: DataFrame, textCol: String, n: Int, maxBits: Int = 64): Option[Array[Long]] = {
+    val sample = df.select(hashedShingles(col(textCol), n).as("sh")).limit(256)
+      .select(explode(col("sh")).as("s")).distinct().limit(maxBits + 1).count()
+    if (sample > maxBits) return None
+    val u = df.select(explode(hashedShingles(col(textCol), n)).as("s"))
+      .distinct().limit(maxBits + 1).collect().map(_.getLong(0))
+    if (u.length <= maxBits) Some(u.sorted) else None
+  }
+
+  /** Shingle-set column as a 64-bit bitmask over a (collected, <= 64-entry)
+    * universe — bit i set iff universe(i) ∈ set. The universe is a model
+    * parameter the same way IVF centroids are: driver-resident by contract.
+    */
+  private def setMask(sh: Column, universe: Array[Long]): Column = {
+    val lut = typedLit(universe.toSeq)
+    aggregate(sh, lit(0L), (acc, s) =>
+      acc.bitwiseOR(call_function("shiftleft", lit(1L),
+        (array_position(lut, s) - 1).cast("int"))))
+  }
+
+  /** Tiny-universe exact-Jaccard path: every distinct shingle set is one
+    * Long, |A∩B| / |A∪B| is two popcounts, and pair discovery is a
+    * broadcast nested-loop join over DISTINCT SETS ONLY (a few thousand
+    * rows even for corpora of millions of documents — hot-vocab corpora
+    * have few distinct sets by construction). Compared to the inverted-
+    * index paths this skips candidate generation AND the multi-million-row
+    * candidate distinct: on a 31-token corpus every token is in ~every
+    * document, so an index prunes nothing and Σ df² explodes, while R²/2
+    * mask pairs at ~1 ns of bit arithmetic each is the cheapest exact
+    * answer available. Falls out of scope automatically (smallUniverse →
+    * None) the moment the vocabulary grows past 64 shingles.
+    */
+  private def bitmaskSetPairs(
+      reps: DataFrame, threshold: Double, universe: Array[Long]): DataFrame = {
+    val masked = reps.select(col("skey"), setMask(col("sh"), universe).as("mask"))
+    val a = masked.select(col("skey").as("skey_a"), col("mask").as("m_a"))
+    val b = masked.select(col("skey").as("skey_b"), col("mask").as("m_b"))
+    def inter = bit_count(col("m_a").bitwiseAND(col("m_b")))
+    def uni = bit_count(col("m_a").bitwiseOR(col("m_b")))
+    def jac = inter.cast("double") / uni.cast("double")
+    a.join(broadcast(b), col("skey_a") < col("skey_b") && jac >= lit(threshold))
+      .select(col("skey_a"), col("skey_b"), jac.as("jaccard"))
   }
 
   /** Very-high-threshold path (PartEnum-style partition filtering): hash-
@@ -307,37 +367,62 @@ object Dedup {
     val sig = reps.select(
       col("skey"), col("sh"), col("sh_size"),
       GraftFunctions.minhash(col("sh"), numHashes).as("sig"))
-    val banded = sig.select(
-      col("skey"), col("sh_size"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b, array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("skey").as("skey_a"), col("sh_size").as("size_a"))
-    val rgt = banded.select(col("band"), col("bucket"), col("skey").as("skey_b"), col("sh_size").as("size_b"))
-    // Size-compatibility prefilter (same bound the Jaccard prefix path uses at
-    // [[exactSetPairs]]): j(a,b) <= min/max, so j >= t requires
-    // t*|a| <= |b| <= |a|/t. Applied on the raw band join, BEFORE the
-    // distinct and the full-set fetch joins, it discards impossible pairs
-    // while they are still 16-byte key rows — on flood-prone corpora (hot
-    // vocab => band buckets collide) this is the difference between
-    // verifying every bucket pair and verifying only feasible ones.
-    val candidates = l.join(rgt, Seq("band", "bucket"))
-      .filter(col("skey_a") < col("skey_b") &&
-        col("size_b") >= col("size_a") * lit(verifyThreshold) &&
-        col("size_a") >= col("size_b") * lit(verifyThreshold))
-      .select("skey_a", "skey_b").distinct()
-    // exact verify on candidates only (codegen'd sorted-merge intersection)
-    val full = reps.select(col("skey"), col("sh"))
-    val repPairs = candidates
-      .join(full.select(col("skey").as("skey_a"), col("sh").as("sh_a")), Seq("skey_a"))
-      .join(full.select(col("skey").as("skey_b"), col("sh").as("sh_b")), Seq("skey_b"))
-      .withColumn("common", GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("common")))
-      .filter(col("jaccard") >= verifyThreshold)
-      .select("skey_a", "skey_b", "jaccard")
+    val withBuckets = sig.withColumn("buckets", transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(lit("band"), b, array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))
+    // The emitted pair set is (shares >= 1 band bucket) AND (exact jaccard
+    // >= t) — a commutative conjunction. On tiny-universe corpora (the
+    // hot-vocab regime where band buckets flood into tens of millions of
+    // candidate rows), evaluate it in the CHEAP order: popcount-verify
+    // first (64-bit set masks, ~2 ns, highly selective), band membership
+    // second as 16 long compares — over a broadcast nested-loop join of
+    // DISTINCT SETS only. No banding explode, no candidate shuffle, no
+    // distinct. Identical output by construction. Falls back to the
+    // banded equi-join the moment the vocabulary or the distinct-set count
+    // outgrows the regime (the only regime where the flood exists at all).
+    val tinyPath = smallUniverse(df, textCol, n).flatMap { universe =>
+      val masked = withBuckets.select(
+        col("skey"), col("sh_size"), col("buckets"),
+        setMask(col("sh"), universe).as("mask")).localCheckpoint()
+      // distinct-set count gate: O(R²/2) condition evals must stay cheap
+      if (masked.count() > 65536) None else Some {
+        val a = masked.select(col("skey").as("skey_a"), col("sh_size").as("size_a"),
+          col("buckets").as("bks_a"), col("mask").as("m_a"))
+        val b = masked.select(col("skey").as("skey_b"), col("sh_size").as("size_b"),
+          col("buckets").as("bks_b"), col("mask").as("m_b"))
+        def inter = bit_count(col("m_a").bitwiseAND(col("m_b")))
+        def uni = bit_count(col("m_a").bitwiseOR(col("m_b")))
+        def jacM = inter.cast("double") / uni.cast("double")
+        a.join(broadcast(b),
+          col("skey_a") < col("skey_b") &&
+            col("size_b") >= col("size_a") * lit(verifyThreshold) &&
+            col("size_a") >= col("size_b") * lit(verifyThreshold) &&
+            jacM >= lit(verifyThreshold) &&
+            GraftFunctions.firstEqualIndex(col("bks_a"), col("bks_b")) >= lit(0))
+          .select(col("skey_a"), col("skey_b"), jacM.as("jaccard"))
+      }
+    }
+    val repPairs = tinyPath.getOrElse {
+      // General path: band-bucket equi-join for candidates, size prefilter
+      // before the distinct, exact verify on fetched full sets.
+      val banded = withBuckets
+        .select(col("skey"), col("sh_size"), posexplode(col("buckets")))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      val l = banded.select(col("band"), col("bucket"), col("skey").as("skey_a"), col("sh_size").as("size_a"))
+      val rgt = banded.select(col("band"), col("bucket"), col("skey").as("skey_b"), col("sh_size").as("size_b"))
+      // Size-compatibility prefilter (same bound the Jaccard prefix path
+      // uses): j(a,b) <= min/max, so j >= t requires t*|a| <= |b| <= |a|/t.
+      // Applied on the raw band join, BEFORE the distinct and the full-set
+      // fetch joins, it discards impossible pairs while they are still
+      // 16-byte key rows.
+      val candidates = l.join(rgt, Seq("band", "bucket"))
+        .filter(col("skey_a") < col("skey_b") &&
+          col("size_b") >= col("size_a") * lit(verifyThreshold) &&
+          col("size_a") >= col("size_b") * lit(verifyThreshold))
+        .select("skey_a", "skey_b").distinct()
+      // exact verify on candidates only (codegen'd sorted-merge intersection)
+      verifySetPairs(reps, candidates, verifyThreshold)
+    }
     expandSetPairs(repPairs, members)
   }
 

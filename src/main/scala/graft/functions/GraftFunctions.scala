@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{FirstContainsIndex, FloatVectorDot, MinHashSignature, SimHash64, SortedLongIntersectSize, WordShingleHashes}
+import graft.functions.expressions.{FirstContainsIndex, FirstEqualIndex, FloatVectorDot, MinHashSignature, SimHash64, SortedLongIntersectSize, WordShingleHashes}
 
 /** Registry for the engine's native Catalyst expressions.
   *
@@ -29,6 +29,7 @@ object GraftFunctions {
     "graft_word_shingle_hashes" -> (args => WordShingleHashes(args(0),
       args(1).eval(null).asInstanceOf[Int])),
     "graft_simhash" -> (args => SimHash64(args(0))),
+    "graft_first_equal_index" -> (args => FirstEqualIndex(args(0), args(1))),
     // first_contains_index(haystack, array('needle1', ...)): second arg must
     // be a foldable array<string> literal (the lowercased dim vocabulary)
     "graft_first_contains_index" -> (args => FirstContainsIndex(args(0), {
@@ -68,6 +69,10 @@ object GraftFunctions {
 
   /** 64-bit SimHash of a text column (occurrence-weighted token bits). */
   def simhash64(text: Column): Column = call_function("graft_simhash", text)
+
+  /** 0-based first index where two array<long> columns agree; -1 if none. */
+  def firstEqualIndex(a: Column, b: Column): Column =
+    call_function("graft_first_equal_index", a, b)
 
   /** 0-based index of the first needle contained in lower(haystack). */
   def firstContainsIndex(haystack: Column, needlesLower: Seq[String]): Column =

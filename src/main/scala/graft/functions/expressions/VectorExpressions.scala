@@ -266,6 +266,54 @@ object SimHash64 {
   }
 }
 
+/** 0-based index of the first position where two equal-length array<long>
+  * columns hold the same value; -1 when no position matches. The LSH
+  * band-join dedup predicate: a candidate pair found in several band
+  * buckets is kept only where `first_equal_index(buckets_a, buckets_b) ==
+  * band`, which emits each pair exactly once WITHOUT a multi-million-row
+  * `distinct` shuffle. A zip_with/array_position formulation is ~100×
+  * slower here: higher-order lambdas are interpreted per element and
+  * allocate a boolean array per pair, and this predicate runs once per raw
+  * band-join match.
+  */
+case class FirstEqualIndex(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_equal_index"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $res = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { $res = $i; break; }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Dot product of two array<float> embeddings, accumulated in double in
   * element order — a deterministic sequential fold, bit-reproducible on any
   * cluster. Codegen is a primitive float[] loop (SIMD-friendly after JIT).

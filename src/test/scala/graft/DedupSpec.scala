@@ -90,6 +90,53 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("bitmask (tiny-universe) and general Jaccard paths agree exactly") {
+    // The tiny-vocab corpora above all dispatch to the 64-bit-mask path.
+    // Busting the universe with ONE extra document of >64 unique tokens
+    // forces the general (prefix/counted/partitioned) paths WITHOUT
+    // changing any other document's shingle set — so the pair sets over
+    // the original ids must be identical (the poison doc pairs with
+    // nothing: its tokens are unique).
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val corpus = (1L to 30L).map { id =>
+      (id, Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val poison = (999L, (1 to 70).map(i => s"rareword$i").mkString(" "))
+    val tiny = corpus.toDF("doc_id", "text")
+    val busted = (corpus :+ poison).toDF("doc_id", "text")
+    for (t <- Seq(0.2, 0.6, 0.95)) {
+      val a = Dedup.ngramJaccardPairs(tiny, "doc_id", "text", 1, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val b = Dedup.ngramJaccardPairs(busted, "doc_id", "text", 1, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(a == b, s"threshold $t")
+    }
+  }
+
+  test("tiny-universe BNLJ and banded LSH paths agree exactly") {
+    // Same poison-document trick for minhashLshPairs: signatures and band
+    // buckets depend only on a document's own set, so the banded general
+    // path over the busted corpus must produce exactly the tiny-universe
+    // path's pairs (the poison doc shares no band content with anything
+    // at verify >= 0.5).
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a1", "b2", "c3", "d4", "e5", "f6", "g7", "h8", "i9", "j10")
+    val corpus = (1L to 40L).map { id =>
+      (id, Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val poison = (999L, (1 to 70).map(i => s"unique$i").mkString(" "))
+    val tiny = corpus.toDF("doc_id", "text")
+    val busted = (corpus :+ poison).toDF("doc_id", "text")
+    val a = Dedup.minhashLshPairs(tiny, "doc_id", "text", n = 1,
+      numHashes = 16, bands = 4, verifyThreshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.minhashLshPairs(busted, "doc_id", "text", n = 1,
+      numHashes = 16, bands = 4, verifyThreshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
   test("connectedComponents propagates labels across chains, keeps singletons") {
     val nodes = (1L to 6L).toDF("id")
     // chain 1-2-3, pair 4-5, isolated 6

@@ -47,6 +47,17 @@ class ExpressionEdgeSpec extends SparkTestBase {
     assert(got == Seq(0, 0, 3))
   }
 
+  test("firstEqualIndex: first match, no match, unequal lengths") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(9L, 2L, 3L)), // first agreement at index 1
+      (Seq(1L, 2L), Seq(3L, 4L)),         // no agreement -> -1
+      (Seq(7L, 8L, 9L), Seq(7L)),         // zipped to the shorter side
+      (Seq.empty[Long], Seq(1L))          // empty -> -1
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.firstEqualIndex(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(got == Seq(1, -1, 0, -1))
+  }
+
   test("firstContainsIndex: no needles, empty haystack, overlap priority") {
     val df = Seq("abc def", "").toDF("t")
     val none = df.select(GraftFunctions.firstContainsIndex(col("t"), Seq.empty)).as[Option[Int]].collect()
