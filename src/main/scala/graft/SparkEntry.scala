@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Fns
 import graft.operators.{Aggregates, Joins, Relational, Upsert}
-import graft.ext.{Dedup, Imputation, Multimodal, Recall, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Imputation, Multimodal, Profiling, Recall, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — the operator catalog (SURVEY.md §2) plus the
@@ -664,6 +664,18 @@ object SparkEntry {
     "q77_hash_sample" -> ((s, dir) => {
       Relational.deterministicSample(t(s, dir, "documents"), "doc_id", "19999999")
         .select(col("doc_id"))
+    }),
+
+    // ---- PII redaction (email / phone / digit-run scrub, codegen projection) ---
+    "q78_redact" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_custkey"), TextAnalysis.redact(col("c_name")).as("redacted"))
+    }),
+
+    // ---- Column profiling (single-scan melt + one grouped aggregate) ----------
+    "q79_profile" -> ((s, dir) => {
+      Profiling.columnProfile(t(s, dir, "part"),
+        Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"))
     }),
 
     // ---- Winnowing (MOSS) fingerprints: substring-level dedup keys ------------
@@ -1420,6 +1432,37 @@ object SparkEntry {
     "q77_hash_sample" -> """
       SELECT doc_id FROM documents
       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'""",
+
+    // same RE2-safe pattern strings as TextAnalysis.redactions, same order
+    "q78_redact" -> """
+      SELECT c_custkey,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c_name,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
+          '[0-9]{4,}', '<NUM>', 'g') AS redacted
+      FROM customer""",
+
+    "q79_profile" -> """
+      SELECT 'p_partkey' AS column_name, count(*) AS n_rows,
+        count(*) - count(p_partkey) AS null_count,
+        count(DISTINCT p_partkey) AS n_distinct,
+        min(CAST(p_partkey AS VARCHAR)) AS min_value,
+        max(CAST(p_partkey AS VARCHAR)) AS max_value FROM part
+      UNION ALL
+      SELECT 'p_name', count(*), count(*) - count(p_name),
+        count(DISTINCT p_name), min(p_name), max(p_name) FROM part
+      UNION ALL
+      SELECT 'p_brand', count(*), count(*) - count(p_brand),
+        count(DISTINCT p_brand), min(p_brand), max(p_brand) FROM part
+      UNION ALL
+      SELECT 'p_type', count(*), count(*) - count(p_type),
+        count(DISTINCT p_type), min(p_type), max(p_type) FROM part
+      UNION ALL
+      SELECT 'p_size', count(*), count(*) - count(p_size),
+        count(DISTINCT p_size), min(CAST(p_size AS VARCHAR)),
+        max(CAST(p_size AS VARCHAR)) FROM part""",
 
     "q75_winnowing" -> s"""
       WITH tk AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS t FROM documents),

@@ -99,6 +99,24 @@ object TextAnalysis {
           + (lit(1.0) - least(lit(1.0), col("punct_ratio") * lit(10.0))) * lit(0.25))
   }
 
+  /** PII redaction patterns, in application order. Deliberately RE2-safe
+    * (no lookaround, no backreferences) so the exact same pattern strings
+    * run on any regex engine — Spark/Java here, RE2 in an oracle engine —
+    * with identical results; leftmost-greedy matching is common to both.
+    */
+  val redactions: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9 ()-]{6,}[0-9]" -> "<PHONE>",
+    "[0-9]{4,}" -> "<NUM>")
+
+  /** Scrub emails, phone-shaped runs, then residual long digit runs from a
+    * text column — the standard pre-training PII pass. Pure codegen'd
+    * projection (regexp_replace is whole-stage-codegen'd): rides the scan,
+    * no shuffle, no UDF.
+    */
+  def redact(text: Column): Column =
+    redactions.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+
   /** OpenRefine-style key-collision fingerprint: lowercase, split on
     * whitespace, dedupe, sort, rejoin, md5. Two documents with the same
     * bag of words collide — a cheap exact-normalized-dup key that needs

@@ -55,4 +55,21 @@ object Tables {
     */
   def csv(spark: SparkSession, paths: String*): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*)
+
+  /** Newline-delimited JSON source (the other staging format an HTTP feed
+    * commonly lands). Schema is inferred from the data; pass a DDL via
+    * `schema` to skip the inference pass on large inputs — at scale,
+    * inference is a full extra read.
+    */
+  def json(spark: SparkSession, paths: Seq[String], schema: Option[String] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(paths: _*)
+  }
+
+  /** ORC source — columnar like parquet, same pushdown/pruning behavior
+    * through the DSv2 scan (PushedFilters/ReadSchema appear in explain the
+    * same way), for lakes standardized on ORC.
+    */
+  def orc(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.orc(paths: _*)
 }

@@ -137,14 +137,30 @@ object Streams {
     * mandatory for stream-stream joins, since the time bound plus the
     * watermarks is what lets Spark evict buffered join state (state is
     * bounded by watermark + interval width, not by stream length).
+    *
+    * `joinType` extends the semantics to outer variants: with
+    * `"left_outer"` an unmatched left row is emitted null-padded — but
+    * only once the watermark has passed its match interval, since until
+    * then a matching right row could still arrive. (Inner results stream
+    * out immediately; outer-null results are inherently watermark-delayed.
+    * That is Spark's contract for outer stream-stream joins, and exactly
+    * the behavior a "clicks without a purchase within the hour" feed
+    * needs.) `"left_semi"` emits each left row at most once on first
+    * match.
     */
   def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
       watermark: String, before: String, after: String,
-      tsLeft: String = "ts", tsRight: String = "ts"): DataFrame =
-    intervalJoin(
-      left.withWatermark(tsLeft, watermark),
-      right.withWatermark(tsRight, watermark),
-      key, before, after, tsLeft, tsRight)
+      tsLeft: String = "ts", tsRight: String = "ts",
+      joinType: String = "inner"): DataFrame = {
+    val wl = left.withWatermark(tsLeft, watermark)
+    val wr = right.withWatermark(tsRight, watermark)
+    val r = wr.columns.foldLeft(wr)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    wl.join(r,
+      col(key) === col(s"r_$key") &&
+        col(s"r_$tsRight") >= col(tsLeft) - expr(s"INTERVAL $before") &&
+        col(s"r_$tsRight") <= col(tsLeft) + expr(s"INTERVAL $after"),
+      joinType)
+  }
 
   /** Stream-static enrichment (J1/J5 carried to streaming): every
     * micro-batch hash-joins against the broadcast dimension — the static

@@ -70,6 +70,38 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoinStream left_outer emits unmatched rows null-padded after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val buys = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streams.intervalJoinStream(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      buys.toDF().toDF("user_id", "ts", "event_id"),
+      "user_id", "10 minutes", "0 seconds", "1 hour", joinType = "left_outer")
+      .select(col("event_id"), col("r_event_id"))
+    val q = joined.writeStream.format("memory").queryName("ij_outer_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (7L, ts("2024-01-01 10:00:00"), 1L),  // will match
+        (9L, ts("2024-01-01 10:00:00"), 2L))  // never matches
+      buys.addData((7L, ts("2024-01-01 10:30:00"), 10L))
+      q.processAllAvailable()
+      // outer-null results are watermark-delayed by contract: advance event
+      // time on BOTH streams far past click 2's match interval + watermark
+      clicks.addData((99L, ts("2024-01-01 15:00:00"), 3L))
+      buys.addData((98L, ts("2024-01-01 15:00:00"), 11L))
+      q.processAllAvailable()
+      // one more batch so the new watermark is applied to buffered state
+      clicks.addData((97L, ts("2024-01-01 16:00:00"), 4L))
+      buys.addData((96L, ts("2024-01-01 16:00:00"), 12L))
+      q.processAllAvailable()
+      val got = spark.table("ij_outer_out").as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((1L, Some(10L))))  // inner result, streamed immediately
+      assert(got.contains((2L, None)))       // unmatched, emitted after watermark
+    } finally q.stop()
+  }
+
   test("sessionizeStream emits sessions via flatMapGroupsWithState timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]

@@ -84,4 +84,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(2L).isEmpty)
     assert(fps(3L).isEmpty)
   }
+
+  test("redact scrubs emails, phone runs, and residual digit runs") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      "contact jane.doe+spam@ex-ample.co.uk now",
+      "call +1 (555) 123-4567 today",
+      "ref 123456789 is phone-shaped, pin 123456 is not, short 123 stays",
+      "clean text"
+    ).toDF("t")
+    val got = df.select(TextAnalysis.redact(col("t"))).as[String].collect().toSeq
+    assert(got(0) == "contact <EMAIL> now")
+    assert(got(1) == "call <PHONE> today")
+    // 8+ digit-ish runs read as phones; 4-7 digit runs fall through to <NUM>
+    assert(got(2) == "ref <PHONE> is phone-shaped, pin <NUM> is not, short 123 stays")
+    assert(got(3) == "clean text")
+  }
 }
