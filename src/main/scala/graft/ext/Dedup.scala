@@ -66,18 +66,35 @@ object Dedup {
     // Discovery runs on one representative per distinct shingle set
     // (setRepresentatives); results expand back to document pairs at the end.
     val (reps, members) = setRepresentatives(df, idCol, textCol, n)
-    val repPairs = smallUniverse(df, textCol, n) match {
+    val repPairs = smallUniverse(df, textCol, n)
       // tiny-universe corpora (<= 64 distinct shingles — the hot-vocab case
       // where token-frequency pruning is useless): sets become 64-bit masks,
-      // pair discovery becomes popcount arithmetic — see bitmaskSetPairs
-      case Some(universe) => bitmaskSetPairs(reps, threshold, universe)
-      case None =>
+      // pair discovery becomes popcount arithmetic — see bitmaskSetPairs.
+      // Gated on the distinct-set count too (counted over 8-byte keys, no
+      // arrays shuffled): the O(R²/2) loop join must stay bounded even
+      // though a tiny vocabulary USUALLY implies few distinct sets.
+      .filter(_ => distinctSetCount(members) <= maxBnljSets)
+      .map(universe => bitmaskSetPairs(reps, threshold, universe))
+      .getOrElse {
         if (threshold >= 0.9) partitionedSetPairs(reps, threshold)
         else if (threshold >= 0.5) prefixFilteredSetPairs(reps, threshold)
         else countedSetPairs(reps, threshold)
-    }
+      }
     expandSetPairs(repPairs, members)
   }
+
+  /** Upper bound on distinct sets for the broadcast-loop-join fast paths:
+    * 64 k rows ⇒ ≤ ~2.1 G cheap condition evals, seconds on any executor
+    * fleet and a ~1 MB broadcast.
+    */
+  private val maxBnljSets = 65536L
+
+  /** Distinct-set count, shuffling only the 8-byte set keys — the cheap
+    * plan-choice probe the BNLJ gates run BEFORE building masks or
+    * materializing anything.
+    */
+  private def distinctSetCount(members: DataFrame): Long =
+    members.select(col("skey")).distinct().count()
 
   /** Probe whether the corpus' distinct-shingle universe fits in `maxBits`
     * bits; Some(sorted universe) if so. Two phases so the common case (big
@@ -123,7 +140,10 @@ object Dedup {
     */
   private def bitmaskSetPairs(
       reps: DataFrame, threshold: Double, universe: Array[Long]): DataFrame = {
+    // materialized once (<= maxBnljSets 16-byte rows — the gate already
+    // passed) so the rep pipeline doesn't recompute for each join side
     val masked = reps.select(col("skey"), setMask(col("sh"), universe).as("mask"))
+      .localCheckpoint()
     val a = masked.select(col("skey").as("skey_a"), col("mask").as("m_a"))
     val b = masked.select(col("skey").as("skey_b"), col("mask").as("m_b"))
     def inter = bit_count(col("m_a").bitwiseAND(col("m_b")))
@@ -381,11 +401,13 @@ object Dedup {
     // banded equi-join the moment the vocabulary or the distinct-set count
     // outgrows the regime (the only regime where the flood exists at all).
     val tinyPath = smallUniverse(df, textCol, n).flatMap { universe =>
-      val masked = withBuckets.select(
-        col("skey"), col("sh_size"), col("buckets"),
-        setMask(col("sh"), universe).as("mask")).localCheckpoint()
-      // distinct-set count gate: O(R²/2) condition evals must stay cheap
-      if (masked.count() > 65536) None else Some {
+      // distinct-set count gate BEFORE building masks or materializing
+      // anything: a rejection costs one key-only counting pass, not a
+      // wasted full signature+mask materialization
+      if (distinctSetCount(members) > maxBnljSets) None else Some {
+        val masked = withBuckets.select(
+          col("skey"), col("sh_size"), col("buckets"),
+          setMask(col("sh"), universe).as("mask")).localCheckpoint()
         val a = masked.select(col("skey").as("skey_a"), col("sh_size").as("size_a"),
           col("buckets").as("bks_a"), col("mask").as("m_a"))
         val b = masked.select(col("skey").as("skey_b"), col("sh_size").as("size_b"),

@@ -26,8 +26,10 @@ object Profiling {
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
+    require(cols.distinct == cols, s"duplicate columns in profile list: $cols")
     val pairs = cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
-    df.select(stack((lit(cols.size) +: pairs): _*).as(Seq("column_name", "value")))
+    val profiled = df
+      .select(stack((lit(cols.size) +: pairs): _*).as(Seq("column_name", "value")))
       .groupBy(col("column_name"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -35,5 +37,16 @@ object Profiling {
         countDistinct(col("value")).as("n_distinct"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
+    // contract: one row per profiled column even when the input is empty
+    // (zero counts, null min/max) — matching what per-column scalar
+    // aggregates produce on an empty table
+    import df.sparkSession.implicits._
+    val names = cols.toDF("column_name")
+    names.join(profiled, Seq("column_name"), "left")
+      .select(col("column_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("null_count"), lit(0L)).as("null_count"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
   }
 }

@@ -266,15 +266,16 @@ object SimHash64 {
   }
 }
 
-/** 0-based index of the first position where two equal-length array<long>
-  * columns hold the same value; -1 when no position matches. The LSH
-  * band-join dedup predicate: a candidate pair found in several band
-  * buckets is kept only where `first_equal_index(buckets_a, buckets_b) ==
-  * band`, which emits each pair exactly once WITHOUT a multi-million-row
-  * `distinct` shuffle. A zip_with/array_position formulation is ~100×
-  * slower here: higher-order lambdas are interpreted per element and
-  * allocate a boolean array per pair, and this predicate runs once per raw
-  * band-join match.
+/** 0-based index of the first position where two array<long> columns hold
+  * the same non-null value; -1 when no position matches (positions past the
+  * shorter array never match; a null element never equals anything, SQL-
+  * style). The LSH tiny-universe membership predicate: per-band bucket
+  * hashes ride as a small array and `first_equal_index(bks_a, bks_b) >= 0`
+  * decides "would any band bucket this pair together" in ≤ bands direct
+  * long compares — no banding explode, no candidate shuffle, no distinct.
+  * A zip_with/array_position formulation is ~100× slower here: higher-order
+  * lambdas are interpreted per element and allocate a boolean array per
+  * evaluation, and this predicate runs once per loop-join pair visit.
   */
 case class FirstEqualIndex(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -290,7 +291,7 @@ case class FirstEqualIndex(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var i = 0
     while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) return i
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) return i
       i += 1
     }
     -1
@@ -304,7 +305,8 @@ case class FirstEqualIndex(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $res = -1;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) { $res = $i; break; }
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) { $res = $i; break; }
          |}
          |${ev.value} = $res;
        """.stripMargin

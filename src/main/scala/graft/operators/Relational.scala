@@ -43,18 +43,30 @@ object Relational {
   /** Cap rows per key (extension): keep at most `n` rows per `key`,
     * selected deterministically by `ord` ascending (e.g. cap documents per
     * source domain in a training-data pipeline). Ties on `ord` are broken
-    * by a content hash of the whole row, so the selection is reproducible
-    * across runs and partitionings even when `ord` is not unique per key
-    * (exact duplicate rows remain interchangeable, which is harmless).
+    * by a content hash of the row's hashable columns, so the selection is
+    * reproducible across runs and partitionings even when `ord` is not
+    * unique per key. MapType columns are excluded from the tie-break
+    * (Spark's hash functions reject them); rows identical in every
+    * hashable column remain interchangeable — acceptable residual
+    * nondeterminism, as is the rarer hash-collision case (e.g. rows that
+    * differ only in which of two null columns is set).
     * Plans as a ranked window that Spark serves with WindowGroupLimitExec —
     * a partial per-partition top-n BEFORE the shuffle, so a 100 TB scan
     * ships at most n rows per key per input partition, never whole groups.
     */
   def capPerKey(df: DataFrame, key: String, n: Int, ord: Column): DataFrame = {
-    val tieBreak = xxhash64(df.columns.map(col): _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(ord.asc, tieBreak.asc)
-    df.withColumn("__rn", row_number().over(w))
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val ordered =
+      if (hashCols.isEmpty) w.orderBy(ord.asc)
+      else w.orderBy(ord.asc, xxhash64(hashCols.toIndexedSeq: _*).asc)
+    df.withColumn("__rn", row_number().over(ordered))
       .filter(col("__rn") <= n)
       .drop("__rn")
   }

@@ -92,11 +92,16 @@ object HttpFetch {
         if (code >= 200 && code < 300) {
           // publish via atomic rename where the filesystem supports it so a
           // concurrent Tables.csv scan never observes a half-written target;
-          // fall back to a plain (best-effort) move elsewhere
+          // fall back to a plain (best-effort) move elsewhere. The fallback
+          // catches ANY IOException, not just AtomicMoveNotSupportedException:
+          // with ATOMIC_MOVE + an existing target, replace-vs-throw is
+          // implementation-specific (Files.move javadoc), and a thrown
+          // FileAlreadyExistsException must not read as a transport error.
+          // If the plain move also fails, the outer retry handles it.
           try Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
             StandardCopyOption.ATOMIC_MOVE)
           catch {
-            case _: java.nio.file.AtomicMoveNotSupportedException =>
+            case _: java.io.IOException =>
               Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
           }
           Done(target)

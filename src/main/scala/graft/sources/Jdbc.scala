@@ -84,10 +84,18 @@ object Jdbc {
     val conn = DriverManager.getConnection(url, connProps)
     try {
       // getSchema is JDBC 4.1 but some drivers still throw/return null —
-      // fall back to the all-schemas scan only in that case
-      val schemaPattern =
-        try conn.getSchema catch { case _: Throwable => null }
-      val rs = conn.getMetaData.getTables(null, schemaPattern, null, Array("TABLE"))
+      // fall back to the all-schemas scan only in that case. The schema
+      // name is a LIKE pattern to getTables: escape its '_'/'%' so
+      // 'app_data' doesn't also match 'app1data'.
+      val meta = conn.getMetaData
+      val schemaPattern = {
+        val s = try conn.getSchema catch { case _: Throwable => null }
+        val esc = try meta.getSearchStringEscape catch { case _: Throwable => null }
+        if (s == null || esc == null || esc.isEmpty) s
+        else s.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
+      }
+      val rs = meta.getTables(null, schemaPattern, null, Array("TABLE"))
       var found = false
       while (!found && rs.next())
         found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)

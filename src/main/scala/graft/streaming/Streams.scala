@@ -125,12 +125,14 @@ object Streams {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       before: String, after: String,
-      tsLeft: String = "ts", tsRight: String = "ts"): DataFrame = {
+      tsLeft: String = "ts", tsRight: String = "ts",
+      joinType: String = "inner"): DataFrame = {
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
     left.join(r,
       col(key) === col(s"r_$key") &&
         col(s"r_$tsRight") >= col(tsLeft) - expr(s"INTERVAL $before") &&
-        col(s"r_$tsRight") <= col(tsLeft) + expr(s"INTERVAL $after"))
+        col(s"r_$tsRight") <= col(tsLeft) + expr(s"INTERVAL $after"),
+      joinType)
   }
 
   /** Stream-stream form of [[intervalJoin]]: BOTH sides carry watermarks —
@@ -151,16 +153,11 @@ object Streams {
   def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
       watermark: String, before: String, after: String,
       tsLeft: String = "ts", tsRight: String = "ts",
-      joinType: String = "inner"): DataFrame = {
-    val wl = left.withWatermark(tsLeft, watermark)
-    val wr = right.withWatermark(tsRight, watermark)
-    val r = wr.columns.foldLeft(wr)((d, c) => d.withColumnRenamed(c, s"r_$c"))
-    wl.join(r,
-      col(key) === col(s"r_$key") &&
-        col(s"r_$tsRight") >= col(tsLeft) - expr(s"INTERVAL $before") &&
-        col(s"r_$tsRight") <= col(tsLeft) + expr(s"INTERVAL $after"),
-      joinType)
-  }
+      joinType: String = "inner"): DataFrame =
+    intervalJoin(
+      left.withWatermark(tsLeft, watermark),
+      right.withWatermark(tsRight, watermark),
+      key, before, after, tsLeft, tsRight, joinType)
 
   /** Stream-static enrichment (J1/J5 carried to streaming): every
     * micro-batch hash-joins against the broadcast dimension — the static

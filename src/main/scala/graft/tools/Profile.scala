@@ -40,8 +40,10 @@ object Profile {
     }
 
     if (which == "q27") {
-      // mirror the round-3 minhashLshPairs stage by stage: buckets array
-      // carried through banding, first-shared-band dedup, inline verify
+      // mirror the shipped minhashLshPairs paths: the general banded
+      // pipeline stage by stage (candidates + distinct + fetch verify),
+      // then the tiny-universe BNLJ alternative, then the production
+      // dispatch end-to-end (which picks between them)
       val sets = docs.repartition(col("doc_id"))
         .select(col("doc_id").as("id"), Dedup.hashedShingles(col("text"), 1).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -54,34 +56,27 @@ object Profile {
         GraftFunctions.minhash(col("sh"), 64).as("sig"))
       time("signatures")(sig.count())
       val r = 4
-      val banded = sig
-        .withColumn("buckets", transform(sequence(lit(0), lit(15)),
-          b => xxhash64(lit("band"), b, array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))
-        .select(col("skey"), col("sh"), col("sh_size"), col("buckets"),
-          posexplode(col("buckets")))
+      val withBuckets = sig.withColumn("buckets", transform(sequence(lit(0), lit(15)),
+        b => xxhash64(lit("band"), b, array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))
+      // --- general (banded) path stages ---
+      val banded = withBuckets
+        .select(col("skey"), col("sh_size"), posexplode(col("buckets")))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
       time("banded")(banded.count())
-      val l = banded.select(col("band").as("band_a"), col("bucket").as("bucket_a"),
-        col("buckets").as("bks_a"), col("skey").as("skey_a"),
-        col("sh_size").as("size_a"), col("sh").as("sh_a"))
-      val rgt = banded.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
-        col("buckets").as("bks_b"), col("skey").as("skey_b"),
-        col("sh_size").as("size_b"), col("sh").as("sh_b"))
-      def joinWith(extra: org.apache.spark.sql.Column) = l.join(rgt,
-        col("band_a") === col("band_b") && col("bucket_a") === col("bucket_b") &&
-          col("skey_a") < col("skey_b") && extra)
-      val sizeOk = col("size_b") >= col("size_a") * lit(0.8) &&
-        col("size_a") >= col("size_b") * lit(0.8)
-      time("band join + size filter")(joinWith(sizeOk).count())
-      val firstShared = GraftFunctions.firstEqualIndex(col("bks_a"), col("bks_b"))
-      time("+ first-shared-band dedup")(
-        joinWith(sizeOk && firstShared === col("band_a")).count())
-      def common = GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b"))
-      def jac = common.cast("double") /
-        (col("size_a") + col("size_b") - common).cast("double")
-      time("+ inline verify")(
-        joinWith(sizeOk && firstShared === col("band_a") && jac >= lit(0.8)).count())
-      time("full lsh pairs")(
+      val l = banded.select(col("band"), col("bucket"), col("skey").as("skey_a"), col("sh_size").as("size_a"))
+      val rgt = banded.select(col("band"), col("bucket"), col("skey").as("skey_b"), col("sh_size").as("size_b"))
+      val feasible = l.join(rgt, Seq("band", "bucket"))
+        .filter(col("skey_a") < col("skey_b") &&
+          col("size_b") >= col("size_a") * lit(0.8) &&
+          col("size_a") >= col("size_b") * lit(0.8))
+      time("banded: size-feasible")(feasible.count())
+      val cand = feasible.select("skey_a", "skey_b").distinct()
+      time("banded: distinct candidates")(cand.count())
+      // --- production dispatch end-to-end: on a tiny-universe corpus this
+      // routes to the BNLJ (verify-first popcount + band membership), so
+      // comparing it against the banded stages above shows what the
+      // dispatch saves; on a big-vocab corpus it IS the banded pipeline ---
+      time("full lsh pairs (dispatch)")(
         Dedup.minhashLshPairs(docs, "doc_id", "text", 1, 64, 16, 0.8).count())
       spark.stop(); return
     }
