@@ -51,59 +51,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: a value in (-1, 1)
-    * derived from xxhash64(plane, index) — no RNG state, reproducible on
-    * any cluster.
+  /** Sign-bit LSH bucket key from `numPlanes` deterministic pseudo-random
+    * hyperplanes (components derived from xxhash64(plane, index) — no RNG
+    * state, reproducible on any cluster). Vectors in the same bucket are
+    * likely neighbors (angular LSH). One native codegen'd pass
+    * ([[graft.functions.expressions.LshSignBuckets]]).
     */
-  private def planeComponent(plane: Int, idx: Column): Column =
-    (xxhash64(lit(plane), idx).cast("double") / lit(Long.MaxValue.toDouble))
+  def lshBucket(vec: Column, numPlanes: Int): Column =
+    element_at(GraftFunctions.lshSignBuckets(vec, numPlanes, 1), 1)
 
-  /** Sign-bit LSH bucket key from `numPlanes` random hyperplanes. Vectors
-    * in the same bucket are likely neighbors (angular LSH).
-    */
-  def lshBucket(vec: Column, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
-
-  /** Approximate top-k: candidates limited to the query's LSH bucket union
-    * over `tables` independent hash tables (boosts recall), then exact
-    * cosine rank within candidates. One equi-join shuffle on (table,
-    * bucket) replaces the cross join — this is the 100 TB path.
-    */
   /** Sign-bit bucket for hash table `tbl` — each table draws its own
     * independent hyperplanes (plane ids are disjoint across tables), so
     * extra tables genuinely boost recall instead of re-partitioning the
     * space identically.
     */
-  def lshBucketForTable(vec: Column, numPlanes: Int, tbl: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val plane = tbl * 1024 + p
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(plane, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucketForTable(vec: Column, numPlanes: Int, tbl: Int): Column =
+    element_at(GraftFunctions.lshSignBuckets(vec, numPlanes, tbl + 1), tbl + 1)
 
   /** Explode a frame into one row per (LSH table, bucket) membership —
     * the shared candidate-generation front end of [[lshTopK]] and
-    * [[cosineNearDupPairsBucketed]].
+    * [[cosineNearDupPairsBucketed]]. All `tables` buckets come from ONE
+    * codegen'd expression evaluation per row (the bucketing pass rides the
+    * scan), then posexplode fans them out.
     */
   private def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, tables: Int, idOut: String, vecOut: String): DataFrame =
     df.select(
       col(idCol).as(idOut), col(vecCol).as(vecOut),
-      posexplode(array((0 until tables).map(t =>
-        lshBucketForTable(col(vecCol), numPlanes, t)): _*)))
+      posexplode(GraftFunctions.lshSignBuckets(col(vecCol), numPlanes, tables)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
 
   def lshTopK(

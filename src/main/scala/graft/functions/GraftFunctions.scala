@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{FirstContainsIndex, FirstEqualIndex, FloatVectorDot, MinHashSignature, SimHash64, SortedLongIntersectSize, WordShingleHashes}
+import graft.functions.expressions.{FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, SimHash64, SortedLongIntersectSize, WordShingleHashes}
 
 /** Registry for the engine's native Catalyst expressions.
   *
@@ -30,6 +30,9 @@ object GraftFunctions {
       args(1).eval(null).asInstanceOf[Int])),
     "graft_simhash" -> (args => SimHash64(args(0))),
     "graft_first_equal_index" -> (args => FirstEqualIndex(args(0), args(1))),
+    // lsh_sign_buckets(vec, numPlanes, tables): ints must be foldable literals
+    "graft_lsh_sign_buckets" -> (args => LshSignBuckets(args(0),
+      args(1).eval(null).asInstanceOf[Int], args(2).eval(null).asInstanceOf[Int])),
     // first_contains_index(haystack, array('needle1', ...)): second arg must
     // be a foldable array<string> literal (the lowercased dim vocabulary)
     "graft_first_contains_index" -> (args => FirstContainsIndex(args(0), {
@@ -73,6 +76,12 @@ object GraftFunctions {
   /** 0-based first index where two array<long> columns agree; -1 if none. */
   def firstEqualIndex(a: Column, b: Column): Column =
     call_function("graft_first_equal_index", a, b)
+
+  /** Per-table sign-bit LSH bucket keys (array<long>, length `tables`). */
+  def lshSignBuckets(vec: Column, numPlanes: Int, tables: Int): Column =
+    call_function("graft_lsh_sign_buckets", vec,
+      org.apache.spark.sql.functions.lit(numPlanes),
+      org.apache.spark.sql.functions.lit(tables))
 
   /** 0-based index of the first needle contained in lower(haystack). */
   def firstContainsIndex(haystack: Column, needlesLower: Seq[String]): Column =

@@ -316,6 +316,68 @@ case class FirstEqualIndex(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All sign-bit LSH bucket keys of an embedding in ONE per-row pass:
+  * element t of the result is the `numPlanes`-bit bucket of hash table t,
+  * where bit p is the sign of the projection onto deterministic
+  * pseudo-random hyperplane `t*1024 + p`. Bit-identical to the Column
+  * formulation it replaces (`xxhash64(lit(plane), idx)`-derived components,
+  * double accumulation in element order) — but a primitive float loop
+  * instead of `tables × numPlanes` interpreted zip_with/aggregate stacks
+  * per row, so bucket assignment rides the scan at codegen speed. At
+  * 100 TB the bucketing pass touches every corpus vector; this is the
+  * difference between it being free and it dominating the candidate join.
+  */
+case class LshSignBuckets(child: Expression, numPlanes: Int, tables: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(numPlanes >= 1 && numPlanes <= 64, "1 <= numPlanes <= 64")
+  require(tables >= 1, "tables >= 1")
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_sign_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    LshSignBuckets.compute(input.asInstanceOf[ArrayData], numPlanes, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val util = LshSignBuckets.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $util.compute($a, $numPlanes, $tables);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshSignBuckets {
+  /** Replicates `xxhash64(lit(plane), idx).cast("double") / Long.MaxValue`
+    * exactly: XxHash64's seed is 42 and int children chain via hashInt.
+    */
+  def compute(arr: ArrayData, numPlanes: Int, tables: Int): GenericArrayData = {
+    val v = arr.toFloatArray()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        val h0 = XXH64.hashInt(t * 1024 + p, 42L)
+        var proj = 0.0
+        var i = 0
+        while (i < v.length) {
+          proj += v(i).toDouble * (XXH64.hashInt(i, h0).toDouble / Long.MaxValue.toDouble)
+          i += 1
+        }
+        if (proj >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Dot product of two array<float> embeddings, accumulated in double in
   * element order — a deterministic sequential fold, bit-reproducible on any
   * cluster. Codegen is a primitive float[] loop (SIMD-friendly after JIT).
