@@ -678,6 +678,17 @@ object SparkEntry {
         Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"))
     }),
 
+    // ---- Native session_window (declarative gap sessions; the third form
+    // next to the window-function batch and flatMapGroupsWithState stream) --
+    "q80_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+          col("n_events"))
+    }),
+
     // ---- Winnowing (MOSS) fingerprints: substring-level dedup keys ------------
     "q75_winnowing" -> ((s, dir) => {
       // explode_outer, NOT explode: for a plain explode the optimizer infers
@@ -1443,6 +1454,27 @@ object SparkEntry {
             '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
           '[0-9]{4,}', '<NUM>', 'g') AS redacted
       FROM customer""",
+
+    // session_window semantics: same session while gap < 30 min (windows
+    // [ts, ts+30m) merge on overlap); session end = last ts + 30 min
+    "q80_session_window" -> """
+      WITH marked AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), seqd AS (
+        SELECT user_id, ts,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seq
+        FROM marked
+      )
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        count(*) AS n_events
+      FROM seqd GROUP BY user_id, seq""",
 
     "q79_profile" -> """
       SELECT 'p_partkey' AS column_name, count(*) AS n_rows,
