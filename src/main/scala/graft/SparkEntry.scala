@@ -678,6 +678,13 @@ object SparkEntry {
         Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"))
     }),
 
+    // ---- Benchmark contamination (cross-corpus 3-gram containment) ------------
+    "q81_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.contaminationScores(
+        d, "doc_id", "text", d.filter(col("doc_id") < 50), "text", 3)
+    }),
+
     // ---- Native session_window (declarative gap sessions; the third form
     // next to the window-function batch and flatMapGroupsWithState stream) --
     "q80_session_window" -> ((s, dir) => {
@@ -1454,6 +1461,20 @@ object SparkEntry {
             '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
           '[0-9]{4,}', '<NUM>', 'g') AS redacted
       FROM customer""",
+
+    "q81_contamination" -> s"""
+      WITH tk AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS t FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                   ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                          i -> array_to_string(t[i:i+2], ' '))) END AS grams
+            FROM tk),
+      bench AS (SELECT DISTINCT unnest(grams) AS s FROM g WHERE doc_id < 50),
+      d AS (SELECT doc_id, unnest(grams) AS s FROM g)
+      SELECT d.doc_id, count(*) AS n_shingles, count(b.s) AS n_matched,
+        CAST(count(b.s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+      FROM d LEFT JOIN bench b ON d.s = b.s
+      GROUP BY d.doc_id""",
 
     // session_window semantics: same session while gap < 30 min (windows
     // [ts, ts+30m) merge on overlap); session end = last ts + 30 min

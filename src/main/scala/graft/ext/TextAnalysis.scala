@@ -99,6 +99,41 @@ object TextAnalysis {
           + (lit(1.0) - least(lit(1.0), col("punct_ratio") * lit(10.0))) * lit(0.25))
   }
 
+  /** Benchmark-contamination scores: for each document, the fraction of
+    * its DISTINCT word-n-gram shingles that appear anywhere in `bench` —
+    * the standard decontamination gate before a corpus becomes training
+    * data (docs overlapping an eval benchmark get dropped or flagged).
+    * Distinct from pairwise dedup: this is cross-corpus containment, not
+    * intra-corpus pair discovery, and it needs no pair enumeration at all.
+    *
+    * Scale shape: both sides reduce to 8-byte shingle hashes inside their
+    * scan tasks ([[graft.functions.GraftFunctions.wordShingleHashes]] —
+    * text never shuffles), the benchmark side is deduplicated, and ONE
+    * left join on the hash key + a count aggregate per document produce
+    * the scores. Benchmarks are typically tiny next to the corpus, so the
+    * join side broadcasts; a giant benchmark degrades gracefully to a
+    * shuffle join on 8-byte keys. Documents with fewer than n tokens have
+    * no shingles and are omitted (0/0 has no meaningful score).
+    *
+    * The fraction is a ratio of small ints — bit-exact cross-engine.
+    */
+  def contaminationScores(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def shingles(df: DataFrame, c: String) =
+      graft.functions.GraftFunctions.wordShingleHashes(col(c), n)
+    val d = docs.select(col(idCol), explode(shingles(docs, textCol)).as("s"))
+    val b = bench.select(explode(shingles(bench, benchTextCol)).as("s"))
+      .distinct().withColumn("hit", lit(1))
+    d.join(b, Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_matched"))
+      .select(col(idCol),
+        col("n_shingles"), col("n_matched"),
+        (col("n_matched").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"))
+  }
+
   /** PII redaction patterns, in application order. Deliberately RE2-safe
     * (no lookaround, no backreferences) so the exact same pattern strings
     * run on any regex engine — Spark/Java here, RE2 in an oracle engine —

@@ -85,6 +85,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fps(3L).isEmpty)
   }
 
+  test("contaminationScores: containment fraction vs a benchmark corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d"),        // 3-grams: "a b c", "b c d"
+      (2L, "a b c x"),        // 3-grams: "a b c", "b c x"
+      (3L, "p q r s"),        // disjoint from benchmark
+      (4L, "a b")             // < 3 tokens -> no shingles -> omitted
+    ).toDF("doc_id", "text")
+    val bench = Seq("a b c d only").toDF("text") // grams include "a b c", "b c d"
+    val got = TextAnalysis.contaminationScores(docs, "doc_id", "text", bench, "text", 3)
+      .select(col("doc_id"), col("contamination"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.0))
+  }
+
   test("redact scrubs emails, phone runs, and residual digit runs") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
