@@ -678,6 +678,17 @@ object SparkEntry {
         Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"))
     }),
 
+    // ---- Typed Aggregator top-k (bounded-buffer partial-aggregable heap) ------
+    "q82_topk_agg" -> ((s, dir) => {
+      val topk = graft.functions.TopKAgg.topK(3)
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(topk(col("event_id"), col("value")).as("top"))
+        .select(col("user_id"), posexplode(col("top")))
+        .select(col("user_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col._2").as("event_id"), col("col._1").as("value"))
+    }),
+
     // ---- Benchmark contamination (cross-corpus 3-gram containment) ------------
     "q81_contamination" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1461,6 +1472,14 @@ object SparkEntry {
             '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
           '[0-9]{4,}', '<NUM>', 'g') AS redacted
       FROM customer""",
+
+    "q82_topk_agg" -> """
+      SELECT user_id, CAST(rn AS INT) AS rank, event_id, value FROM (
+        SELECT user_id, event_id, value,
+          row_number() OVER (PARTITION BY user_id
+                             ORDER BY value DESC, event_id ASC) AS rn
+        FROM events)
+      WHERE rn <= 3""",
 
     "q81_contamination" -> s"""
       WITH tk AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS t FROM documents),
