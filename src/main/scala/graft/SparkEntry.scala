@@ -699,12 +699,7 @@ object SparkEntry {
     // ---- Native session_window (declarative gap sessions; the third form
     // next to the window-function batch and flatMapGroupsWithState stream) --
     "q80_session_window" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          col("sw.start").as("session_start"), col("sw.end").as("session_end"),
-          col("n_events"))
+      Streams.sessionWindowAgg(t(s, dir, "events"), "30 minutes")
     }),
 
     // ---- Winnowing (MOSS) fingerprints: substring-level dedup keys ------------

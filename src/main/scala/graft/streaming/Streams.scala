@@ -58,6 +58,28 @@ object Streams {
         col("session_start"), col("session_end"), col("n_events"))
   }
 
+  /** Declarative gap sessions via native `session_window` — works on both
+    * batch frames and streams; the streaming form needs the watermark so
+    * closed sessions can be finalized and their state evicted (a session
+    * emits once the watermark passes its end). The third sessionization
+    * form beside [[sessionizeBatch]] (window functions, exposes per-event
+    * rows) and [[sessionizeStream]] (custom state, exposes timeout
+    * control); this one is the idiomatic Spark shape — the engine merges
+    * overlapping [ts, ts+gap) windows itself, batch and stream share the
+    * exact same plan fragment.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"))
+
+  /** Streaming form of [[sessionWindowAgg]]: watermark bounds session state. */
+  def sessionWindowStream(events: DataFrame, gap: String, watermark: String): DataFrame =
+    sessionWindowAgg(events.withWatermark("ts", watermark), gap)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, session_start: java.sql.Timestamp, n_events: Long)

@@ -102,6 +102,30 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionWindowStream finalizes sessions once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val sessions = Streams.sessionWindowStream(input.toDS().toDF(), "30 minutes", "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Streams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Streams.Event(2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0))
+      q.processAllAvailable()
+      // push the watermark far past the session's end so it finalizes
+      input.addData(Streams.Event(3L, ts("2024-01-01 13:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Streams.Event(4L, ts("2024-01-01 15:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sw_out")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      // user 7's merged session: [10:00, 10:10 + 30m), 2 events
+      assert(got.contains((7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L)))
+    } finally q.stop()
+  }
+
   test("sessionizeStream emits sessions via flatMapGroupsWithState timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
