@@ -11,9 +11,12 @@ import graft.functions.GraftFunctions
   * random-hyperplane sign bits — candidates come from one equi-join on the
   * bucket key instead of a cross join.
   *
-  * All vector math is `zip_with`/`aggregate` over the array in element
-  * order, computed in double — a deterministic left fold, so scores are
-  * bit-reproducible run to run (no shuffle-order dependence).
+  * All per-row vector math is native codegen'd expressions
+  * ([[graft.functions.expressions.FloatVectorDot]] dot products,
+  * [[graft.functions.expressions.LshSignBuckets]] bucket assignment) that
+  * accumulate in double in element order — a deterministic sequential
+  * fold, so scores and buckets are bit-reproducible on any cluster, any
+  * partitioning (no shuffle-order dependence, no RNG state).
   */
 object Similarity {
 
@@ -59,14 +62,6 @@ object Similarity {
     */
   def lshBucket(vec: Column, numPlanes: Int): Column =
     element_at(GraftFunctions.lshSignBuckets(vec, numPlanes, 1), 1)
-
-  /** Sign-bit bucket for hash table `tbl` — each table draws its own
-    * independent hyperplanes (plane ids are disjoint across tables), so
-    * extra tables genuinely boost recall instead of re-partitioning the
-    * space identically.
-    */
-  def lshBucketForTable(vec: Column, numPlanes: Int, tbl: Int): Column =
-    element_at(GraftFunctions.lshSignBuckets(vec, numPlanes, tbl + 1), tbl + 1)
 
   /** Explode a frame into one row per (LSH table, bucket) membership —
     * the shared candidate-generation front end of [[lshTopK]] and

@@ -120,10 +120,9 @@ object TextAnalysis {
   def contaminationScores(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    def shingles(df: DataFrame, c: String) =
-      graft.functions.GraftFunctions.wordShingleHashes(col(c), n)
-    val d = docs.select(col(idCol), explode(shingles(docs, textCol)).as("s"))
-    val b = bench.select(explode(shingles(bench, benchTextCol)).as("s"))
+    def shingles(c: String) = graft.functions.GraftFunctions.wordShingleHashes(col(c), n)
+    val d = docs.select(col(idCol), explode(shingles(textCol)).as("s"))
+    val b = bench.select(explode(shingles(benchTextCol)).as("s"))
       .distinct().withColumn("hit", lit(1))
     d.join(b, Seq("s"), "left")
       .groupBy(col(idCol))

@@ -23,9 +23,16 @@ case class TopKAgg(k: Int)
     extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k >= 1, "k >= 1")
 
-  /** best-first ordering: higher score first, then smaller id */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** best-first ordering: higher score first, then smaller id.
+    * java.lang.Double.compare, not `>`: NaN orders as the LARGEST score and
+    * equal to itself — matching how both Spark and DuckDB sort a
+    * `value DESC` window, so NaN scores rank first deterministically
+    * instead of being silently dropped by IEEE comparison semantics.
+    */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 

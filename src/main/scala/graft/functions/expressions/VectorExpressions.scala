@@ -354,6 +354,14 @@ object LshSignBuckets {
     * exactly: XxHash64's seed is 42 and int children chain via hashInt.
     */
   def compute(arr: ArrayData, numPlanes: Int, tables: Int): GenericArrayData = {
+    // degenerate vectors reproduce the Column formulation exactly: an empty
+    // vector's fold and a null element's product both made `proj` NULL, so
+    // `when(proj >= 0, bit)` set NO bits — bucket 0 for every table
+    val n = arr.numElements()
+    var z = 0
+    var hasNull = false
+    while (z < n && !hasNull) { hasNull = arr.isNullAt(z); z += 1 }
+    if (n == 0 || hasNull) return new GenericArrayData(new Array[Long](tables))
     val v = arr.toFloatArray()
     val out = new Array[Long](tables)
     var t = 0

@@ -58,6 +58,13 @@ class ExpressionEdgeSpec extends SparkTestBase {
     assert(got == Seq(1, -1, 0, -1))
   }
 
+  test("lshSignBuckets: empty vector gets bucket 0 in every table; buckets stay in range") {
+    val df = Seq(Seq.empty[Float], Seq(1.0f, -2.0f, 0.5f)).toDF("v")
+    val got = df.select(GraftFunctions.lshSignBuckets(col("v"), 6, 4)).as[Seq[Long]].collect()
+    assert(got(0) == Seq(0L, 0L, 0L, 0L)) // the Column formulation's null-fold behavior
+    assert(got(1).length == 4 && got(1).forall(b => b >= 0 && b < 64))
+  }
+
   test("firstContainsIndex: no needles, empty haystack, overlap priority") {
     val df = Seq("abc def", "").toDF("t")
     val none = df.select(GraftFunctions.firstContainsIndex(col("t"), Seq.empty)).as[Option[Int]].collect()

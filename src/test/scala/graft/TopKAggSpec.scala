@@ -33,6 +33,21 @@ class TopKAggSpec extends SparkTestBase {
     assert(got == Seq(11L, 10L))
   }
 
+  test("TopKAgg ranks NaN scores first, like a value-DESC window in Spark/DuckDB") {
+    val df = Seq((1L, 10L, 1.0), (1L, 11L, Double.NaN), (1L, 12L, 2.0), (1L, 13L, Double.NaN))
+      .toDF("g", "id", "score")
+    val topk = TopKAgg.topK(3)
+    val got = df.groupBy("g").agg(topk(col("id"), col("score")).as("top"))
+      .select(explode(col("top"))).select(col("col._2")).as[Long].collect().toSeq
+    // NaN sorts as the largest score; NaN ties break by id
+    assert(got == Seq(11L, 13L, 12L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .orderBy("rn").select("id").as[Long].collect().toSeq
+    assert(got == want)
+  }
+
   test("TopKAgg reduce/merge directly: bounded buffer, deterministic ties") {
     val a = TopKAgg(2)
     val buf = Seq((5L, 1.0), (6L, 2.0), (7L, 2.0), (8L, 0.5))
