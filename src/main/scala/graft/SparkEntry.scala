@@ -678,6 +678,15 @@ object SparkEntry {
         Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"))
     }),
 
+    // ---- KNN imputation (similarity search composed with imputation) ----------
+    "q83_knn_impute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+        when(col("vec_id") % 10 === 0, lit(null))
+          .otherwise(col("label")).cast("double").as("label"))
+      Imputation.knnImpute(e, "vec_id", "embedding", "label", 5)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // ---- Typed Aggregator top-k (bounded-buffer partial-aggregable heap) ------
     "q82_topk_agg" -> ((s, dir) => {
       val topk = graft.functions.TopKAgg.topK(3)
@@ -1467,6 +1476,22 @@ object SparkEntry {
             '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
           '[0-9]{4,}', '<NUM>', 'g') AS redacted
       FROM customer""",
+
+    "q83_knn_impute" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   CASE WHEN vec_id % 10 = 0 THEN NULL
+                        ELSE CAST(label AS DOUBLE) END AS label
+                 FROM embeddings),
+      known AS (SELECT * FROM e WHERE label IS NOT NULL),
+      missing AS (SELECT * FROM e WHERE label IS NULL),
+      nn AS (SELECT m.vec_id AS qid, n.label AS nv,
+               row_number() OVER (PARTITION BY m.vec_id
+                 ORDER BY list_cosine_similarity(m.v, n.v) DESC, n.vec_id ASC) AS rn
+             FROM missing m CROSS JOIN known n),
+      imp AS (SELECT qid AS vec_id, avg(nv) AS label FROM nn WHERE rn <= 5 GROUP BY qid)
+      SELECT vec_id, label FROM known
+      UNION ALL
+      SELECT m.vec_id, i.label FROM missing m LEFT JOIN imp i ON m.vec_id = i.vec_id""",
 
     "q82_topk_agg" -> """
       SELECT user_id, CAST(rn AS INT) AS rank, event_id, value FROM (

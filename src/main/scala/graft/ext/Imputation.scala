@@ -92,6 +92,37 @@ object Imputation {
     imputer.fit(df).transform(df)
   }
 
+  /** KNN imputation over an embedding column: rows with a NULL `valueCol`
+    * take the mean of the k nearest non-null rows by cosine similarity
+    * (deterministic tie-break on id) — the similarity-search surface and
+    * the imputation surface composed. Rows with a value pass through
+    * unchanged; a missing row with no known neighbors keeps its NULL.
+    *
+    * Scale shape: the missing side is broadcast as the query set of
+    * [[Similarity.bruteForceTopK]] (imputation presumes missingness is the
+    * small fraction; the corpus side streams, never shuffles). When the
+    * missing side outgrows a broadcast, [[Similarity.ivfTopK]] slots in as
+    * the candidate generator without changing the aggregation contract —
+    * same (query_id, neighbor_id, rank) shape.
+    */
+  def knnImpute(df: DataFrame, idCol: String, vecCol: String, valueCol: String, k: Int): DataFrame = {
+    val known = df.filter(col(valueCol).isNotNull)
+    val missing = df.filter(col(valueCol).isNull)
+    val nn = Similarity.bruteForceTopK(known, missing, idCol, vecCol, k)
+    val imputed = nn
+      .join(known.select(col(idCol).as("neighbor_id"), col(valueCol).as("__nv")), Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(avg(col("__nv")).as("__imputed"))
+      .withColumnRenamed("query_id", idCol)
+    // the mean is cast back to the column's declared type (imputeGroupMean's
+    // contract): pass a double column when fractional imputations matter
+    val filledMissing = missing
+      .join(imputed, Seq(idCol), "left")
+      .withColumn(valueCol, col("__imputed").cast(df.schema(valueCol).dataType))
+      .drop("__imputed")
+    known.unionByName(filledMissing.select(known.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Grouped mean imputation: missing values take their group's mean —
     * one aggregate + one broadcast-joined dimension of group means.
     */
