@@ -678,6 +678,13 @@ object SparkEntry {
         Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"))
     }),
 
+    // ---- Stratified deterministic sampling (per-domain keep rates) ------------
+    "q84_stratified_sample" -> ((s, dir) => {
+      Relational.stratifiedSample(t(s, dir, "events"), "event_id", "event_type",
+        Map("purchase" -> 1.0, "click" -> 0.25), defaultFraction = 0.0625)
+        .select(col("event_id"), col("event_type"))
+    }),
+
     // ---- KNN imputation (similarity search composed with imputation) ----------
     "q83_knn_impute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
@@ -1476,6 +1483,15 @@ object SparkEntry {
             '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
           '[0-9]{4,}', '<NUM>', 'g') AS redacted
       FROM customer""",
+
+    // 0.25 -> 40000000, 0.0625 -> 10000000 (fraction * 16^8 in hex)
+    "q84_stratified_sample" -> """
+      SELECT event_id, event_type FROM events
+      WHERE CASE event_type
+              WHEN 'purchase' THEN TRUE
+              WHEN 'click' THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '40000000'
+              ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '10000000'
+            END""",
 
     "q83_knn_impute" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -82,4 +82,34 @@ object Relational {
     */
   def deterministicSample(df: DataFrame, keyCol: String, hexThreshold8: String): DataFrame =
     df.filter(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8) < lit(hexThreshold8))
+
+  /** First 8 hex chars of the sampling budget for a fraction in [0, 1]:
+    * rows whose md5-prefix sorts below it are kept, so the kept share is
+    * ~fraction. 16^8 buckets give ~2.3e-10 rate granularity.
+    */
+  def fractionToHex8(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    val buckets = (fraction * 4294967296.0d).toLong.min(4294967295L) // 16^8 - 1 cap; 1.0 handled by caller
+    f"$buckets%08x"
+  }
+
+  /** Stratified deterministic sample (extension): per-stratum keep rates —
+    * the domain-rebalancing step of a training-data pipeline ("keep 10% of
+    * commoncrawl, all of wikipedia"). Same engine-neutral md5 decision as
+    * [[deterministicSample]], so the same key samples identically in any
+    * engine, any run, any partitioning — and consistently ACROSS strata
+    * configs (lowering a rate always keeps a subset of the higher rate's
+    * rows). The decision is a codegen'd projection riding the scan:
+    * no shuffle, no sampleBy RNG state.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
+    val hash = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+    def keep(f: Double): Column =
+      if (f >= 1.0) lit(true) else hash < lit(fractionToHex8(f))
+    val cond = fractions.foldLeft(keep(defaultFraction)) { case (els, (stratum, f)) =>
+      when(col(strataCol) === lit(stratum), keep(f)).otherwise(els)
+    }
+    df.filter(cond)
+  }
 }

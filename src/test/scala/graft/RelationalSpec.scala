@@ -117,4 +117,23 @@ class RelationalSpec extends SparkTestBase {
       .as[Long].collect().toSet
     assert(s1.subsetOf(wider))
   }
+
+  test("stratifiedSample: per-stratum rates, deterministic, nested subsets") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Relational
+    val df = (1L to 4000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("k", "s")
+    val got = Relational.stratifiedSample(df, "k", "s", Map("a" -> 1.0), 0.25)
+    val byStratum = got.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byStratum("a") == df.filter(col("s") === "a").count()) // rate 1.0 keeps all
+    val bRate = byStratum("b").toDouble / df.filter(col("s") === "b").count()
+    assert(bRate > 0.2 && bRate < 0.3, s"b rate $bRate")
+    // re-running samples identically
+    val again = Relational.stratifiedSample(df, "k", "s", Map("a" -> 1.0), 0.25)
+    assert(got.collect().toSet == again.collect().toSet)
+    // a lower rate keeps a SUBSET of a higher rate's rows (consistent thresholds)
+    val lower = Relational.stratifiedSample(df, "k", "s", Map("a" -> 1.0), 0.1)
+      .filter(col("s") === "b").select("k").as[Long].collect().toSet
+    val higher = got.filter(col("s") === "b").select("k").as[Long].collect().toSet
+    assert(lower.subsetOf(higher))
+  }
 }
