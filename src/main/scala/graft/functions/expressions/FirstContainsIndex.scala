@@ -41,8 +41,11 @@ case class FirstContainsIndex(child: Expression, needlesLower: Array[String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    // NOT classOf[Array[...]].getName: that is the JVM binary name
+    // ("[Lorg...UTF8String;"), which Janino cannot parse as a cast — the
+    // whole projection silently fell back to interpreted eval.
     val needlesRef = ctx.addReferenceObj("needles", utf8Needles,
-      classOf[Array[UTF8String]].getName)
+      "org.apache.spark.unsafe.types.UTF8String[]")
     val childGen = child.genCode(ctx)
     val hay = ctx.freshName("hay")
     val i = ctx.freshName("i")
