@@ -25,7 +25,8 @@ object Bench {
     // The recall-harness entries re-EXECUTE other catalog entries (exact +
     // approximate side each) — timing them would double-charge the operators
     // they measure, so they are excluded from the operator bench.
-    val measurementOnly = Set("q70_lsh_recall", "q71_ivf_recall", "q72_minhash_recall")
+    val measurementOnly =
+      Set("q70_lsh_recall", "q71_ivf_recall", "q72_minhash_recall", "q88_sq8_recall")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

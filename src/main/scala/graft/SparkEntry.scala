@@ -685,6 +685,62 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"))
     }),
 
+    // ---- SQL surface of the native expressions (SparkSessionExtensions) -------
+    // The same exact ANN as q29, but written ENTIRELY in SQL against the
+    // graft_* functions that `GraftFunctions.register` /
+    // `spark.sql.extensions=graft.functions.GraftExtensions` inject — the
+    // parser→FunctionRegistry→codegen path a pure-SQL user exercises.
+    "q85_sql_extensions" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings")
+      s.sql("""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                          sqrt(graft_float_dot(embedding, embedding)) AS qn
+                   FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                          sqrt(graft_float_dot(embedding, embedding)) AS cn
+                   FROM embeddings)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY graft_float_dot(qv, cv) / (qn * cn) DESC,
+                            neighbor_id ASC) AS rank
+          FROM q JOIN c ON query_id <> neighbor_id)
+        WHERE rank <= 5
+      """)
+    }),
+
+    // ---- Exact heavy hitters (corpus-frequency outliers) ----------------------
+    // Tokens holding > 1/30 of all token mass: one explode + hash agg, then
+    // the 31-row aggregate broadcast back — the total never shuffles the
+    // token stream twice, so the shape is scan + one shuffle at any corpus
+    // size. (Sketch variants: see `approx_count_distinct` q53 and the
+    // CountMinSketch spec.)
+    "q86_heavy_hitters" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val g = tk.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val tot = g.agg(sum(col("cnt")).as("n"))
+      g.crossJoin(broadcast(tot))
+        .filter(col("cnt") * 30 > col("n"))
+        .select(col("token"), col("cnt"),
+          (col("cnt").cast("double") / col("n").cast("double")).as("share"))
+    }),
+
+    // ---- SQ8-compressed ANN (approximate: quantized ordering, no oracle) ------
+    "q87_sq8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sq8TopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+
+    "q88_sq8_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      Recall.topKRecall(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5),
+        Similarity.sq8TopK(e, q, "vec_id", "embedding", 5))
+    }),
+
     // ---- KNN imputation (similarity search composed with imputation) ----------
     "q83_knn_impute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
@@ -848,6 +904,25 @@ object SparkEntry {
   // ===========================================================================
 
   def oracleSql: Map[String, String] = Map(
+    // q85 is q29's exact ANN re-expressed through the SQL-registered
+    // native functions, so it shares q29's oracle shape.
+    "q85_sql_extensions" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank
+        FROM q JOIN c ON query_id <> neighbor_id)
+      WHERE rank <= 5""",
+
+    "q86_heavy_hitters" -> s"""
+      WITH tk AS (SELECT unnest(${sqlTokens("lower(text)")}) AS token FROM documents),
+      g AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+      tot AS (SELECT sum(cnt) AS n FROM g)
+      SELECT token, cnt, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share
+      FROM g, tot WHERE cnt * 30 > n""",
+
     "q01_summarize" -> s"""
       SELECT l_returnflag, l_linestatus,
         ${sqlDsum("l_quantity")} AS sum_qty,

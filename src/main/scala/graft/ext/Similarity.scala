@@ -203,4 +203,62 @@ object Similarity {
     val vb = withNorms(df, idCol, vecCol, "id_b", "vb", "nb")
     finishCosinePairs(cand.join(va, Seq("id_a")).join(vb, Seq("id_b")), threshold)
   }
+
+  /** Per-dimension SQ8 grid (mins, scales) fitted on the corpus: one
+    * posexplode + groupBy(dim) min/max pass, then a `dims`-row collect —
+    * like IVF centroids, a model parameter, not a data collect (64 rows for
+    * a 64-dim space regardless of corpus size).
+    */
+  def sq8Fit(corpus: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+    require(stats.nonEmpty, "sq8Fit: corpus has no vectors")
+    val dims = stats.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dims)
+    val scales = Array.fill(dims)(1.0)
+    stats.foreach { r =>
+      val d = r.getInt(0)
+      val lo = r.getFloat(1).toDouble
+      val hi = r.getFloat(2).toDouble
+      mins(d) = lo
+      // a constant dimension quantizes to code 0 and decodes exactly to lo
+      if (hi > lo) scales(d) = (hi - lo) / 255.0
+    }
+    (mins, scales)
+  }
+
+  /** SQ8-compressed approximate top-k: vectors are quantized to 1 byte per
+    * dimension (4× less data than float32) and ranked by the dot product of
+    * the DECODED values — the whole scan/rank stage reads a quarter of the
+    * bytes, which at 100 TB of embeddings is the actual bottleneck. Same
+    * output contract as [[bruteForceTopK]]; approximation error is only the
+    * per-dimension quantization step, so measured recall@k is high
+    * (assert it with [[Recall.topKRecall]] against the exact form).
+    *
+    * At scale the encoded corpus would be written once (`sq8_encode` at
+    * ingest) and re-used by every query batch; here the encode rides the
+    * scan to keep the operator self-contained.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val (mins, scales) = sq8Fit(corpus, vecCol)
+    def enc(c: Column) = GraftFunctions.sq8Encode(c, mins, scales)
+    def sqdot(a: Column, b: Column) = GraftFunctions.sq8Dot(a, b, mins, scales)
+    val q = queries.select(col(idCol).as("query_id"), enc(col(vecCol)).as("qc"))
+      .withColumn("qn", sqrt(sqdot(col("qc"), col("qc"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), enc(col(vecCol)).as("cc"))
+      .withColumn("cn", sqrt(sqdot(col("cc"), col("cc"))))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", sqdot(col("qc"), col("cc")) / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
 }

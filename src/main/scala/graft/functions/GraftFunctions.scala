@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, SimHash64, SortedLongIntersectSize, WordShingleHashes}
+import graft.functions.expressions.{FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, WordShingleHashes}
 
 /** Registry for the engine's native Catalyst expressions.
   *
@@ -40,7 +40,17 @@ object GraftFunctions {
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       arr.toArray[org.apache.spark.unsafe.types.UTF8String](
         org.apache.spark.sql.types.StringType).map(_.toString)
-    })))
+    })),
+    // sq8_encode(vec, mins, scales) / sq8_dot(a, b, mins, scales): the grid
+    // arrays must be foldable array<double> literals (model parameters)
+    "graft_sq8_encode" -> (args =>
+      Sq8Encode(args(0), evalDoubleArray(args(1)), evalDoubleArray(args(2)))),
+    "graft_sq8_dot" -> (args =>
+      Sq8DotDecoded(args(0), args(1), evalDoubleArray(args(2)), evalDoubleArray(args(3)))))
+
+  private def evalDoubleArray(e: Expression): Array[Double] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
 
   def register(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
@@ -88,6 +98,17 @@ object GraftFunctions {
     call_function("graft_first_contains_index", haystack,
       org.apache.spark.sql.functions.array(
         needlesLower.map(org.apache.spark.sql.functions.lit): _*))
+
+  private def dlit(xs: Array[Double]): Column =
+    org.apache.spark.sql.functions.typedLit(xs)
+
+  /** SQ8-encode an array<float> vector on the given per-dimension grid. */
+  def sq8Encode(vec: Column, mins: Array[Double], scales: Array[Double]): Column =
+    call_function("graft_sq8_encode", vec, dlit(mins), dlit(scales))
+
+  /** Dot product of two SQ8 codes, decoded on the fly (same grid). */
+  def sq8Dot(a: Column, b: Column, mins: Array[Double], scales: Array[Double]): Column =
+    call_function("graft_sq8_dot", a, b, dlit(mins), dlit(scales))
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */

@@ -72,4 +72,46 @@ object Tables {
     */
   def orc(spark: SparkSession, paths: String*): DataFrame =
     spark.read.orc(paths: _*)
+
+  /** Small-file compaction: rewrite a parquet table into files of
+    * ~`targetFileBytes` each, atomically (write to a temp sibling, then
+    * swap). Incremental appends — the reference's own upsert model
+    * ([function_app.py:302-315]) and any streaming sink — accrete small
+    * files until scan task scheduling and footer reads dominate; a 100 TB
+    * table appended daily needs this as routine maintenance, like
+    * `OPTIMIZE` in lakehouse formats.
+    *
+    * The rewrite repartitions round-robin by the computed file count (a
+    * full shuffle — intended: it also fixes skewed file sizes, and the
+    * alternative `coalesce` would collapse scan parallelism). Readers see
+    * either the old or the new layout, never a mix; rows are preserved
+    * exactly. Returns the new file count.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val dataFiles = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "._compact_bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: path -> bak, tmp -> path, drop bak; on failure the original
+    // table is still present under either name, never half-replaced
+    if (!fs.rename(p, bak)) sys.error(s"compact: could not move $path aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(bak, p) // restore
+      sys.error(s"compact: could not install compacted table at $path")
+    }
+    fs.delete(bak, true)
+    nFiles
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Small-file compaction: row preservation, file-count math, atomic swap
+  * leftovers, and partition-pruning behavior of date-partitioned layouts.
+  */
+class CompactionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(f =>
+      f.isFile && f.getName.endsWith(".parquet"))
+
+  test("compact rewrites many small files into few, preserving rows exactly") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    // simulate accreted appends: 20 single-file writes
+    df.repartition(20).write.mode("overwrite").parquet(dir)
+    assert(parquetFiles(dir).length == 20)
+    val before = rows(spark.read.parquet(dir))
+    val totalBytes = parquetFiles(dir).map(_.length).sum
+    val n = Tables.compact(spark, dir, targetFileBytes = (totalBytes / 2) + 1)
+    assert(n == 2)
+    assert(parquetFiles(dir).length == 2, "layout must match the computed file count")
+    assert(rows(spark.read.parquet(dir)) == before, "rows must be preserved exactly")
+    // no temp/backup leftovers
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("_compact_")),
+      "atomic swap must clean up its temp and backup dirs")
+  }
+
+  test("compact to a large target yields one file") {
+    val dir = Files.createTempDirectory("graft_compact1").toString + "/t"
+    (1 to 100).toDF("k").repartition(7).write.mode("overwrite").parquet(dir)
+    assert(Tables.compact(spark, dir) == 1)
+    assert(parquetFiles(dir).length == 1)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("date-partitioned write is partition-pruned on read") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/t"
+    val df = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"),
+      (3L, "2024-01-02"), (4L, "2024-01-03")
+    ).toDF("id", "day")
+    df.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+    assert(pruned.count() == 1)
+    // the filter must prune at the DIRECTORY level, not post-scan: exactly
+    // one partition's file is ever opened
+    val filesRead = pruned.select(input_file_name()).distinct().as[String].collect()
+    assert(filesRead.length == 1 && filesRead.head.contains("day=2024-01-02"),
+      s"expected one pruned partition file, read: ${filesRead.mkString(", ")}")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"), "scan must carry PartitionFilters")
+  }
+}
