@@ -741,6 +741,15 @@ object SparkEntry {
         Similarity.sq8TopK(e, q, "vec_id", "embedding", 5))
     }),
 
+    // ---- Context-window chunking (50-token chunks every 40 tokens) ------------
+    "q89_doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(t(s, dir, "documents"), "doc_id", "text", 50, 40)),
+
+    // ---- Per-domain deterministic sequence packing (budget 200 tokens) --------
+    "q90_sequence_pack" -> ((s, dir) =>
+      TextAnalysis.sequencePack(t(s, dir, "documents"), "doc_id", "text",
+        "source", 200)),
+
     // ---- KNN imputation (similarity search composed with imputation) ----------
     "q83_knn_impute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
@@ -922,6 +931,24 @@ object SparkEntry {
       tot AS (SELECT sum(cnt) AS n FROM g)
       SELECT token, cnt, CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share
       FROM g, tot WHERE cnt * 30 > n""",
+
+    "q89_doc_chunks" -> s"""
+      WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+      d AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+      s AS (SELECT doc_id, t, n, unnest(generate_series(0, n - 1, 40)) AS start FROM d)
+      SELECT doc_id, CAST(start // 40 AS INT) AS chunk_id,
+             CAST(least(50, n - start) AS INT) AS n_tok,
+             array_to_string(t[start + 1 : start + 50], ' ') AS chunk_text
+      FROM s""",
+
+    "q90_sequence_pack" -> s"""
+      WITH d AS (SELECT doc_id, source,
+                   CAST(len(${sqlTokens("text")}) AS INT) AS n_tok
+                 FROM documents)
+      SELECT doc_id, source, n_tok,
+        CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tok) // 200 AS BIGINT) AS bin
+      FROM d""",
 
     "q01_summarize" -> s"""
       SELECT l_returnflag, l_linestatus,

@@ -203,4 +203,58 @@ object TextAnalysis {
             j => array_min(slice(grams, j, lit(w)))))))
       .drop("__wf_toks", "__wf_grams")
   }
+
+  /** Overlapping token-window chunks — the context-window preprocessing
+    * step of an LLM training pipeline: each document becomes chunks of
+    * `size` tokens starting every `stride` tokens (overlap = size−stride).
+    * Output: (idCol, chunk_id, n_tok, chunk_text); empty/blank documents
+    * produce no chunks.
+    *
+    * One generate per document (starts are a cheap int sequence over a
+    * STAGED token count — the generator never inlines the tokenizer, see
+    * the winnowing note above), then a slice+join projection. Everything
+    * rides the scan; output size is input size × (1 + overlap ratio).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need 1 <= stride <= size (stride > size would drop tokens)")
+    df.select(col(idCol), tokens(col(textCol)).as("__ck_toks"))
+      .withColumn("__ck_n", size(col("__ck_toks")))
+      .filter(col("__ck_n") > 0)
+      .withColumn("start",
+        explode(sequence(lit(0), col("__ck_n") - 1, lit(stride))))
+      .select(
+        col(idCol),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        least(lit(size), col("__ck_n") - col("start")).as("n_tok"),
+        array_join(slice(col("__ck_toks"), col("start") + 1, lit(size)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Deterministic sequence packing: assign documents to fixed-token-budget
+    * bins, per `domainCol` partition, in `orderCol` order — bin b holds the
+    * documents whose preceding cumulative token count falls in
+    * [b·budget, (b+1)·budget). This is next-fit packing relaxed to a
+    * running sum, which is what scales: each domain partition packs
+    * independently with ONE window pass and no sequential driver loop (a
+    * true first-fit packer is inherently serial — at 100 TB the per-domain
+    * running-sum form is the only shape that parallelizes).
+    * A document straddling a boundary goes to the bin its first token
+    * lands in (bins can exceed budget by < one document — the standard
+    * streaming-packing tradeoff; oversized docs should be pre-split with
+    * [[chunkTokens]]).
+    */
+  def sequencePack(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol), col(domainCol), tokenCount(col(textCol)).as("n_tok"))
+      .withColumn("__sp_cum", sum(col("n_tok")).over(w))
+      .select(col(idCol), col(domainCol), col("n_tok"),
+        ((col("__sp_cum") - col("n_tok")) / lit(budget.toLong))
+          .cast("long").as("bin"))
+  }
 }

@@ -115,4 +115,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(2) == "ref <PHONE> is phone-shaped, pin <NUM> is not, short 123 stays")
     assert(got(3) == "clean text")
   }
+
+  test("chunkTokens: overlapping windows, short-doc and empty-doc edges") {
+    import org.apache.spark.sql.functions.col
+    val toks = (1 to 95).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, toks), (2L, "a b c"), (3L, ""), (4L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(df, "doc_id", "text", 50, 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: starts 0, 40, 80 -> 50, 50, 15 tokens
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3)).toSeq == Seq((0, 50), (1, 50), (2, 15)))
+    assert(d1(0)._4.startsWith("t1 t2 ") && d1(1)._4.startsWith("t41 "))
+    assert(d1(2)._4 == (81 to 95).map(i => s"t$i").mkString(" "))
+    // chunks overlap: last 10 tokens of chunk 0 reappear in chunk 1
+    assert(d1(0)._4.endsWith("t50") && d1(1)._4.contains("t50"))
+    // doc 2 fits in one short chunk; blank docs produce nothing
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    assert(!got.exists(c => c._1 == 3L || c._1 == 4L))
+  }
+
+  test("sequencePack: per-domain running-sum bins, boundary straddle goes down") {
+    val df = Seq(
+      (1L, "a " * 80, "x"), (2L, "b " * 80, "x"), (3L, "c " * 80, "x"),
+      (4L, "d " * 10, "y"), (5L, "e " * 10, "y")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sequencePack(df, "doc_id", "text", "source", 100)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).sortBy(_._1)
+    // x: cum-before 0, 80, 160 -> bins 0, 0, 1 (doc 2 straddles 100, stays in 0)
+    // y: independent partition restarts at bin 0
+    assert(got.toSeq == Seq((1L, 80, 0L), (2L, 80, 0L), (3L, 80, 1L),
+      (4L, 10, 0L), (5L, 10, 0L)))
+  }
 }
