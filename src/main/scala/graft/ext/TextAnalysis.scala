@@ -206,7 +206,8 @@ object TextAnalysis {
 
   /** Overlapping token-window chunks — the context-window preprocessing
     * step of an LLM training pipeline: each document becomes chunks of
-    * `size` tokens starting every `stride` tokens (overlap = size−stride).
+    * `chunkSize` tokens starting every `stride` tokens
+    * (overlap = chunkSize−stride).
     * Output: (idCol, chunk_id, n_tok, chunk_text); empty/blank documents
     * produce no chunks.
     *
@@ -216,9 +217,9 @@ object TextAnalysis {
     * rides the scan; output size is input size × (1 + overlap ratio).
     */
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
-      size: Int, stride: Int): DataFrame = {
-    require(size >= 1 && stride >= 1 && stride <= size,
-      "need 1 <= stride <= size (stride > size would drop tokens)")
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "need 1 <= stride <= chunkSize (stride > chunkSize would drop tokens)")
     df.select(col(idCol), tokens(col(textCol)).as("__ck_toks"))
       .withColumn("__ck_n", size(col("__ck_toks")))
       .filter(col("__ck_n") > 0)
@@ -227,8 +228,8 @@ object TextAnalysis {
       .select(
         col(idCol),
         (col("start") / stride).cast("int").as("chunk_id"),
-        least(lit(size), col("__ck_n") - col("start")).as("n_tok"),
-        array_join(slice(col("__ck_toks"), col("start") + 1, lit(size)), " ")
+        least(lit(chunkSize), col("__ck_n") - col("start")).as("n_tok"),
+        array_join(slice(col("__ck_toks"), col("start") + 1, lit(chunkSize)), " ")
           .as("chunk_text"))
   }
 

@@ -24,33 +24,65 @@ object GraftFunctions {
     "graft_float_dot" -> (args => FloatVectorDot(args(0), args(1))),
     // minhash(set, numHashes): second arg must be a foldable int literal
     "graft_minhash" -> (args => MinHashSignature(args(0),
-      args(1).eval(null).asInstanceOf[Int])),
+      evalInt(args(1), "graft_minhash numHashes"))),
     // word_shingle_hashes(text, n): n must be a foldable int literal
     "graft_word_shingle_hashes" -> (args => WordShingleHashes(args(0),
-      args(1).eval(null).asInstanceOf[Int])),
+      evalInt(args(1), "graft_word_shingle_hashes n"))),
     "graft_simhash" -> (args => SimHash64(args(0))),
     "graft_first_equal_index" -> (args => FirstEqualIndex(args(0), args(1))),
     // lsh_sign_buckets(vec, numPlanes, tables): ints must be foldable literals
     "graft_lsh_sign_buckets" -> (args => LshSignBuckets(args(0),
-      args(1).eval(null).asInstanceOf[Int], args(2).eval(null).asInstanceOf[Int])),
+      evalInt(args(1), "graft_lsh_sign_buckets numPlanes"),
+      evalInt(args(2), "graft_lsh_sign_buckets tables"))),
     // first_contains_index(haystack, array('needle1', ...)): second arg must
     // be a foldable array<string> literal (the lowercased dim vocabulary)
     "graft_first_contains_index" -> (args => FirstContainsIndex(args(0), {
-      val arr = args(1).eval(null)
-        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      arr.toArray[org.apache.spark.unsafe.types.UTF8String](
-        org.apache.spark.sql.types.StringType).map(_.toString)
+      evalFolded(args(1), "graft_first_contains_index needles") match {
+        case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+          arr.toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString)
+        case other => analysisError(
+          s"graft_first_contains_index needles must be array<string>, got $other")
+      }
     })),
     // sq8_encode(vec, mins, scales) / sq8_dot(a, b, mins, scales): the grid
     // arrays must be foldable array<double> literals (model parameters)
     "graft_sq8_encode" -> (args =>
-      Sq8Encode(args(0), evalDoubleArray(args(1)), evalDoubleArray(args(2)))),
+      Sq8Encode(args(0), evalDoubleArray(args(1), "graft_sq8_encode mins"),
+        evalDoubleArray(args(2), "graft_sq8_encode scales"))),
     "graft_sq8_dot" -> (args =>
-      Sq8DotDecoded(args(0), args(1), evalDoubleArray(args(2)), evalDoubleArray(args(3)))))
+      Sq8DotDecoded(args(0), args(1), evalDoubleArray(args(2), "graft_sq8_dot mins"),
+        evalDoubleArray(args(3), "graft_sq8_dot scales"))))
 
-  private def evalDoubleArray(e: Expression): Array[Double] =
-    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .toDoubleArray()
+  /** Plan-time validation for model-parameter arguments: these functions
+    * bake hyperparameters into the generated code, so the argument must be
+    * a non-null foldable literal — a column reference would otherwise
+    * surface as an obscure NPE/ClassCastException from `eval(null)`.
+    */
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg))
+
+  private def evalFolded(e: Expression, what: String): Any = {
+    if (!e.foldable) analysisError(
+      s"$what must be a literal (foldable) value, got expression: ${e.sql}")
+    val v = e.eval(null)
+    if (v == null) analysisError(s"$what must not be NULL")
+    v
+  }
+
+  private def evalInt(e: Expression, what: String): Int =
+    evalFolded(e, what) match {
+      case i: Int => i
+      case other => analysisError(s"$what must be an INT literal, got $other")
+    }
+
+  private def evalDoubleArray(e: Expression, what: String): Array[Double] =
+    evalFolded(e, what) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toDoubleArray()
+      case other => analysisError(s"$what must be array<double>, got $other")
+    }
 
   def register(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry

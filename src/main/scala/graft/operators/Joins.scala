@@ -37,7 +37,14 @@ object Joins {
     * with early exit at the first match. Zero joins, zero shuffles, fully
     * inside whole-stage codegen — strictly less work than the relational
     * form below at any scale where the dim fits in memory.
+    *
+    * The dim collect is guarded at [[MaxIndexedDimRows]] rows: this path is
+    * for lookup VOCABULARIES (the broadcast-dim memory contract); a larger
+    * dim fails fast with a pointer to [[containsLookup]], the BNLJ form
+    * with no driver-side materialization.
     */
+  val MaxIndexedDimRows = 100000
+
   def containsLookupIndexed(
       fact: DataFrame,
       dim: DataFrame,
@@ -54,7 +61,12 @@ object Joins {
     val entries = dim.select(col(dimMatch), col(dimOrd), col(dimId))
       .filter(col(dimMatch).isNotNull)
       .orderBy(col(dimOrd).asc_nulls_last)
+      .limit(MaxIndexedDimRows + 1)
       .collect()
+    require(entries.length <= MaxIndexedDimRows,
+      s"containsLookupIndexed: dim exceeds $MaxIndexedDimRows rows — " +
+        "this path collects the dim to the driver (vocabulary contract); " +
+        "use containsLookup (broadcast nested-loop) for large dims")
     val needles = entries.map(_.get(0).toString.toLowerCase)
     val ids = entries.map(r => lit(r.get(2)))
     graft.functions.GraftFunctions.register(fact.sparkSession)

@@ -83,9 +83,20 @@ object Tables {
     *
     * The rewrite repartitions round-robin by the computed file count (a
     * full shuffle — intended: it also fixes skewed file sizes, and the
-    * alternative `coalesce` would collapse scan parallelism). Readers see
-    * either the old or the new layout, never a mix; rows are preserved
-    * exactly. Returns the new file count.
+    * alternative `coalesce` would collapse scan parallelism). Rows are
+    * preserved exactly. Returns the new file count.
+    *
+    * A hive-partitioned table (key=value subdirectories) is compacted
+    * per-partition, recursively: each leaf directory gets its own rewrite
+    * and swap, so the partition layout — and the partition pruning it
+    * enables — survives. An empty partition directory is left as-is.
+    *
+    * Concurrency contract: single writer, no concurrent readers of the
+    * leaf being swapped. The two-rename swap keeps a full copy under one
+    * of the two names at all times (crash-safe), but between the renames
+    * the primary path briefly does not exist, and rename is not atomic on
+    * object stores — a lakehouse table format (snapshot pointer commit) is
+    * the right tool where concurrent readers are required.
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Int = {
@@ -93,14 +104,26 @@ object Tables {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
-    val dataFiles = fs.listStatus(p).filter { st =>
+    val entries = fs.listStatus(p).filter { st =>
       val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      !n.startsWith("_") && !n.startsWith(".")
     }
+    val (dirs, dataFiles) = entries.partition(_.isDirectory)
+    if (dirs.nonEmpty) {
+      // partitioned layout: recurse into each partition directory so the
+      // rewrite keeps the directory (and pruning) structure
+      require(dataFiles.isEmpty,
+        s"compact: $path mixes data files and subdirectories — not a " +
+          "hive-partitioned layout; compact the leaves individually")
+      return dirs.map(d => compact(spark, d.getPath.toString, targetFileBytes)).sum
+    }
+    if (dataFiles.isEmpty) return 0
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + "._compact_bak")
+    // dot-prefixed siblings: invisible to parquet readers and to the
+    // partition-directory recursion above even if a crash leaves them behind
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}._compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}._compact_bak")
     fs.delete(tmp, true); fs.delete(bak, true)
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)

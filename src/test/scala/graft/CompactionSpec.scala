@@ -40,6 +40,32 @@ class CompactionSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("compact on a hive-partitioned table compacts per partition, preserving layout") {
+    val dir = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    val df = (1 to 3000).map(i => (i.toLong, s"2024-01-0${i % 3 + 1}")).toDF("id", "day")
+    // many small files inside each partition directory
+    df.repartition(10).write.mode("overwrite").partitionBy("day").parquet(dir)
+    val partDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("day="))
+    assert(partDirs.length == 3)
+    assert(partDirs.forall(d => parquetFiles(d.toString).length == 10))
+    val before = rows(spark.read.parquet(dir))
+    val n = Tables.compact(spark, dir) // default target >> data: 1 file/partition
+    assert(n == 3, s"expected one compacted file per partition, got $n")
+    // the partition directories survive, each with a single data file
+    val after = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("day="))
+    assert(after.map(_.getName).sorted.sameElements(partDirs.map(_.getName).sorted),
+      "partition layout must be preserved")
+    assert(after.forall(d => parquetFiles(d.toString).length == 1))
+    assert(rows(spark.read.parquet(dir)) == before, "rows must be preserved exactly")
+    // pruning still works on the compacted layout
+    val pruned = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+    val filesRead = pruned.select(input_file_name()).distinct().as[String].collect()
+    assert(filesRead.length == 1 && filesRead.head.contains("day=2024-01-02"),
+      s"expected one pruned partition file, read: ${filesRead.mkString(", ")}")
+  }
+
   test("date-partitioned write is partition-pruned on read") {
     val dir = Files.createTempDirectory("graft_part").toString + "/t"
     val df = Seq(

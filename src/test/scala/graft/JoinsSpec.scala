@@ -37,6 +37,17 @@ class JoinsSpec extends SparkTestBase {
     assert(indexed(1L).contains(10) && indexed(3L).isEmpty)
   }
 
+  test("containsLookupIndexed fails fast when the dim exceeds the vocabulary bound") {
+    val bigDim = spark.range(Joins.MaxIndexedDimRows + 1)
+      .select(concat(lit("needle"), col("id")).as("nombre"),
+        col("id").as("ord"), col("id").cast("int").as("id"))
+    val e = intercept[IllegalArgumentException] {
+      Joins.containsLookupIndexed(facts, bigDim, "name", "nombre", "ord", "id", "dept_id")
+    }
+    assert(e.getMessage.contains("containsLookup"),
+      s"guard message should point at the BNLJ fallback: ${e.getMessage}")
+  }
+
   test("containsLookup preserves duplicate fact rows") {
     val out = Joins.containsLookup(facts, dims, "name", "nombre", "ord", "id", "dept_id")
     assert(out.count() == 4)

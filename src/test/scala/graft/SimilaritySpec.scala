@@ -61,18 +61,32 @@ class SimilaritySpec extends SparkTestBase {
 
   // ---- measured recall of the approximate ops vs the exact baseline --------
   // The corpus embeddings are near-random (max cos ~0.5) — the ADVERSARIAL
-  // regime for ANN. The floors document measured reality on this corpus:
-  // sign-bit LSH degrades (~0.46 macro recall@5 at sf0.01) while IVF holds
-  // (~0.92); both are deterministic (seed-free hyperplanes/centroids), so a
+  // regime for ANN. The floors document measured reality on this corpus
+  // (sf0.01, macro recall@5): LSH 0.78 at 4 planes / 8 tables, IVF 0.84 with
+  // k-means cells probing half of nlist, composed LSH+SQ8 0.94. All are
+  // deterministic (seed-free hyperplanes, driver-sequential k-means), so a
   // regression below the floor is a code change, not noise.
+  // (An earlier id-ordered IVF seeding measured 0.92 — an artifact: the
+  // queries ARE vec_id < 10, so they were their own centroids.)
   private lazy val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
 
-  test("measured recall@5: IVF >= 0.7 on corpus embeddings") {
+  test("measured recall@5: IVF >= 0.7 on corpus embeddings (k-means cells, nprobe 8/16)") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    // near-random corpus: probing half the cells is what an honest 0.7 floor
+    // costs here; clustered corpora hold the floor at far smaller nprobe
+    val r = graft.ext.Recall.macroAvg(graft.ext.Recall.topKRecall(
+      exact, Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, nlist = 16, nprobe = 8)))
+    assert(r >= 0.7, s"IVF recall@5 regressed: $r")
+  }
+
+  test("measured recall@5: composed LSH+SQ8 >= 0.8 on corpus embeddings") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
     val r = graft.ext.Recall.macroAvg(graft.ext.Recall.topKRecall(
-      exact, Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5)))
-    assert(r >= 0.7, s"IVF recall@5 regressed: $r")
+      exact, Similarity.lshSq8TopK(emb, q, "vec_id", "embedding", 5,
+        numPlanes = 4, tables = 16)))
+    assert(r >= 0.8, s"composed LSH+SQ8 recall@5 regressed: $r")
   }
 
   test("bucketed near-dup pairs: identical vectors always pair; subset of exact pairs") {
@@ -95,11 +109,11 @@ class SimilaritySpec extends SparkTestBase {
     assert(r >= 0.5, s"bucketed cosine pair recall regressed: $r")
   }
 
-  test("measured recall@5: LSH >= 0.3 on corpus embeddings (near-random => weak by nature)") {
+  test("measured recall@5: LSH >= 0.6 on corpus embeddings (4-plane default)") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
     val r = graft.ext.Recall.macroAvg(graft.ext.Recall.topKRecall(
       exact, Similarity.lshTopK(emb, q, "vec_id", "embedding", 5)))
-    assert(r >= 0.3, s"LSH recall@5 regressed: $r")
+    assert(r >= 0.6, s"LSH recall@5 regressed: $r")
   }
 }
