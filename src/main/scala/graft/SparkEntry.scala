@@ -759,7 +759,7 @@ object SparkEntry {
     "q91_lsh_sq8_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshSq8TopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
-        numPlanes = 4, tables = 16)
+        numPlanes = 4, tables = 12)
     }),
 
     // ---- Driver-visible partial checks for the approximate (no-oracle)
@@ -863,7 +863,7 @@ object SparkEntry {
       Recall.topKRecall(
           Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5),
           Similarity.lshSq8TopK(e, q, "vec_id", "embedding", 5,
-            numPlanes = 4, tables = 16))
+            numPlanes = 4, tables = 12))
         .agg(count(lit(1)).as("n_queries"),
           (avg(col("recall")) >= 0.8).as("above_floor"))
     }),

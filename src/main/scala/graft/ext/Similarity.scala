@@ -111,12 +111,28 @@ object Similarity {
       numPlanes: Int = 4,
       tables: Int = 8): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val c = lshBucketed(corpus, idCol, vecCol, numPlanes, tables, "neighbor_id", "cv")
-    val q = lshBucketed(queries, idCol, vecCol, numPlanes, tables, "query_id", "qv")
+    // Norms are STAGED before the bucket explode (one norm per input row,
+    // not per table membership or per candidate occurrence); the staged
+    // selects survive CollapseProject because substituting them would
+    // duplicate a non-cheap expression.
+    def side(df: DataFrame, idOut: String, vecOut: String, normOut: String) =
+      df.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
+        .select(col(idOut), col(vecOut), norm(col(vecOut)).as(normOut))
+        .select(col(idOut), col(vecOut), col(normOut),
+          posexplode(GraftFunctions.lshSignBuckets(col(vecOut), numPlanes, tables)))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val c = side(corpus, "neighbor_id", "cv", "cn")
+    val q = side(queries, "query_id", "qv", "qn")
+    // Score BEFORE deduplicating: a pair surfacing from several tables gets
+    // the identical cos each time, so the distinct dedupes on
+    // (query_id, neighbor_id, cos) — ~24 bytes/row through the shuffle
+    // instead of the two full vectors (~10x less shuffle bandwidth; the
+    // per-occurrence cost is ONE codegen'd dot, norms precomputed above).
     val cand = c.join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -357,18 +373,30 @@ object Similarity {
     val (mins, scales) = sq8Fit(corpus, vecCol)
     def enc(c: Column) = GraftFunctions.sq8Encode(c, mins, scales)
     def sqdot(a: Column, b: Column) = GraftFunctions.sq8Dot(a, b, mins, scales)
-    // candidate generation: same multi-table sign-bit buckets as lshTopK,
-    // but carrying the SQ8 code instead of the float vector
-    val c = lshBucketed(corpus, idCol, vecCol, numPlanes, tables, "neighbor_id", "cv")
-      .select(col("tbl"), col("bucket"), col("neighbor_id"), enc(col("cv")).as("cc"))
-    val q = lshBucketed(queries, idCol, vecCol, numPlanes, tables, "query_id", "qv")
-      .select(col("tbl"), col("bucket"), col("query_id"), enc(col("qv")).as("qc"))
+    // Candidate generation: same multi-table sign-bit buckets as lshTopK,
+    // but carrying the SQ8 code instead of the float vector. Encode and
+    // norm are STAGED before the explode — one encode + one norm per input
+    // row, never per table membership (the staged selects survive
+    // CollapseProject because substitution would duplicate the non-cheap
+    // encode); the float vector is dropped before the join.
+    def side(df: DataFrame, idOut: String, codeOut: String, normOut: String) =
+      df.select(col(idCol).as(idOut), col(vecCol).as("__v"))
+        .select(col(idOut), col("__v"), enc(col("__v")).as(codeOut))
+        .select(col(idOut), col("__v"), col(codeOut),
+          sqrt(sqdot(col(codeOut), col(codeOut))).as(normOut))
+        .select(col(idOut), col(codeOut), col(normOut),
+          posexplode(GraftFunctions.lshSignBuckets(col("__v"), numPlanes, tables)))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val c = side(corpus, "neighbor_id", "cc", "cn")
+    val q = side(queries, "query_id", "qc", "qn")
+    // score-then-distinct (see lshTopK): dedupe ships (ids, cos), never the
+    // codes — the candidate shuffle is ~24 bytes/row at any dimensionality,
+    // and each occurrence pays exactly ONE decoded dot
     val scored = c.join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qc"), col("neighbor_id"), col("cc")).distinct()
-      .withColumn("cos",
-        sqdot(col("qc"), col("cc"))
-          / (sqrt(sqdot(col("qc"), col("qc"))) * sqrt(sqdot(col("cc"), col("cc")))))
+      .select(col("query_id"), col("neighbor_id"),
+        (sqdot(col("qc"), col("cc")) / (col("qn") * col("cn"))).as("cos"))
+      .distinct()
     heapTopK(scored, k)
   }
 }

@@ -56,10 +56,25 @@ object PlanAudit {
           // defeated InferWindowGroupLimit and whole partitions get sorted
           val windows = all.count(_.getClass.getSimpleName == "WindowExec")
           val groupLimits = all.count(_.getClass.getSimpleName == "WindowGroupLimitExec")
+          // partial (map-side) vs final aggregate instances: a groupBy that
+          // shows NO partial stage ships every input row to the shuffle —
+          // for bounded-buffer aggregates (TopKAgg) the partial stage is
+          // exactly what caps the shuffle at k rows/group/partition
+          import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, Final}
+          val partialAggs = all.count {
+            case a: BaseAggregateExec => a.aggregateExpressions.exists(_.mode == Partial)
+            case _ => false
+          }
+          val finalAggs = all.count {
+            case a: BaseAggregateExec => a.aggregateExpressions.exists(_.mode == Final)
+            case _ => false
+          }
           println(s"== $name")
           scans.distinct.foreach(s => println(s"   scan: $s"))
           val winInfo = if (windows + groupLimits > 0) s"  windows=$windows groupLimits=$groupLimits" else ""
-          println(s"   joins: ${joins.mkString(" ")}  shuffles=$shuffles  codegenSpans=$wsc  scanNodes=${scans.length}$winInfo")
+          val aggInfo = if (partialAggs + finalAggs > 0) s"  aggs=partial:$partialAggs/final:$finalAggs" else ""
+          println(s"   joins: ${joins.mkString(" ")}  shuffles=$shuffles  codegenSpans=$wsc  scanNodes=${scans.length}$winInfo$aggInfo")
         } catch {
           case e: Throwable => println(s"== $name FAILED: ${e.getMessage.take(100)}")
         }

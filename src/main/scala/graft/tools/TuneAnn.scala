@@ -35,7 +35,7 @@ object TuneAnn {
     for (planes <- Seq(4, 5, 6); tables <- Seq(8, 16, 24))
       println(f"LSH  planes=$planes%2d tables=$tables%2d  recall=${
         macroRecall(Similarity.lshTopK(e, q, "vec_id", "embedding", 5, planes, tables))}%.3f")
-    for (planes <- Seq(3, 4, 5); tables <- Seq(16, 24, 32))
+    for (planes <- Seq(3, 4, 5); tables <- Seq(8, 10, 12, 16))
       println(f"LSH+SQ8 planes=$planes%2d tables=$tables%2d  recall=${
         macroRecall(Similarity.lshSq8TopK(e, q, "vec_id", "embedding", 5, planes, tables))}%.3f")
     spark.stop()
