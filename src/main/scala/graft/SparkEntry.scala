@@ -890,6 +890,40 @@ object SparkEntry {
           .select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
     }),
 
+    // ---- End-to-end dedup materialization: the operation an LLM-data
+    // pipeline actually runs — pairs -> connected components -> keep ONE
+    // representative (min id) per cluster with its cluster size. Threshold
+    // 0.98 keeps the expected clusters SQL-expressible (see q61), so the
+    // whole pipeline is oracle-checked; at lower thresholds the same code
+    // runs with MinHash pairs (q27) as the candidate source.
+    "q102_dedup_materialize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.98)
+      Dedup.connectedComponents(docs, "doc_id", pairs)
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("rep").as("doc_id"), col("n_members"))
+    }),
+
+    // ---- Blocked edit-distance near-dup pairs: levenshtein <= 2 within
+    // first-token blocks — the title/URL-variant dedup an LLM pipeline runs
+    // where token-set similarity is blind (one-char typos). Blocking turns
+    // the all-pairs comparison into an equi-join; the residual quadratic
+    // work is per block, bounded by the hottest block, and the distance
+    // itself is codegen'd. Fully oracle-checked (levenshtein exists in both
+    // engines with identical semantics).
+    "q103_editdist_pairs" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+      val a = p.select(col("blk"), col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = p.select(col("blk"), col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+    }),
+
     // ---- KNN imputation (similarity search composed with imputation) ----------
     "q83_knn_impute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
@@ -1874,6 +1908,22 @@ object SparkEntry {
       SELECT vec_id AS id_a, vec_id AS id_b FROM embeddings WHERE FALSE""",
 
     "q101_minhash_precision_check" -> """
-      SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE FALSE"""
+      SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE FALSE""",
+
+    "q102_dedup_materialize" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(${sqlTokens("lower(text)")})), ' ')) AS fp
+        FROM documents)
+      SELECT min(doc_id) AS doc_id, count(*) AS n_members
+      FROM t GROUP BY fp""",
+
+    "q103_editdist_pairs" -> """
+      WITH p AS (
+        SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2"""
   )
 }

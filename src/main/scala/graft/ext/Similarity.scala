@@ -213,7 +213,7 @@ object Similarity {
     * sample order is already hash-spread by the caller. Deterministic:
     * sequential double accumulation in sample order, no RNG.
     */
-  private[ext] def kmeansSpherical(
+  private[graft] def kmeansSpherical(
       sample: Array[Array[Float]], nlist: Int, iters: Int): Array[Array[Float]] = {
     val dims = sample.head.length
     def unit(v: Array[Double]): Array[Double] = {

@@ -109,6 +109,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(r >= 0.5, s"bucketed cosine pair recall regressed: $r")
   }
 
+  test("kmeansSpherical recovers well-separated directions, deterministic, unit-norm") {
+    // two tight bundles around +x and +y; seeds are the first k points
+    val sample = Array(
+      Array(1.0f, 0.01f, 0f), Array(0.02f, 1.0f, 0f),
+      Array(1.0f, 0.03f, 0f), Array(0.01f, 1.0f, 0f),
+      Array(0.99f, 0.0f, 0f), Array(0.0f, 0.98f, 0f))
+    val cents = Similarity.kmeansSpherical(sample, 2, 5)
+    assert(cents.length == 2)
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6, s"centroid not unit-norm: $n")
+    }
+    // one centroid near +x, the other near +y
+    val byX = cents.sortBy(-_(0))
+    assert(byX(0)(0) > 0.99f && byX(1)(1) > 0.99f)
+    // bit-reproducible: same input, same result
+    val again = Similarity.kmeansSpherical(sample.map(_.clone), 2, 5)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("kmeansSpherical: more clusters than points clamps; empty cells keep seeds") {
+    val sample = Array(Array(1.0f, 0f), Array(0f, 1.0f))
+    val cents = Similarity.kmeansSpherical(sample, 8, 3)
+    assert(cents.length == 2)
+  }
+
   test("measured recall@5: LSH >= 0.6 on corpus embeddings (4-plane default)") {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
