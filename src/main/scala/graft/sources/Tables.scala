@@ -73,6 +73,35 @@ object Tables {
   def orc(spark: SparkSession, paths: String*): DataFrame =
     spark.read.orc(paths: _*)
 
+  /** Range-partitioned, key-sorted parquet layout — the clustering lever
+    * for tables that are mostly filtered on one key (time, tenant, id
+    * range). `repartitionByRange` gives every output file a DISJOINT key
+    * range and the within-partition sort makes each file's row groups
+    * internally ordered, so a point or range predicate pushed into the
+    * parquet reader skips every row group (and effectively every file —
+    * footer-only reads) outside the key range. This is what turns a
+    * 100 TB full-table scan into an I/O-proportional-to-selectivity scan
+    * without a partition-directory explosion on high-cardinality keys
+    * (hive-partitioning by a 10^9-value key is a small-files disaster;
+    * range layout keeps file count a free parameter).
+    *
+    * Range boundaries come from Spark's reservoir sampling of the key —
+    * balanced files even under key skew. Returns the written file count.
+    */
+  def writeRangeLayout(df: DataFrame, path: String, keyCol: String,
+      nFiles: Int): Int = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Small-file compaction: rewrite a parquet table into files of
     * ~`targetFileBytes` each, atomically (write to a temp sibling, then
     * swap). Incremental appends — the reference's own upsert model

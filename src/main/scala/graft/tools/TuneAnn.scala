@@ -13,13 +13,7 @@ import graft.ext.{Recall, Similarity}
 object TuneAnn {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Session.local(32, appName = "graft-tune")
     spark.sparkContext.setLogLevel("ERROR")
     val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 10)

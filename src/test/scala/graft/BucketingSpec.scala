@@ -35,4 +35,34 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP DATABASE IF EXISTS buckdb CASCADE")
     }
   }
+
+  test("writeRangeLayout: disjoint per-file key ranges, sorted rows, stable count") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString + "/t"
+    // keys arrive shuffled (hash-scrambled insertion order)
+    val df = (1 to 10000).map(i => ((i * 2654435761L) % 99991, i.toLong)).toDF("k", "v")
+    val n = graft.sources.Tables.writeRangeLayout(df, dir, "k", 8)
+    assert(n == 8, s"expected 8 range files, got $n")
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 8)
+    // every file covers a disjoint key range (this is what lets parquet
+    // row-group stats prune all out-of-range I/O to footer-only reads)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("k")), max(col("k"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file ranges overlap: max $aMax vs next min $bMin")
+      case _ =>
+    }
+    // rows are sorted inside each file (row groups internally ordered)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f).select(col("k")).as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"file $f not sorted on k")
+    }
+    // nothing lost
+    assert(spark.read.parquet(dir).count() == 10000)
+  }
 }
