@@ -905,6 +905,41 @@ object SparkEntry {
         .select(col("rep").as("doc_id"), col("n_members"))
     }),
 
+    // ---- Corpus curation gate: language allowlist + quality floor + token
+    // window, first failing check as the reject reason — the keep-list audit
+    // artifact of a pre-training curation run. One codegen projection.
+    "q105_curation_gate" -> ((s, dir) =>
+      TextAnalysis.curationGate(t(s, dir, "documents"), "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.5, minTokens = 5, maxTokens = 1000)),
+
+    // ---- TF-IDF scores (q68's exact ratios + smoothed idf; 6-dp rounded
+    // because ln() is the one function here that is not integer-exact) ------
+    "q106_tfidf" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      tf.join(docLen, Seq("doc_id"))
+        .join(broadcast(dfreq), Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("token"),
+          round((col("tf").cast("double") / col("doc_len"))
+            * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + lit(1.0)), 6)
+            .as("tfidf"))
+    }),
+
+    // ---- Fixed-width histogram (profiling surface: value distribution per
+    // group in one hash aggregate — bins are pure arithmetic, no sort) -----
+    "q107_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("bin"), (col("bin") * 5000).as("bin_lo"), col("n"))
+    }),
+
     // ---- Blocked edit-distance near-dup pairs: levenshtein <= 2 within
     // first-token blocks — the title/URL-variant dedup an LLM pipeline runs
     // where token-set similarity is blind (one-char typos). Blocking turns
@@ -1917,6 +1952,72 @@ object SparkEntry {
         FROM documents)
       SELECT min(doc_id) AS doc_id, count(*) AS n_members
       FROM t GROUP BY fp""",
+
+    "q105_curation_gate" -> s"""
+      WITH tk AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS w FROM documents),
+      lid0 AS (
+        SELECT doc_id,
+          len(list_filter(w,
+            w -> w IN ('der','die','das','und','zu','in','ist','ein','nicht','mit'))) AS s_de,
+          len(list_filter(w,
+            w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+          len(list_filter(w,
+            w -> w IN ('el','la','de','y','que','en','un','una','es','por'))) AS s_es,
+          len(list_filter(w,
+            w -> w IN ('le','la','de','et','que','en','un','une','est','pour'))) AS s_fr
+        FROM tk),
+      lid AS (
+        SELECT doc_id,
+          CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS lang_pred
+        FROM lid0),
+      f AS (
+        SELECT doc_id,
+          len(${sqlTokens("text")}) AS n_tokens,
+          length(text) AS n_chars,
+          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+          len(list_filter(${sqlTokens("lower(text)")},
+            w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop
+        FROM documents),
+      q AS (
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+          least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) * 0.5
+            + least(1.0, (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 4.0) * 0.25
+            + (1.0 - least(1.0, (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10.0)) * 0.25
+            AS quality_score
+        FROM f),
+      g AS (
+        SELECT q.doc_id, lid.lang_pred, q.n_tokens, q.quality_score,
+          CASE WHEN q.n_tokens < 5 THEN 'too_short'
+               WHEN q.n_tokens > 1000 THEN 'too_long'
+               WHEN lid.lang_pred <> 'en' THEN 'lang'
+               WHEN q.quality_score < 0.5 THEN 'low_quality'
+               ELSE NULL END AS reject_reason
+        FROM q JOIN lid USING (doc_id))
+      SELECT doc_id, lang_pred, n_tokens, quality_score, reject_reason,
+        reject_reason IS NULL AS keep
+      FROM g""",
+
+    "q106_tfidf" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS token FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM toks GROUP BY 1),
+      dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT tf.doc_id, tf.token,
+        round((CAST(tf.tf AS DOUBLE) / dl.doc_len)
+          * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN n""",
+
+    "q107_histogram" -> """
+      SELECT l_returnflag, CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+        CAST(floor(l_extendedprice / 5000) AS BIGINT) * 5000 AS bin_lo,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2, 3""",
 
     "q103_editdist_pairs" -> """
       WITH p AS (

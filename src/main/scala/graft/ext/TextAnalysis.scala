@@ -99,6 +99,30 @@ object TextAnalysis {
           + (lit(1.0) - least(lit(1.0), col("punct_ratio") * lit(10.0))) * lit(0.25))
   }
 
+  /** Corpus-curation keep-list — the standard pre-training quality gate:
+    * language allowlist + quality-score floor + token-count window, with
+    * the FIRST failing check recorded as `reject_reason` (null when kept).
+    * This is the audit artifact a curation run ships: every document gets
+    * a row, kept or not, so drop rates per reason are one groupBy away.
+    * Pure projection over the scan (language ID and the quality features
+    * are codegen'd expressions — no joins, no shuffles, no UDFs).
+    */
+  def curationGate(df: DataFrame, idCol: String, textCol: String,
+      langs: Seq[String], minQuality: Double,
+      minTokens: Int, maxTokens: Int): DataFrame = {
+    require(minTokens <= maxTokens, "need minTokens <= maxTokens")
+    val feats = qualityFeatures(df, textCol)
+      .withColumn("lang_pred", langId(col(textCol)))
+    feats.select(
+        col(idCol), col("lang_pred"), col("n_tokens"), col("quality_score"),
+        when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("n_tokens") > maxTokens, lit("too_long"))
+          .when(!col("lang_pred").isin(langs.map(lit(_)): _*), lit("lang"))
+          .when(col("quality_score") < minQuality, lit("low_quality"))
+          .otherwise(lit(null).cast("string")).as("reject_reason"))
+      .withColumn("keep", col("reject_reason").isNull)
+  }
+
   /** Benchmark-contamination scores: for each document, the fraction of
     * its DISTINCT word-n-gram shingles that appear anywhere in `bench` —
     * the standard decontamination gate before a corpus becomes training

@@ -135,6 +135,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!got.exists(c => c._1 == 3L || c._1 == 4L))
   }
 
+  test("curationGate: first failing check wins; kept rows carry null reason") {
+    val df = Seq(
+      (1L, "the cat sat of the mat and it is that for sure, plainly"), // kept (en, long enough)
+      (2L, "too short"),                                  // too_short before lang
+      (3L, "el perro la casa de la calle y que en un una es por ahora si"), // lang (es)
+      (4L, "!!!! ???? ;;;; :::: x1 y2 z3 w4 v5 u6")       // en-less -> lang 'und'
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.curationGate(df, "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.3, minTokens = 5, maxTokens = 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(4)), r.getBoolean(5))).sortBy(_._1)
+    assert(got(0)._2 == "en" && got(0)._3.isEmpty && got(0)._4)
+    assert(got(1)._3.contains("too_short") && !got(1)._4)
+    assert(got(2)._2 == "es" && got(2)._3.contains("lang"))
+    assert(got(3)._2 == "und" && got(3)._3.contains("lang"))
+  }
+
   test("sequencePack: per-domain running-sum bins, boundary straddle goes down") {
     val df = Seq(
       (1L, "a " * 80, "x"), (2L, "b " * 80, "x"), (3L, "c " * 80, "x"),
