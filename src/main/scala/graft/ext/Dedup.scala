@@ -448,6 +448,41 @@ object Dedup {
     expandSetPairs(repPairs, members)
   }
 
+  /** Blocked edit-distance near-dup pairs: levenshtein(a, b) <= maxDist
+    * within `blockCol` blocks — the char-level complement to token-set
+    * dedup (catches one-char variants Jaccard is blind to; titles, URLs,
+    * product names). Two prunes keep the per-block quadratic residue
+    * cheap: a length-band prefilter (|len(a)-len(b)| <= maxDist is a
+    * necessary condition and costs two ints), then the THRESHOLDED
+    * levenshtein (banded DP with early abandon — O(maxDist·len) instead of
+    * O(len²), returning -1 above the threshold). Kept pairs carry the true
+    * distance, so the output is oracle-identical to an unthresholded
+    * computation.
+    *
+    * The block sides meet in a broadcast hash join, so parallelism comes
+    * from the probe side's partitioning (block-key skew does not serialize
+    * the work the way a shuffle join would); at cluster scale pick
+    * `blockCol` with enough cardinality that the quadratic residue per
+    * block stays bounded — blocking controls total comparisons, not just
+    * distribution.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, blockCol: Column): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val base = df.select(col(idCol), col(strCol),
+      blockCol.as("__blk"), length(col(strCol)).as("__len"))
+    val a = base.select(col("__blk"), col(idCol).as("id_a"),
+      col(strCol).as("__sa"), col("__len").as("__la"))
+    val b = base.select(col("__blk"), col(idCol).as("id_b"),
+      col(strCol).as("__sb"), col("__len").as("__lb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
   /** SimHash: 64-bit signature whose bit i is the sign of Σ_token ±1 over
     * bit i of the token hash. One per-row codegen'd pass
     * ([[graft.functions.expressions.SimHash64]]) — no explode, no shuffle.
