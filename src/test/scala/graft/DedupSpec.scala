@@ -161,6 +161,24 @@ class DedupSpec extends SparkTestBase {
     assert(r == 1.0)
   }
 
+  test("editDistancePairs: thresholded distances within blocks, cross-block pairs excluded") {
+    import org.apache.spark.sql.functions.{split, col}
+    val df = Seq(
+      (1L, "red shiny ball"),
+      (2L, "red shiny bell"),   // dist 1 from 1, same block "red"
+      (3L, "red shiny belt"),   // dist 1 from 2, dist 2 from 1
+      (4L, "red plain bowl"),   // dist > 2 from all "red" rows
+      (5L, "blue shiny ball")   // other block: never paired with 1 despite dist 2
+    ).toDF("id", "name")
+    val got = Dedup.editDistancePairs(df, "id", "name",
+        maxDist = 2, blockCol = split(col("name"), " ").getItem(0))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got == Map((1L, 2L) -> 1, (2L, 3L) -> 1, (1L, 3L) -> 2))
+    // kept distances are TRUE distances (threshold form returns -1 above
+    // the bound, which the filter drops; survivors are exact)
+    assert(got((1L, 3L)) == 2)
+  }
+
   test("measured pair recall: MinHash banding finds >= 0.95 of exact Jaccard pairs") {
     // 64 hashes / 16 bands has ~0.9998 theoretical recall at j=0.8; on the
     // sf0.01 corpus the measured value is 1.0. Deterministic — a drop below
