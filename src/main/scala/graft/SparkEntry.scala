@@ -983,6 +983,15 @@ object SparkEntry {
         maxDist = 2, blockCol = concat_ws(" ", w.getItem(0), w.getItem(1)))
     }),
 
+    // ---- Bloom-prefiltered semi join (scan-side pruning before the shuffle) ---
+    "q109_bloom_semijoin" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 350000)
+      Joins.bloomSemiJoin(t(s, dir, "lineitem"), "l_orderkey",
+          bigOrders, "o_orderkey", expectedKeys = 20000)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Fns.dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ---- KNN imputation (similarity search composed with imputation) ----------
     "q83_knn_impute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
@@ -2057,6 +2066,12 @@ object SparkEntry {
       SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
       FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-      WHERE levenshtein(a.p_name, b.p_name) <= 2"""
+      WHERE levenshtein(a.p_name, b.p_name) <= 2""",
+
+    "q109_bloom_semijoin" -> s"""
+      SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 350000)
+      GROUP BY l_returnflag"""
   )
 }

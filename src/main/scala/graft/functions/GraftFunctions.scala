@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, WordShingleHashes}
+import graft.functions.expressions.{BloomMightContainLong, FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, WordShingleHashes}
 
 /** Registry for the engine's native Catalyst expressions.
   *
@@ -52,7 +52,20 @@ object GraftFunctions {
         evalDoubleArray(args(2), "graft_sq8_encode scales"))),
     "graft_sq8_dot" -> (args =>
       Sq8DotDecoded(args(0), args(1), evalDoubleArray(args(2), "graft_sq8_dot mins"),
-        evalDoubleArray(args(3), "graft_sq8_dot scales"))))
+        evalDoubleArray(args(3), "graft_sq8_dot scales"))),
+    // bloom_might_contain(key, serializedFilter): the filter rides the call
+    // as a foldable binary literal (BloomFilter.writeTo bytes) so the
+    // function is reachable from pure SQL too
+    "graft_bloom_might_contain" -> (args =>
+      BloomMightContainLong(args(0), {
+        val bytes = evalFolded(args(1), "graft_bloom_might_contain filter") match {
+          case b: Array[Byte] => b
+          case other => analysisError(
+            s"graft_bloom_might_contain filter must be a BINARY literal, got $other")
+        }
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+      })))
 
   /** Plan-time validation for model-parameter arguments: these functions
     * bake hyperparameters into the generated code, so the argument must be
@@ -141,6 +154,14 @@ object GraftFunctions {
   /** Dot product of two SQ8 codes, decoded on the fly (same grid). */
   def sq8Dot(a: Column, b: Column, mins: Array[Double], scales: Array[Double]): Column =
     call_function("graft_sq8_dot", a, b, dlit(mins), dlit(scales))
+
+  /** Bloom membership probe of a long key (false = definitely absent). */
+  def bloomMightContain(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    call_function("graft_bloom_might_contain", key,
+      org.apache.spark.sql.functions.lit(bos.toByteArray))
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */

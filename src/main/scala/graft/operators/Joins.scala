@@ -164,6 +164,45 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Bloom-prefiltered semi join (extension): exact left-semi join of a
+    * huge fact against a build side whose KEYS fit a bloom filter but whose
+    * rows are too many to broadcast as a hash table (the gap between
+    * [[enrich]]'s broadcast and a full shuffle join). The build keys are
+    * aggregated ONCE into ~1.2 MB of bits per million keys at 1% fpp; the
+    * probe runs inside whole-stage codegen on the fact scan, so only
+    * matches-and-false-positives (rate = fpp) ever reach the shuffle for
+    * the residual exact semi join. At a 0.1% match rate this cuts the
+    * fact-side shuffle ~1000× while the residual join keeps the result
+    * EXACTLY equal to a plain left-semi join — no false positives survive.
+    *
+    * Keys must be integral (probed as long). `expectedKeys` sizes the
+    * filter: it is a capacity hint, not a cap — overfilling degrades fpp
+    * (more residual-join input), never correctness. Spark's runtime bloom
+    * pruning (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects
+    * this same shape automatically; this is the explicit operator form,
+    * usable when the build side is a separate job or the optimizer's
+    * size thresholds don't fire.
+    */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      factKey: String,
+      build: DataFrame,
+      buildKey: String,
+      expectedKeys: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedKeys > 0 && expectedKeys <= 100000000L,
+      "bloomSemiJoin: expectedKeys must be in (0, 1e8] — beyond that the " +
+        "bit array itself stops being broadcast-cheap; shuffle-join instead")
+    val keys = build.select(col(buildKey).cast("long").as(buildKey))
+    val bf = keys.stat.bloomFilter(buildKey, expectedKeys, fpp)
+    graft.functions.GraftFunctions.register(fact.sparkSession)
+    val survivors = fact.filter(
+      graft.functions.GraftFunctions.bloomMightContain(col(factKey).cast("long"), bf))
+    val distinctKeys = keys.distinct()
+    survivors.join(distinctKeys,
+      survivors(factKey).cast("long") === distinctKeys(buildKey), "left_semi")
+  }
+
   /** J7 — contains-match lookup join ([function_app.py:233-256]:
     * `get_field_id`): for each fact row, the id of the FIRST dim row (in
     * `dimOrd` order) whose lowercased `dimMatch` value is a substring of the

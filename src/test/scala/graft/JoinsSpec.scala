@@ -101,6 +101,25 @@ class JoinsSpec extends SparkTestBase {
     assert(got == Set((1, "w1"), (1, "w2"))) // point 2 excluded: end is exclusive
   }
 
+  test("bloomSemiJoin equals a plain left-semi join (no false positives survive)") {
+    val fact = spark.range(0, 2000).select(col("id").as("fk"), (col("id") % 7).as("payload"))
+    val build = spark.range(0, 2000, 13).select(col("id").as("bk")) // every 13th key
+    val got = Joins.bloomSemiJoin(fact, "fk", build, "bk", expectedKeys = 200)
+      .select("fk").as[Long].collect().toSet
+    val want = fact.join(build, col("fk") === col("bk"), "left_semi")
+      .select("fk").as[Long].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty && got.forall(_ % 13 == 0))
+  }
+
+  test("bloomSemiJoin rejects an unbroadcastable expectedKeys") {
+    val df = spark.range(1).select(col("id").as("k"))
+    val e = intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(df, "k", df, "k", expectedKeys = 200000000L)
+    }
+    assert(e.getMessage.contains("expectedKeys"))
+  }
+
   test("enrich left join keeps unmatched fact rows with nulls") {
     val fact = Seq((1, 10), (2, 99)).toDF("k", "dimk")
     val dim = Seq((10, "ten")).toDF("dk", "label")
