@@ -983,6 +983,10 @@ object SparkEntry {
         maxDist = 2, blockCol = concat_ws(" ", w.getItem(0), w.getItem(1)))
     }),
 
+    // ---- Repetition scores (Gopher-style curation signals) --------------------
+    "q110_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScores(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- Bloom-prefiltered semi join (scan-side pruning before the shuffle) ---
     "q109_bloom_semijoin" -> ((s, dir) => {
       val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 350000)
@@ -2072,6 +2076,28 @@ object SparkEntry {
       SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
       FROM lineitem
       WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 350000)
-      GROUP BY l_returnflag"""
+      GROUP BY l_returnflag""",
+
+    "q110_repetition" -> s"""
+      WITH toks AS (
+        SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+      nz AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+      ex AS (SELECT doc_id, unnest(ts) AS tok FROM nz),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+      t1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS nd,
+               MAX(c) AS top_c
+             FROM tf GROUP BY 1),
+      g AS (SELECT doc_id,
+              CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+                   ELSE [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]
+              END AS gs
+            FROM nz),
+      g2 AS (SELECT doc_id, len(gs) AS n2, len(list_distinct(gs)) AS d2 FROM g)
+      SELECT t1.doc_id, t1.n_tok,
+        CAST(t1.top_c AS DOUBLE) / t1.n_tok AS top_tok_ratio,
+        CAST(t1.nd AS DOUBLE) / t1.n_tok AS distinct_ratio,
+        CASE WHEN g2.n2 = 0 THEN 0.0
+             ELSE 1.0 - CAST(g2.d2 AS DOUBLE) / g2.n2 END AS dup_2gram_ratio
+      FROM t1 JOIN g2 USING (doc_id)"""
   )
 }

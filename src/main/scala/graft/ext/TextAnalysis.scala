@@ -99,6 +99,56 @@ object TextAnalysis {
           + (lit(1.0) - least(lit(1.0), col("punct_ratio") * lit(10.0))) * lit(0.25))
   }
 
+  /** Repetition scores (Gopher-style repetition filters, token-level):
+    * per document, the share of tokens taken by the single most frequent
+    * token (`top_tok_ratio`), the distinct/total token ratio
+    * (`distinct_ratio`), and the fraction of duplicate 2-grams
+    * (`dup_2gram_ratio`) — the three signals the Gopher/MassiveText
+    * curation rules threshold to drop boilerplate and degenerate
+    * machine-generated text. Blank documents produce no row.
+    *
+    * Shape: the 2-gram counts are pure STAGED projections
+    * (`array_distinct` is a linear hash-set pass; staging keeps the
+    * transform out of repeated lambda expansion — see the winnowing note),
+    * and only the per-token frequency needs a shuffle: the same
+    * explode → (doc, token) count shape as TF (q68), with the per-doc
+    * scalars riding along via `first`. ONE shuffle key = (doc, token), so
+    * at 100 TB this scales exactly as far as TF computation does.
+    */
+  def repetitionScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!df.columns.exists(_.startsWith("__rp_")),
+      "input already carries __rp_* columns — they would be clobbered")
+    val toks = col("__rp_toks"); val grams = col("__rp_grams")
+    val staged = df
+      .select(col(idCol), tokens(lower(col(textCol))).as("__rp_toks"))
+      .filter(size(toks) > 0)
+      .withColumn("__rp_grams",
+        when(size(toks) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+      .select(col(idCol), toks,
+        size(grams).as("__rp_n2"),
+        size(array_distinct(grams)).as("__rp_d2"))
+    staged
+      .select(col(idCol), col("__rp_n2"), col("__rp_d2"),
+        explode(toks).as("__rp_tok"))
+      .groupBy(col(idCol), col("__rp_tok"))
+      .agg(count(lit(1)).as("__rp_c"),
+        first("__rp_n2").as("__rp_n2"), first("__rp_d2").as("__rp_d2"))
+      .groupBy(col(idCol))
+      .agg(sum("__rp_c").as("n_tok"),
+        count(lit(1)).as("__rp_nd"),
+        max("__rp_c").as("__rp_top"),
+        first("__rp_n2").as("__rp_n2"), first("__rp_d2").as("__rp_d2"))
+      .select(col(idCol),
+        col("n_tok"),
+        (col("__rp_top").cast("double") / col("n_tok")).as("top_tok_ratio"),
+        (col("__rp_nd").cast("double") / col("n_tok")).as("distinct_ratio"),
+        when(col("__rp_n2") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("__rp_d2").cast("double") / col("__rp_n2"))
+          .as("dup_2gram_ratio"))
+  }
+
   /** Corpus-curation keep-list — the standard pre-training quality gate:
     * language allowlist + quality-score floor + token-count window, with
     * the FIRST failing check recorded as `reject_reason` (null when kept).

@@ -164,4 +164,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 80, 0L), (2L, 80, 0L), (3L, 80, 1L),
       (4L, 10, 0L), (5L, 10, 0L)))
   }
+
+  test("repetitionScores: degenerate text scores high, varied text scores low") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),        // 1 distinct token, all 2-grams equal
+      (2L, "the quick brown fox jumps"),  // all distinct
+      (3L, "a b a b a b"),                // alternating: 2-grams repeat
+      (4L, "   "),                        // blank -> no row
+      (5L, "solo")                        // one token -> no 2-grams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(!got.contains(4L))
+    assert(got(1L) == ((4L, 1.0, 0.25, 1.0 - 1.0 / 3))) // 3 grams, 1 distinct
+    assert(got(2L) == ((5L, 0.2, 1.0, 0.0)))
+    val (n3, top3, dist3, dup3) = got(3L)
+    assert(n3 == 6L && top3 == 0.5 && dist3 == 2.0 / 6)
+    assert(math.abs(dup3 - 3.0 / 5) < 1e-15)        // 5 grams, 2 distinct
+    assert(got(5L) == ((1L, 1.0, 1.0, 0.0)))        // no grams -> ratio 0
+  }
 }
