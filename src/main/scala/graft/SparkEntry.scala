@@ -983,6 +983,25 @@ object SparkEntry {
         maxDist = 2, blockCol = concat_ws(" ", w.getItem(0), w.getItem(1)))
     }),
 
+    // ---- SemDeDup: cluster-pruned semantic dedup keep-list --------------------
+    "q111_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+
+    // q111 companion: every id semanticDedup drops was connected to its
+    // group by at least one exact-cosine pair ≥ threshold, so a dropped id
+    // with NO exact near-dup partner anywhere in the corpus would be a
+    // correctness bug — the anti-join is empty by construction
+    // (driver-checked precision witness, like q100/q101).
+    "q112_semdedup_check" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val dropped = Similarity.semanticDedup(e, "vec_id", "embedding", 0.4)
+        .filter(!col("keep")).select(col("vec_id"))
+      val exact = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
+      val partnered = exact.select(col("id_a").as("vec_id"))
+        .unionByName(exact.select(col("id_b").as("vec_id"))).distinct()
+      dropped.join(partnered, Seq("vec_id"), "left_anti")
+    }),
+
     // ---- Repetition scores (Gopher-style curation signals) --------------------
     "q110_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionScores(t(s, dir, "documents"), "doc_id", "text")),
@@ -1981,6 +2000,9 @@ object SparkEntry {
 
     "q101_minhash_precision_check" -> """
       SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE FALSE""",
+
+    "q112_semdedup_check" -> """
+      SELECT vec_id FROM embeddings WHERE FALSE""",
 
     "q102_dedup_materialize" -> s"""
       WITH t AS (

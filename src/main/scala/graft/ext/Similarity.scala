@@ -170,31 +170,12 @@ object Similarity {
       fitSample: Int = 4096,
       kmeansIters: Int = 3): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val sample = corpus
-      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
-      .limit(fitSample)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "ivfTopK: corpus has no vectors")
-    val cents = kmeansSpherical(sample, nlist, kmeansIters)
-    val centArr = array(cents.zipWithIndex.map { case (cv, i) =>
-      struct(lit(i.toLong).as("cid"), typedLit(cv.toSeq).as("cv"))
-    }: _*)
-    // nearest-centroid assignment: argmax over dot(vec, centroid)
-    def cellOf(vec: Column, probe: Int): Column = {
-      val scored = transform(centArr, c =>
-        struct(dot(vec, c.getField("cv")).as("s"), c.getField("cid").as("cid")))
-      // descending by score: sort ascending on (-s, cid)
-      val sorted = array_sort(transform(scored, s =>
-        struct((-s.getField("s")).as("ns"), s.getField("cid").as("cid"))))
-      element_at(sorted, probe + 1).getField("cid")
-    }
+    val cents = fitCellCentroids(corpus, idCol, vecCol, nlist, fitSample, kmeansIters)
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", cellOf(col("cv"), 0))
+      .withColumn("cell", cellOf(cents, col("cv"), 0))
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(array((0 until math.min(nprobe, cents.length)).map(p =>
-        cellOf(col("qv"), p)): _*)))
+        cellOf(cents, col("qv"), p)): _*)))
     val cand = assigned.join(probed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
@@ -204,6 +185,39 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Bounded deterministic centroid fit shared by [[ivfTopK]] and
+    * [[semanticDedup]]: the `fitSample` corpus vectors with the smallest
+    * `xxhash64(id)` (hash-spread, uncorrelated with id order), refined by
+    * [[kmeansSpherical]]. A model-parameter collect: ≤ fitSample rows
+    * regardless of corpus size.
+    */
+  private def fitCellCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, fitSample: Int, kmeansIters: Int): Array[Array[Float]] = {
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
+      .limit(fitSample)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "fitCellCentroids: corpus has no vectors")
+    kmeansSpherical(sample, nlist, kmeansIters)
+  }
+
+  /** `probe`-th nearest centroid id (0 = nearest) by argmax dot; ties break
+    * on the smaller centroid id — deterministic on any cluster.
+    */
+  private def cellOf(cents: Array[Array[Float]], vec: Column, probe: Int): Column = {
+    val centArr = array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i.toLong).as("cid"), typedLit(cv.toSeq).as("cv"))
+    }: _*)
+    val scored = transform(centArr, c =>
+      struct(dot(vec, c.getField("cv")).as("s"), c.getField("cid").as("cid")))
+    // descending by score: sort ascending on (-s, cid)
+    val sorted = array_sort(transform(scored, s =>
+      struct((-s.getField("s")).as("ns"), s.getField("cid").as("cid"))))
+    element_at(sorted, probe + 1).getField("cid")
   }
 
   /** Spherical k-means (Lloyd) on the driver over the bounded fit sample:
@@ -398,5 +412,43 @@ object Similarity {
         (sqdot(col("qc"), col("cc")) / (col("qn") * col("cn"))).as("cos"))
       .distinct()
     heapTopK(scored, k)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space coarsely, find near-duplicate
+    * pairs ONLY within each cluster (exact cosine ≥ threshold), connect
+    * them into duplicate groups, and keep one representative (the smallest
+    * id) per group. Output: one row per input id —
+    * (idCol, cluster_rep, keep) — the keep-list a curation run applies.
+    *
+    * Scale shape: the pairwise stage is quadratic only WITHIN a cell, so
+    * `nlist` is the cost knob — size it so the largest cell's pair count is
+    * tractable (SemDeDup's own regime: tens of thousands of clusters over
+    * billions of embeddings; the default 16 matches the sf test corpus).
+    * Cells come from the same bounded deterministic k-means fit as
+    * [[ivfTopK]] (model-parameter collect, argmax-dot assignment riding the
+    * scan); duplicate groups from
+    * [[Dedup.connectedComponents]] (lineage-truncated iterative min-label).
+    * Like all cluster-pruned dedup, recall < 1 by construction (a pair
+    * straddling two cells is invisible) — every emitted pair is exact, so
+    * precision is 1 (q112 checks the witness property driver-side).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, fitSample: Int = 4096,
+      kmeansIters: Int = 3): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val cents = fitCellCentroids(df, idCol, vecCol, nlist, fitSample, kmeansIters)
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", cellOf(cents, col("v"), 0))
+      .withColumn("n", norm(col("v")))
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    val pairs = finishCosinePairs(
+      a.join(b, Seq("cell")).filter(col("id_a") < col("id_b")), threshold)
+    Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .select(col(idCol), col("rep").as("cluster_rep"),
+        (col(idCol) === col("rep")).as("keep"))
   }
 }

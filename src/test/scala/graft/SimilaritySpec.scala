@@ -109,6 +109,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(r >= 0.5, s"bucketed cosine pair recall regressed: $r")
   }
 
+  test("semanticDedup keeps one representative per near-dup group, all rows covered") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)),  // dup of 1
+      (3L, Array(0.98f, 0.02f, 0.0f)),  // dup of 1 and 2 (same group)
+      (4L, Array(0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.0f, 0.99f, 0.01f)),  // dup of 4
+      (6L, Array(0.0f, 0.0f, 1.0f))     // singleton
+    ).toDF("vec_id", "embedding")
+    // single cell => candidate generation is exhaustive: groups are exact
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding", 0.95, nlist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 6)
+    val byId = got.map(r => r._1 -> r).toMap
+    // every row keeps iff it IS its group's min-id representative
+    assert(got.forall { case (id, rep, keep) => keep == (id == rep) })
+    assert(byId(2L)._2 == 1L && byId(3L)._2 == 1L && !byId(2L)._3 && !byId(3L)._3)
+    assert(byId(1L)._3 && byId(6L)._3)
+    assert(byId(5L)._2 == 4L && !byId(5L)._3 && byId(4L)._3)
+    // cluster-pruned (2 cells): pairs may be missed, never invented —
+    // emitted groups are a refinement of the exact ones, invariants hold
+    val pruned = Similarity.semanticDedup(df, "vec_id", "embedding", 0.95, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(pruned.length == 6)
+    assert(pruned.forall { case (id, rep, keep) => keep == (id == rep) && rep <= id })
+    val exactRep = byId.map { case (id, r) => id -> r._2 }
+    assert(pruned.forall { case (id, rep, _) => exactRep(rep) == exactRep(id) })
+  }
+
   test("kmeansSpherical recovers well-separated directions, deterministic, unit-norm") {
     // two tight bundles around +x and +y; seeds are the first k points
     val sample = Array(
