@@ -27,7 +27,8 @@ object Bench {
         "q92_minhash_dup_check", "q93_simhash_dup_check", "q94_lsh_recall_check",
         "q95_ivf_recall_check", "q96_sq8_recall_check", "q97_sq8_shape_check",
         "q98_hll_check", "q99_lsh_sq8_recall_check", "q100_bucketed_pairs_check",
-        "q101_minhash_precision_check", "q108_cms_check", "q112_semdedup_check")
+        "q101_minhash_precision_check", "q108_cms_check", "q112_semdedup_check",
+        "q113_approx_quantile_check")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

@@ -983,6 +983,23 @@ object SparkEntry {
         maxDist = 2, blockCol = concat_ws(" ", w.getItem(0), w.getItem(1)))
     }),
 
+    // ---- Approximate quantiles with a driver-checked error envelope -----------
+    // percentile_approx is the sketch that survives 100 TB (bounded-memory
+    // mergeable summaries; exact percentile needs the full sorted column) —
+    // the check asserts the approximation lands within 1% of the exact
+    // value at the configured accuracy, q98-HLL style.
+    "q113_approx_quantile_check" -> ((s, dir) => {
+      val ps = array(lit(0.25), lit(0.5), lit(0.75))
+      t(s, dir, "lineitem")
+        .agg(
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ex"),
+          percentile_approx(col("l_extendedprice"), ps, lit(10000)).as("ap"))
+        .select(posexplode(arrays_zip(col("ex"), col("ap"))))
+        .select(element_at(ps, col("pos") + 1).as("p"),
+          (abs(col("col.ap") - col("col.ex")) <= abs(col("col.ex")) * lit(0.01))
+            .as("within"))
+    }),
+
     // ---- SemDeDup: cluster-pruned semantic dedup keep-list --------------------
     "q111_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
@@ -2003,6 +2020,10 @@ object SparkEntry {
 
     "q112_semdedup_check" -> """
       SELECT vec_id FROM embeddings WHERE FALSE""",
+
+    "q113_approx_quantile_check" -> """
+      SELECT CAST(p AS DOUBLE) AS p, within
+      FROM (VALUES (0.25, TRUE), (0.5, TRUE), (0.75, TRUE)) t(p, within)""",
 
     "q102_dedup_materialize" -> s"""
       WITH t AS (

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Parquet table catalog over a scale-factor directory.
   *
@@ -93,6 +93,56 @@ object Tables {
     require(nFiles >= 1, "nFiles must be >= 1")
     df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(keyCol))
       .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Z-order (Morton-interleaved) parquet layout over TWO numeric keys —
+    * the multi-dimensional complement of [[writeRangeLayout]]: a single-key
+    * range layout bounds only its own key per file (a predicate on the
+    * second dimension still touches every file); interleaving the two
+    * quantized keys' bits makes each file a TILE in (a, b) space, so
+    * min/max row-group stats bound BOTH dimensions and a selective
+    * predicate on either key (or both) skips most files. This is
+    * `OPTIMIZE ZORDER BY` in lakehouse engines, as a plain parquet writer.
+    *
+    * Both keys are linearly quantized to `bits`-bit codes on their
+    * observed min/max (one tiny agg — a model-parameter collect), bits are
+    * interleaved by a pure codegen'd bitwise expression, and the frame is
+    * range-partitioned + sorted on the z-value — balanced files via the
+    * same reservoir sampling as the range layout. Returns the file count.
+    */
+  def writeZOrderLayout(df: DataFrame, path: String, keyA: String, keyB: String,
+      nFiles: Int, bits: Int = 16): Int = {
+    import org.apache.spark.sql.functions._
+    require(nFiles >= 1, "nFiles must be >= 1")
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val r = df.agg(
+      min(col(keyA).cast("double")), max(col(keyA).cast("double")),
+      min(col(keyB).cast("double")), max(col(keyB).cast("double"))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      "writeZOrderLayout: keys must have at least one non-null value")
+    val maxCode = (1L << bits) - 1
+    def quantize(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(maxCode), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * maxCode)))
+    val za = quantize(col(keyA), r.getDouble(0), r.getDouble(1))
+    val zb = quantize(col(keyB), r.getDouble(2), r.getDouble(3))
+    // nulls sort first: a null in either key lands in z-bucket -1
+    val z = (0 until bits).map { i =>
+      shiftleft(shiftright(za, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(zb, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__graft_z", coalesce(z, lit(-1L)))
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
       .write.mode("overwrite").parquet(path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)

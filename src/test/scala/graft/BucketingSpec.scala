@@ -65,4 +65,32 @@ class BucketingSpec extends SparkTestBase {
     // nothing lost
     assert(spark.read.parquet(dir).count() == 10000)
   }
+
+  test("writeZOrderLayout: per-file tiles bound BOTH dimensions; a y-only filter skips files") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    // 64x64 grid, hash-scrambled arrival order
+    val df = (0 until 4096).sortBy(i => (i * 2654435761L) % 99991)
+      .map(i => (i % 64L, i / 64L)).toDF("x", "y")
+    val n = graft.sources.Tables.writeZOrderLayout(df, dir, "x", "y", nFiles = 16)
+    assert(n == 16, s"expected 16 z-files, got $n")
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.toString)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // both dims are bounded per file (16 files over a 64x64 grid ~ 16x16
+    // tiles; allow generous slop for range-boundary straddle). A single-key
+    // range layout would leave the OTHER dim's span at the full 63.
+    val avgX = ranges.map { case (lo, hi, _, _) => hi - lo }.sum.toDouble / ranges.length
+    val avgY = ranges.map { case (_, _, lo, hi) => hi - lo }.sum.toDouble / ranges.length
+    assert(avgX < 40 && avgY < 40, s"tiles too wide: avg x span $avgX, y span $avgY")
+    // data skipping on the SECOND dim alone: a y-slice of height 8 (1/8 of
+    // the domain) intersects a minority of file tiles
+    val hit = ranges.count { case (_, _, lo, hi) => hi >= 8 && lo < 16 }
+    assert(hit <= 8, s"y-slice [8,16) should skip most files, hit $hit of 16")
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
 }
