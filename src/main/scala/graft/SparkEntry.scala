@@ -983,6 +983,13 @@ object SparkEntry {
         maxDist = 2, blockCol = concat_ws(" ", w.getItem(0), w.getItem(1)))
     }),
 
+    // ---- Hard-negative mining (contrastive pairs: nearest different-label) ----
+    "q104_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", 5)
+    }),
+
     // ---- Approximate quantiles with a driver-checked error envelope -----------
     // percentile_approx is the sketch that survives 100 TB (bounded-memory
     // mergeable summaries; exact percentile needs the full sorted column) —
@@ -2020,6 +2027,18 @@ object SparkEntry {
 
     "q112_semdedup_check" -> """
       SELECT vec_id FROM embeddings WHERE FALSE""",
+
+    "q104_hard_negatives" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+                 FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS cl
+                 FROM embeddings)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank
+        FROM q JOIN c ON query_id <> neighbor_id AND ql <> cl)
+      WHERE rank <= 5""",
 
     "q113_approx_quantile_check" -> """
       SELECT CAST(p AS DOUBLE) AS p, within

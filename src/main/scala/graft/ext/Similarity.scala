@@ -414,6 +414,32 @@ object Similarity {
     heapTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training data: for each query,
+    * the k most similar corpus vectors with a DIFFERENT label — the
+    * near-misses that make the strongest negatives (the positives are the
+    * same-label neighbors). Exact scoring (one broadcast of the query
+    * batch, corpus scanned once, never shuffled) with the bounded-heap
+    * top-k tail — ≤ k rows per query per partition reach the shuffle. For
+    * corpora where even one scan per query batch is too much, swap the
+    * candidate front end for [[lshSq8TopK]]'s buckets; the label filter
+    * composes unchanged.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("ql"))
+      .withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col(labelCol).as("cl"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("ql") =!= col("cl"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    heapTopK(scored, k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space coarsely, find near-duplicate
     * pairs ONLY within each cluster (exact cosine ≥ threshold), connect

@@ -109,6 +109,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(r >= 0.5, s"bucketed cosine pair recall regressed: $r")
   }
 
+  test("hardNegatives ranks nearest DIFFERENT-label vectors, same-label excluded") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),   // same label as 1 -> never a negative for 1
+      (3L, Array(0.9f, 0.2f, 0.0f), 1),    // nearest different-label
+      (4L, Array(0.5f, 0.8f, 0.0f), 1),
+      (5L, Array(0.0f, 1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, df.filter(col("vec_id") === 1), "vec_id", "embedding", "label", 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((3L, 1), (4L, 2)))
+  }
+
   test("semanticDedup keeps one representative per near-dup group, all rows covered") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
