@@ -983,6 +983,42 @@ object SparkEntry {
         maxDist = 2, blockCol = concat_ws(" ", w.getItem(0), w.getItem(1)))
     }),
 
+    // ---- GROUPING SETS (the explicit form beside rollup q20 / cube q48) -------
+    "q114_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"), Fns.dsum(col("o_totalprice")).as("total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("gid"), col("n"), col("total"))
+    }),
+
+    // ---- Funnel analysis (ordered-stage conversion counts) --------------------
+    // Each stage's timestamp must be AT OR AFTER the previous stage's: the
+    // standard product-analytics funnel, as three small per-user aggregates
+    // chained by broadcast-able joins (the per-user frames are tiny next to
+    // the event fact; the event scan is filtered by stage type at the
+    // source each time).
+    "q115_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(broadcast(s1), "user_id").filter(col("ts") >= col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(broadcast(s2), "user_id").filter(col("ts") >= col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
+        .unionByName(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionByName(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+    }),
+
     // ---- Hard-negative mining (contrastive pairs: nearest different-label) ----
     "q104_hard_negatives" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2027,6 +2063,25 @@ object SparkEntry {
 
     "q112_semdedup_check" -> """
       SELECT vec_id FROM embeddings WHERE FALSE""",
+
+    "q114_grouping_sets" -> s"""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), ())""",
+
+    "q115_funnel" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND ts >= t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1)
+      SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+      UNION ALL SELECT '2_click', COUNT(*) FROM s2
+      UNION ALL SELECT '3_purchase', COUNT(*) FROM s3""",
 
     "q104_hard_negatives" -> """
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
