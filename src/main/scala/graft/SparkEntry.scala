@@ -1019,6 +1019,25 @@ object SparkEntry {
           .select(lit("3_purchase").as("stage"), col("n_users")))
     }),
 
+    // ---- Cohort retention (signup-week cohorts x active-week offsets) ---------
+    // The other standard product-analytics matrix beside the funnel: one
+    // small per-user cohort frame broadcast into the distinct-activity
+    // scan; the only wide shuffle is the final (cohort, offset) count.
+    "q116_cohort_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort_day"))
+        .withColumn("cohort_week",
+          floor(datediff(col("cohort_day"), lit("2024-01-01").cast("date")) / 7))
+      val act = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      act.join(broadcast(su), "user_id")
+        .withColumn("week_offset", floor(datediff(col("d"), col("cohort_day")) / 7))
+        .filter(col("week_offset") >= 0)
+        .select(col("user_id"), col("cohort_week"), col("week_offset")).distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // ---- Hard-negative mining (contrastive pairs: nearest different-label) ----
     "q104_hard_negatives" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2071,6 +2090,24 @@ object SparkEntry {
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                               (o_orderstatus), ())""",
+
+    "q116_cohort_retention" -> """
+      WITH su AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      su2 AS (
+        SELECT user_id, cohort_day,
+          CAST(floor(date_diff('day', DATE '2024-01-01', cohort_day) / 7.0) AS BIGINT)
+            AS cohort_week
+        FROM su),
+      act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      j AS (
+        SELECT DISTINCT act.user_id, cohort_week,
+          CAST(floor(date_diff('day', cohort_day, d) / 7.0) AS BIGINT) AS week_offset
+        FROM act JOIN su2 USING (user_id)
+        WHERE date_diff('day', cohort_day, d) >= 0)
+      SELECT cohort_week, week_offset, COUNT(*) AS n_users
+      FROM j GROUP BY 1, 2""",
 
     "q115_funnel" -> """
       WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
