@@ -1019,6 +1019,11 @@ object SparkEntry {
           .select(lit("3_purchase").as("stage"), col("n_users")))
     }),
 
+    // ---- PMI collocations (phrase mining over corpus-wide counts) -------------
+    "q117_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5, topK = 50)),
+
     // ---- Cohort retention (signup-week cohorts x active-week offsets) ---------
     // The other standard product-analytics matrix beside the funnel: one
     // small per-user cohort frame broadcast into the distinct-activity
@@ -2090,6 +2095,30 @@ object SparkEntry {
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                               (o_orderstatus), ())""",
+
+    "q117_pmi_collocations" -> s"""
+      WITH ta AS (
+        SELECT ${sqlTokens("lower(text)")} AS ts FROM documents),
+      nz AS (SELECT ts FROM ta WHERE len(ts) > 0),
+      uni AS (SELECT tok AS w, COUNT(*) AS nw
+              FROM (SELECT unnest(ts) AS tok FROM nz) GROUP BY 1),
+      tu AS (SELECT CAST(SUM(nw) AS DOUBLE) AS t FROM uni),
+      bi AS (SELECT unnest([ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]) AS bg
+             FROM nz WHERE len(ts) >= 2),
+      ba AS (SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+               COUNT(*) AS nab
+             FROM bi GROUP BY 1, 2),
+      tb AS (SELECT CAST(SUM(nab) AS DOUBLE) AS tb FROM ba),
+      sc AS (
+        SELECT w1, w2, nab,
+          round(ln((nab / tb.tb) / ((na.nw / tu.t) * (nb.nw / tu.t))), 6) AS pmi
+        FROM ba JOIN uni na ON ba.w1 = na.w JOIN uni nb ON ba.w2 = nb.w
+        CROSS JOIN tu CROSS JOIN tb
+        WHERE nab >= 5)
+      SELECT w1, w2, nab, pmi FROM (
+        SELECT *, row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rk
+        FROM sc)
+      WHERE rk <= 50""",
 
     "q116_cohort_retention" -> """
       WITH su AS (

@@ -149,6 +149,52 @@ object TextAnalysis {
           .as("dup_2gram_ratio"))
   }
 
+  /** PMI collocations (phrase mining): the top bigrams by pointwise mutual
+    * information, `ln(p(ab) / (p(a)·p(b)))` over corpus-wide counts — the
+    * classic collocation-extraction step that feeds phrase-aware
+    * tokenization and n-gram vocabularies. `minCount` filters the unstable
+    * low-frequency tail (PMI's known bias); ties at the cut break on the
+    * bigram string for a deterministic top-k.
+    *
+    * Everything derives from exact integer counts (two explode + hash-agg
+    * passes, unigram totals broadcast back), so the doubles are
+    * bit-reproducible on any cluster — same determinism contract as TF-IDF
+    * (q106). PMI is rounded to 6 dp for cross-engine comparability.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Int,
+      topK: Int): DataFrame = {
+    val toks = col("__pm_toks")
+    val base = df.select(tokens(lower(col(textCol))).as("__pm_toks"))
+      .filter(size(toks) > 0)
+    val uni = base.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val totalU = uni.agg(sum(col("nw")).as("t")).select(col("t"))
+    val biAll = base
+      .filter(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nab"))
+    // p(ab) is relative to ALL bigram occurrences; the minCount filter only
+    // prunes which bigrams are REPORTED, not the probability space
+    val totalB = biAll.agg(sum(col("nab")).as("tb")).select(col("tb"))
+    val bi = biAll.filter(col("nab") >= minCount)
+    val scored = bi
+      .join(broadcast(uni.withColumnsRenamed(Map("w" -> "w1", "nw" -> "na"))), Seq("w1"))
+      .join(broadcast(uni.withColumnsRenamed(Map("w" -> "w2", "nw" -> "nb"))), Seq("w2"))
+      .crossJoin(broadcast(totalU)).crossJoin(broadcast(totalB))
+      .withColumn("pmi", round(
+        log((col("nab").cast("double") / col("tb")) /
+          ((col("na").cast("double") / col("t")) *
+            (col("nb").cast("double") / col("t")))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("w1"), col("w2"), col("nab"), col("pmi"))
+  }
+
   /** Corpus-curation keep-list — the standard pre-training quality gate:
     * language allowlist + quality-score floor + token-count window, with
     * the FIRST failing check recorded as `reject_reason` (null when kept).

@@ -165,6 +165,21 @@ class TextAnalysisSpec extends SparkTestBase {
       (4L, 10, 0L), (5L, 10, 0L)))
   }
 
+  test("pmiCollocations: a true collocation outranks a chance co-occurrence") {
+    // "new york" always co-occurs; "the" pairs with everything (chance)
+    val docs = (1 to 20).map(i => (i.toLong, s"the new york times item$i the end"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", minCount = 5, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    val m = got.toMap
+    assert(m.contains(("new", "york")) && m(("new", "york"))._1 == 20L)
+    // "the new" has the same count but "the" is frequent everywhere -> lower PMI
+    assert(m(("new", "york"))._2 > m(("the", "new"))._2)
+    // ranks are pmi-descending
+    val pmis = got.map(_._2._2)
+    assert(pmis.sameElements(pmis.sorted.reverse))
+  }
+
   test("repetitionScores: degenerate text scores high, varied text scores low") {
     val df = Seq(
       (1L, "spam spam spam spam"),        // 1 distinct token, all 2-grams equal
