@@ -1019,6 +1019,30 @@ object SparkEntry {
           .select(lit("3_purchase").as("stage"), col("n_users")))
     }),
 
+    // ---- Incremental dedup: new batch vs stored corpus (cross pairs only) -----
+    "q118_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minhashLshPairsIncremental(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "doc_id", "text", n = 1, verifyThreshold = 0.8)
+    }),
+
+    // q118 companion: verify-first means every emitted cross pair is an
+    // exact-jaccard pair of the full corpus at the same threshold — the
+    // anti-join against the exact generator is empty (precision = 1,
+    // driver-checked; q101 style).
+    "q119_incremental_dedup_check" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val inc = Dedup.minhashLshPairsIncremental(
+          d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+          "doc_id", "text", n = 1, verifyThreshold = 0.8)
+        .select(least(col("existing_id"), col("incoming_id")).as("id_a"),
+          greatest(col("existing_id"), col("incoming_id")).as("id_b"))
+      val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 1, 0.8)
+        .select(col("id_a"), col("id_b"))
+      inc.join(exact, Seq("id_a", "id_b"), "left_anti")
+    }),
+
     // ---- PMI collocations (phrase mining over corpus-wide counts) -------------
     "q117_pmi_collocations" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
@@ -2095,6 +2119,9 @@ object SparkEntry {
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                               (o_orderstatus), ())""",
+
+    "q119_incremental_dedup_check" -> """
+      SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE FALSE""",
 
     "q117_pmi_collocations" -> s"""
       WITH ta AS (

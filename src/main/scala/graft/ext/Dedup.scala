@@ -448,6 +448,63 @@ object Dedup {
     expandSetPairs(repPairs, members)
   }
 
+  /** Incremental near-dup check — the PRODUCTION dedup shape: pairs
+    * (existing_id, incoming_id) with exact n-gram Jaccard >= threshold,
+    * candidates from shared MinHash band buckets ACROSS the two frames
+    * only. A whole-corpus recompute ([[minhashLshPairs]]) is the bootstrap
+    * operation; day-to-day, a 100 TB corpus is deduped incrementally — the
+    * existing side's (id, band, bucket) index and shingle sets are
+    * materialized once and appended per batch, so each new batch pays
+    * |batch| signature passes plus ONE equi-join against the index, never
+    * corpus × corpus. Within-batch duplicates are [[minhashLshPairs]] on
+    * the (small) batch alone; this operator contributes the cross-batch
+    * half.
+    *
+    * Verify-first contract as everywhere in this file: emitted pairs carry
+    * EXACT Jaccard (codegen'd sorted-set intersection), so precision is 1
+    * and only candidate RECALL is banding-approximate.
+    */
+  def minhashLshPairsIncremental(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      verifyThreshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(existing.sparkSession)
+    val r = numHashes / bands
+    def side(df: DataFrame, idOut: String, shOut: String, szOut: String) = {
+      val sh = hashedShingles(col(textCol), n)
+      df.select(col(idCol).as(idOut), sh.as(shOut))
+        .select(col(idOut), col(shOut), size(col(shOut)).as(szOut),
+          GraftFunctions.minhash(col(shOut), numHashes).as("sig"))
+        .select(col(idOut), col(shOut), col(szOut), posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b,
+            array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    }
+    val e = side(existing, "existing_id", "sh_e", "sz_e")
+    val i = side(incoming, "incoming_id", "sh_i", "sz_i")
+    // size-compatibility prefilter, then verify BEFORE the distinct (the
+    // score-then-distinct shape rule: a pair surfacing from several bands
+    // recomputes one cheap codegen'd intersection per occurrence, and the
+    // dedup shuffle ships (ids, jaccard) ~24 bytes/row — never the sets)
+    def inter = GraftFunctions.sortedIntersectSize(col("sh_e"), col("sh_i"))
+    def jac = inter.cast("double") /
+      (col("sz_e") + col("sz_i") - inter).cast("double")
+    e.join(i, Seq("band", "bucket"))
+      .filter(col("sz_i") >= col("sz_e") * lit(verifyThreshold) &&
+        col("sz_e") >= col("sz_i") * lit(verifyThreshold))
+      .filter(jac >= lit(verifyThreshold))
+      .select(col("existing_id"), col("incoming_id"),
+        round(jac, 6).as("jaccard"))
+      .distinct()
+  }
+
   /** Blocked edit-distance near-dup pairs: levenshtein(a, b) <= maxDist
     * within `blockCol` blocks — the char-level complement to token-set
     * dedup (catches one-char variants Jaccard is blind to; titles, URLs,

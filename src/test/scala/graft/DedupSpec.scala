@@ -65,6 +65,20 @@ class DedupSpec extends SparkTestBase {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("minhashLshPairsIncremental emits only cross-batch pairs with exact jaccard") {
+    val existing = docs.filter(col("doc_id") <= 3)
+    val incoming = Seq(
+      (6L, "the quick brown fox"),         // dup of 1/2/3 (jaccard 1)
+      (7L, "completely unrelated words")   // no partner
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairsIncremental(existing, incoming, "doc_id", "text",
+        n = 1, numHashes = 16, bands = 4, verifyThreshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // identical sets share every band -> guaranteed candidates; only
+    // existing x incoming pairs appear (never 1-2, never 6-7)
+    assert(got == Set((1L, 6L, 1.0), (2L, 6L, 1.0), (3L, 6L, 1.0)))
+  }
+
   test("simhashPairs reports hamming 0 for identical token bags") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
