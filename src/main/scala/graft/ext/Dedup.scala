@@ -476,33 +476,43 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(existing.sparkSession)
     val r = numHashes / bands
-    def side(df: DataFrame, idOut: String, shOut: String, szOut: String) = {
-      val sh = hashedShingles(col(textCol), n)
-      df.select(col(idCol).as(idOut), sh.as(shOut))
-        .select(col(idOut), col(shOut), size(col(shOut)).as(szOut),
-          GraftFunctions.minhash(col(shOut), numHashes).as("sig"))
-        .select(col(idOut), col(shOut), col(szOut), posexplode(transform(
+    // Set-representative collapse PER SIDE (the dup-heavy-corpus rule from
+    // [[minhashLshPairs]]): banding, band joins, and verification run over
+    // distinct shingle sets; document pairs come back by expansion. On the
+    // hot-vocab corpus this is the difference between |distinct-sets|² and
+    // |docs|² band-bucket floods.
+    val (repsE, memE) = setRepresentatives(existing, idCol, textCol, n)
+    val (repsI, memI) = setRepresentatives(incoming, idCol, textCol, n)
+    def banded(reps: DataFrame, skeyOut: String, shOut: String, szOut: String) =
+      reps.select(col("skey").as(skeyOut), col("sh").as(shOut),
+          col("sh_size").as(szOut),
+          GraftFunctions.minhash(col("sh"), numHashes).as("sig"))
+        .select(col(skeyOut), col(shOut), col(szOut), posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(lit("band"), b,
             array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-    }
-    val e = side(existing, "existing_id", "sh_e", "sz_e")
-    val i = side(incoming, "incoming_id", "sh_i", "sz_i")
+    val e = banded(repsE, "skey_e", "sh_e", "sz_e")
+    val i = banded(repsI, "skey_i", "sh_i", "sz_i")
     // size-compatibility prefilter, then verify BEFORE the distinct (the
     // score-then-distinct shape rule: a pair surfacing from several bands
     // recomputes one cheap codegen'd intersection per occurrence, and the
-    // dedup shuffle ships (ids, jaccard) ~24 bytes/row — never the sets)
+    // dedup shuffle ships (skeys, jaccard) — never the sets)
     def inter = GraftFunctions.sortedIntersectSize(col("sh_e"), col("sh_i"))
     def jac = inter.cast("double") /
       (col("sz_e") + col("sz_i") - inter).cast("double")
-    e.join(i, Seq("band", "bucket"))
+    val repPairs = e.join(i, Seq("band", "bucket"))
       .filter(col("sz_i") >= col("sz_e") * lit(verifyThreshold) &&
         col("sz_e") >= col("sz_i") * lit(verifyThreshold))
       .filter(jac >= lit(verifyThreshold))
-      .select(col("existing_id"), col("incoming_id"),
-        round(jac, 6).as("jaccard"))
+      .select(col("skey_e"), col("skey_i"), round(jac, 6).as("jaccard"))
       .distinct()
+    repPairs
+      .join(memE.select(col("skey").as("skey_e"), col("id").as("existing_id")),
+        Seq("skey_e"))
+      .join(memI.select(col("skey").as("skey_i"), col("id").as("incoming_id")),
+        Seq("skey_i"))
+      .select(col("existing_id"), col("incoming_id"), col("jaccard"))
   }
 
   /** Blocked edit-distance near-dup pairs: levenshtein(a, b) <= maxDist
