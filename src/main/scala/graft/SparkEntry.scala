@@ -1019,6 +1019,28 @@ object SparkEntry {
           .select(lit("3_purchase").as("stage"), col("n_users")))
     }),
 
+    // ---- Rare-token ratio (deterministic perplexity proxy) --------------------
+    "q120_rare_token_ratio" -> ((s, dir) =>
+      TextAnalysis.rareTokenRatio(t(s, dir, "documents"), "doc_id", "text", 100L)),
+
+    // ---- IQR outlier counts per group (data-quality profiling) ----------------
+    // Tukey fences from EXACT quartiles (the q47 percentile machinery):
+    // rows outside [q1 - 1.5*iqr, q3 + 1.5*iqr] flagged per group. The
+    // quartile frame is one row per group — broadcast back into the scan.
+    "q121_iqr_outliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val q = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.25D)").as("q1"),
+          expr("percentile(l_extendedprice, 0.75D)").as("q3"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      li.join(broadcast(q), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo")
+            || col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_outliers"))
+    }),
+
     // ---- Incremental dedup: new batch vs stored corpus (cross pairs only) -----
     "q118_incremental_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2122,6 +2144,30 @@ object SparkEntry {
 
     "q119_incremental_dedup_check" -> """
       SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE FALSE""",
+
+    "q120_rare_token_ratio" -> s"""
+      WITH ex AS (
+        SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS tok FROM documents),
+      freq AS (SELECT tok, COUNT(*) AS f FROM ex GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_tok,
+        CAST(SUM(CASE WHEN f < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        CAST(SUM(CASE WHEN f < 100 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+          AS rare_ratio
+      FROM ex JOIN freq USING (tok)
+      GROUP BY doc_id""",
+
+    "q121_iqr_outliers" -> """
+      WITH q AS (
+        SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.25) AS q1,
+          quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem GROUP BY 1),
+      f AS (SELECT l_returnflag, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM q)
+      SELECT l.l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM lineitem l JOIN f USING (l_returnflag)
+      GROUP BY 1""",
 
     "q117_pmi_collocations" -> s"""
       WITH ta AS (

@@ -149,6 +149,30 @@ object TextAnalysis {
           .as("dup_2gram_ratio"))
   }
 
+  /** Rare-token ratio — a deterministic perplexity proxy (the CCNet-style
+    * quality signal without a language model): the fraction of a document's
+    * tokens whose CORPUS frequency is below `minFreq`. Documents dominated
+    * by rare/garbled tokens score high and get filtered; everything
+    * derives from integer counts plus one division, so the oracle is exact
+    * (no float-sum order dependence, unlike a true mean-logprob).
+    *
+    * Shape: one TF pass builds the corpus frequency table, the explode
+    * joins it back on the token key (shuffle join — the frequency table is
+    * corpus-sized, not broadcastable at 100 TB), and one count-aggregate
+    * per document closes. Three shuffles total, all keyed and partial-agg.
+    */
+  def rareTokenRatio(df: DataFrame, idCol: String, textCol: String,
+      minFreq: Long): DataFrame = {
+    val ex = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__rt_tok"))
+    val freq = ex.groupBy(col("__rt_tok")).agg(count(lit(1)).as("__rt_f"))
+    ex.join(freq, Seq("__rt_tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("__rt_f") < minFreq, 1L).otherwise(0L)).as("n_rare"))
+      .select(col(idCol), col("n_tok"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tok")).as("rare_ratio"))
+  }
+
   /** PMI collocations (phrase mining): the top bigrams by pointwise mutual
     * information, `ln(p(ab) / (p(a)·p(b)))` over corpus-wide counts — the
     * classic collocation-extraction step that feeds phrase-aware
