@@ -1019,6 +1019,15 @@ object SparkEntry {
           .select(lit("3_purchase").as("stage"), col("n_users")))
     }),
 
+    // ---- Unicode normalization (NFC here: DuckDB's nfc_normalize oracles the
+    // registered expression end-to-end; NFKC/ligature folding is spec-tested
+    // with unicode fixtures in TextAnalysisSpec) -------------------------------
+    "q122_text_normalize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.GraftFunctions.normalizeText(col("text"), "NFC").as("text_nfc"))
+    }),
+
     // ---- Rare-token ratio (deterministic perplexity proxy) --------------------
     "q120_rare_token_ratio" -> ((s, dir) =>
       TextAnalysis.rareTokenRatio(t(s, dir, "documents"), "doc_id", "text", 100L)),
@@ -2144,6 +2153,9 @@ object SparkEntry {
 
     "q119_incremental_dedup_check" -> """
       SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE FALSE""",
+
+    "q122_text_normalize" -> """
+      SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents""",
 
     "q120_rare_token_ratio" -> s"""
       WITH ex AS (

@@ -149,6 +149,23 @@ object TextAnalysis {
           .as("dup_2gram_ratio"))
   }
 
+  /** Canonical text cleaning — the normalization chain run before any
+    * hashing/dedup/tokenization touches a raw corpus: Unicode NFKC (folds
+    * composed/decomposed forms, ligatures, full-width digits — see
+    * [[graft.functions.expressions.NormalizeText]]), control-character
+    * strip, and whitespace collapse. Pure projection: one codegen'd
+    * normalize plus two regexp passes riding the scan.
+    */
+  def cleanText(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn(outCol,
+      trim(regexp_replace(
+        regexp_replace(
+          graft.functions.GraftFunctions.normalizeText(col(textCol), "NFKC"),
+          "[\\p{Cc}\\p{Cf}]", " "),
+        "\\s+", " ")))
+  }
+
   /** Rare-token ratio — a deterministic perplexity proxy (the CCNet-style
     * quality signal without a language model): the fraction of a document's
     * tokens whose CORPUS frequency is below `minFreq`. Documents dominated

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{BloomMightContainLong, FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, WordShingleHashes}
+import graft.functions.expressions.{BloomMightContainLong, FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, NormalizeText, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, WordShingleHashes}
 
 /** Registry for the engine's native Catalyst expressions.
   *
@@ -53,6 +53,13 @@ object GraftFunctions {
     "graft_sq8_dot" -> (args =>
       Sq8DotDecoded(args(0), args(1), evalDoubleArray(args(2), "graft_sq8_dot mins"),
         evalDoubleArray(args(3), "graft_sq8_dot scales"))),
+    // normalize_text(text, form): form must be a foldable string literal
+    "graft_normalize_text" -> (args =>
+      NormalizeText(args(0), evalFolded(args(1), "graft_normalize_text form") match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => analysisError(
+          s"graft_normalize_text form must be a STRING literal, got $other")
+      })),
     // bloom_might_contain(key, serializedFilter): the filter rides the call
     // as a foldable binary literal (BloomFilter.writeTo bytes) so the
     // function is reachable from pure SQL too
@@ -154,6 +161,11 @@ object GraftFunctions {
   /** Dot product of two SQ8 codes, decoded on the fly (same grid). */
   def sq8Dot(a: Column, b: Column, mins: Array[Double], scales: Array[Double]): Column =
     call_function("graft_sq8_dot", a, b, dlit(mins), dlit(scales))
+
+  /** Unicode-normalize a string column (form: NFC/NFD/NFKC/NFKD). */
+  def normalizeText(text: Column, form: String): Column =
+    call_function("graft_normalize_text", text,
+      org.apache.spark.sql.functions.lit(form))
 
   /** Bloom membership probe of a long key (false = definitely absent). */
   def bloomMightContain(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {

@@ -165,6 +165,30 @@ class TextAnalysisSpec extends SparkTestBase {
       (4L, 10, 0L), (5L, 10, 0L)))
   }
 
+  test("normalizeText folds composed/decomposed forms; NFKC folds ligatures; cleanText chain") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val composed = "caf\u00e9"      // e-acute as ONE codepoint (NFC form)
+    val decomposed = "cafe\u0301"   // e + combining acute (NFD form)
+    val ligature = "\ufb01le"       // fi-ligature + "le" -> "file" under NFKC only
+    val messy = "a\u0001b\u200b c  \t d" // control + zero-width + messy spaces
+    val df = Seq((1L, composed), (2L, decomposed), (3L, ligature), (4L, messy))
+      .toDF("id", "text")
+    val nfc = df.select(col("id"), GraftFunctions.normalizeText(col("text"), "NFC").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfc(1L) == composed && nfc(2L) == composed, "NFC unifies composed/decomposed")
+    assert(nfc(3L) == ligature, "NFC preserves compatibility ligatures")
+    val nfkc = df.select(col("id"), GraftFunctions.normalizeText(col("text"), "NFKC").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nfkc(3L) == "file", "NFKC folds the fi ligature")
+    val clean = TextAnalysis.cleanText(df, "text", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(clean(4L) == "a b c d", s"got '${clean(4L)}'")
+    assert(clean(2L) == composed)
+    // NFC and NFD inputs now hash identically -- the dedup motivation
+    assert(clean(1L) == clean(2L))
+  }
+
   test("pmiCollocations: a true collocation outranks a chance co-occurrence") {
     // "new york" always co-occurs; "the" pairs with everything (chance)
     val docs = (1 to 20).map(i => (i.toLong, s"the new york times item$i the end"))
