@@ -36,6 +36,56 @@ object SparkEntry {
     * token-based oracle uses this so Spark and DuckDB tokenize identically
     * on leading/trailing/repeated whitespace and tabs.
     */
+  /** Shared curation-gate CTE chain (language ID + quality features +
+    * reject reasons) — the SQL mirror of [[graft.ext.TextAnalysis.curationGate]]
+    * with the q105 parameters; reused by q105 (per-doc audit rows) and
+    * q123 (pipeline stage counts).
+    */
+  private def curationSqlCtes: String = s"""
+      WITH tk AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS w FROM documents),
+      lid0 AS (
+        SELECT doc_id,
+          len(list_filter(w,
+            w -> w IN ('der','die','das','und','zu','in','ist','ein','nicht','mit'))) AS s_de,
+          len(list_filter(w,
+            w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+          len(list_filter(w,
+            w -> w IN ('el','la','de','y','que','en','un','una','es','por'))) AS s_es,
+          len(list_filter(w,
+            w -> w IN ('le','la','de','et','que','en','un','une','est','pour'))) AS s_fr
+        FROM tk),
+      lid AS (
+        SELECT doc_id,
+          CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+               WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS lang_pred
+        FROM lid0),
+      f AS (
+        SELECT doc_id,
+          len(${sqlTokens("text")}) AS n_tokens,
+          length(text) AS n_chars,
+          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+          len(list_filter(${sqlTokens("lower(text)")},
+            w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop
+        FROM documents),
+      q AS (
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+          least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) * 0.5
+            + least(1.0, (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 4.0) * 0.25
+            + (1.0 - least(1.0, (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10.0)) * 0.25
+            AS quality_score
+        FROM f),
+      g AS (
+        SELECT q.doc_id, lid.lang_pred, q.n_tokens, q.quality_score,
+          CASE WHEN q.n_tokens < 5 THEN 'too_short'
+               WHEN q.n_tokens > 1000 THEN 'too_long'
+               WHEN lid.lang_pred <> 'en' THEN 'lang'
+               WHEN q.quality_score < 0.5 THEN 'low_quality'
+               ELSE NULL END AS reject_reason
+        FROM q JOIN lid USING (doc_id))"""
+
   private def sqlTokens(x: String): String =
     s"CASE WHEN trim($x) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim($x), '\\s+') END"
 
@@ -1017,6 +1067,24 @@ object SparkEntry {
           .select(lit("2_click").as("stage"), col("n_users")))
         .unionByName(s3.agg(count(lit(1)).as("n_users"))
           .select(lit("3_purchase").as("stage"), col("n_users")))
+    }),
+
+    // ---- Corpus-prep pipeline: curation gate -> exact dedup, stage counts -----
+    // The end-to-end composition a pre-training data run executes: every
+    // stage is an already-verified operator (q105 gate, q23-shape exact
+    // dedup); this query is the funnel over them — the drop-rate audit
+    // artifact that ships with a corpus release.
+    "q123_corpus_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gate = TextAnalysis.curationGate(docs, "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.5, minTokens = 5, maxTokens = 1000)
+      val kept = gate.filter(col("keep")).select(col("doc_id")).join(docs, "doc_id")
+      val deduped = Dedup.exactDedupe(kept, "doc_id", "text")
+      docs.agg(count(lit(1)).as("n_docs")).select(lit("0_input").as("stage"), col("n_docs"))
+        .unionByName(kept.agg(count(lit(1)).as("n_docs"))
+          .select(lit("1_curated").as("stage"), col("n_docs")))
+        .unionByName(deduped.agg(count(lit(1)).as("n_docs"))
+          .select(lit("2_deduped").as("stage"), col("n_docs")))
     }),
 
     // ---- Unicode normalization (NFC here: DuckDB's nfc_normalize oracles the
@@ -2157,6 +2225,15 @@ object SparkEntry {
     "q122_text_normalize" -> """
       SELECT doc_id, nfc_normalize(text) AS text_nfc FROM documents""",
 
+    "q123_corpus_prep" -> s"""
+      $curationSqlCtes
+      SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM documents
+      UNION ALL
+      SELECT '1_curated', COUNT(*) FROM g WHERE reject_reason IS NULL
+      UNION ALL
+      SELECT '2_deduped', COUNT(DISTINCT d.text)
+      FROM g JOIN documents d USING (doc_id) WHERE reject_reason IS NULL""",
+
     "q120_rare_token_ratio" -> s"""
       WITH ex AS (
         SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS tok FROM documents),
@@ -2265,49 +2342,7 @@ object SparkEntry {
       SELECT token, TRUE AS no_undercount FROM g, tot WHERE cnt * 30 > n""",
 
     "q105_curation_gate" -> s"""
-      WITH tk AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS w FROM documents),
-      lid0 AS (
-        SELECT doc_id,
-          len(list_filter(w,
-            w -> w IN ('der','die','das','und','zu','in','ist','ein','nicht','mit'))) AS s_de,
-          len(list_filter(w,
-            w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
-          len(list_filter(w,
-            w -> w IN ('el','la','de','y','que','en','un','una','es','por'))) AS s_es,
-          len(list_filter(w,
-            w -> w IN ('le','la','de','et','que','en','un','une','est','pour'))) AS s_fr
-        FROM tk),
-      lid AS (
-        SELECT doc_id,
-          CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-               WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-               WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-               WHEN s_es >= s_fr THEN 'es'
-               ELSE 'fr' END AS lang_pred
-        FROM lid0),
-      f AS (
-        SELECT doc_id,
-          len(${sqlTokens("text")}) AS n_tokens,
-          length(text) AS n_chars,
-          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
-          len(list_filter(${sqlTokens("lower(text)")},
-            w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop
-        FROM documents),
-      q AS (
-        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-          least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) * 0.5
-            + least(1.0, (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 4.0) * 0.25
-            + (1.0 - least(1.0, (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 10.0)) * 0.25
-            AS quality_score
-        FROM f),
-      g AS (
-        SELECT q.doc_id, lid.lang_pred, q.n_tokens, q.quality_score,
-          CASE WHEN q.n_tokens < 5 THEN 'too_short'
-               WHEN q.n_tokens > 1000 THEN 'too_long'
-               WHEN lid.lang_pred <> 'en' THEN 'lang'
-               WHEN q.quality_score < 0.5 THEN 'low_quality'
-               ELSE NULL END AS reject_reason
-        FROM q JOIN lid USING (doc_id))
+      $curationSqlCtes
       SELECT doc_id, lang_pred, n_tokens, quality_score, reject_reason,
         reject_reason IS NULL AS keep
       FROM g""",
