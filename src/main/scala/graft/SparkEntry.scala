@@ -653,8 +653,10 @@ object SparkEntry {
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      // dfreq has VOCABULARY cardinality (grows with the corpus) — no
+      // broadcast hint; AQE broadcasts only when it actually fits
       tf.join(docLen, Seq("doc_id"))
-        .join(broadcast(dfreq), Seq("token"))
+        .join(dfreq, Seq("token"))
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
           (col("tf").cast("double") / col("doc_len")).as("tf_norm"))
     }),
@@ -999,8 +1001,10 @@ object SparkEntry {
       val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      // dfreq is vocabulary-sized — un-hinted equi-join (AQE decides);
+      // only the 1-row nDocs frame is force-broadcast
       tf.join(docLen, Seq("doc_id"))
-        .join(broadcast(dfreq), Seq("token"))
+        .join(dfreq, Seq("token"))
         .crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("token"),
           round((col("tf").cast("double") / col("doc_len"))
@@ -1033,6 +1037,16 @@ object SparkEntry {
         maxDist = 2, blockCol = concat_ws(" ", w.getItem(0), w.getItem(1)))
     }),
 
+    // ---- q103 with the blocking width AUTO-SELECTED: one probe pass
+    // measures each candidate prefix width's quadratic residue and the
+    // narrowest width under the comparison budget wins (width 1 here at
+    // sf0.01, width 2 at sf0.1 — measured identical result sets, which is
+    // why one oracle covers both; DedupSpec covers the skewed-block
+    // degradation the probe exists for).
+    "q124_editdist_auto" -> ((s, dir) =>
+      Dedup.editDistancePairsAuto(t(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 2)),
+
     // ---- GROUPING SETS (the explicit form beside rollup q20 / cube q48) -------
     "q114_grouping_sets" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1048,19 +1062,21 @@ object SparkEntry {
 
     // ---- Funnel analysis (ordered-stage conversion counts) --------------------
     // Each stage's timestamp must be AT OR AFTER the previous stage's: the
-    // standard product-analytics funnel, as three small per-user aggregates
-    // chained by broadcast-able joins (the per-user frames are tiny next to
-    // the event fact; the event scan is filtered by stage type at the
-    // source each time).
+    // standard product-analytics funnel, as three per-user aggregates
+    // chained by equi-joins on user_id (the event scan is filtered by
+    // stage type at the source each time).
     "q115_funnel" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
       val s1 = e.filter(col("event_type") === "signup")
         .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      // The per-user stage frames scale with the USER BASE, not a dim
+      // table — no broadcast hints; the joins stay one shuffle on user_id
+      // and AQE broadcasts when a stage frame actually fits.
       val s2 = e.filter(col("event_type") === "click")
-        .join(broadcast(s1), "user_id").filter(col("ts") >= col("t1"))
+        .join(s1, "user_id").filter(col("ts") >= col("t1"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
       val s3 = e.filter(col("event_type") === "purchase")
-        .join(broadcast(s2), "user_id").filter(col("ts") >= col("t2"))
+        .join(s2, "user_id").filter(col("ts") >= col("t2"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
       s1.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
         .unionByName(s2.agg(count(lit(1)).as("n_users"))
@@ -1148,9 +1164,9 @@ object SparkEntry {
         minCount = 5, topK = 50)),
 
     // ---- Cohort retention (signup-week cohorts x active-week offsets) ---------
-    // The other standard product-analytics matrix beside the funnel: one
-    // small per-user cohort frame broadcast into the distinct-activity
-    // scan; the only wide shuffle is the final (cohort, offset) count.
+    // The other standard product-analytics matrix beside the funnel: the
+    // per-user cohort frame joins the distinct-activity scan on user_id;
+    // the only other wide stage is the final (cohort, offset) count.
     "q116_cohort_retention" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val su = e.filter(col("event_type") === "signup")
@@ -1158,7 +1174,9 @@ object SparkEntry {
         .withColumn("cohort_week",
           floor(datediff(col("cohort_day"), lit("2024-01-01").cast("date")) / 7))
       val act = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-      act.join(broadcast(su), "user_id")
+      // su is per-user (grows with the user base) — un-hinted join on
+      // user_id; AQE may still broadcast at small scale
+      act.join(su, "user_id")
         .withColumn("week_offset", floor(datediff(col("d"), col("cohort_day")) / 7))
         .filter(col("week_offset") >= 0)
         .select(col("user_id"), col("cohort_week"), col("week_offset")).distinct()
@@ -2375,6 +2393,19 @@ object SparkEntry {
       FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
       WHERE levenshtein(a.p_name, b.p_name) <= 2""",
 
+    // Same oracle shape as q103: the auto-picked width (1 at sf0.01) and
+    // the pinned width-2 blocking produce IDENTICAL pair sets on this
+    // corpus (measured: width1 EXCEPT width2 = 0 rows at sf0.01 and sf0.1).
+    "q124_editdist_auto" -> """
+      WITH p AS (
+        SELECT p_partkey, p_name,
+          split_part(p_name, ' ', 1) || ' ' || split_part(p_name, ' ', 2) AS blk
+        FROM part)
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 2""",
+
     "q109_bloom_semijoin" -> s"""
       SELECT l_returnflag, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
       FROM lineitem
@@ -2403,4 +2434,39 @@ object SparkEntry {
              ELSE 1.0 - CAST(g2.d2 AS DOUBLE) / g2.n2 END AS dup_2gram_ratio
       FROM t1 JOIN g2 USING (doc_id)"""
   )
+
+  // ===========================================================================
+  // Deterministic partial checks for the no-oracle (approximate) queries
+  // ===========================================================================
+
+  /** Row-count + schema pins for the queries with no SQL-expressible DuckDB
+    * oracle. Every one of these operators is DETERMINISTIC by construction
+    * (hash-derived planes/signatures/shingles, driver k-means on a
+    * hash-spread sample, HLL sketch merges — no RNG, no shuffle-order
+    * float dependence), so at a fixed scale factor the row count and
+    * schema are exact constants: a pinned (rows, schema) pair is a real
+    * regression gate on both dimensions, leaving only the value hash to
+    * the recall / precision companion queries (q92-q101, q112, q119).
+    *
+    * Keyed by sf-dir basename (pins are per scale factor); [[Verify]]
+    * emits `partial_checks.json` from this next to the driver's dump, and
+    * PartialChecksSpec enforces the sf0.01 pins in `sbt test`.
+    */
+  def partialExpectations: Map[String, Map[String, (Long, String)]] = Map(
+    "sf0.01" -> Map(
+      "q27_minhash_lsh" -> (30328L, "id_a:bigint,id_b:bigint,jaccard:double"),
+      "q28_simhash" -> (17L, "id_a:bigint,id_b:bigint,hamming:int"),
+      "q30_lsh_topk" -> (50L, "query_id:bigint,neighbor_id:bigint,rank:int"),
+      "q53_approx_distinct" -> (3L, "l_returnflag:string,approx_parts:bigint,exact_parts:bigint"),
+      "q56_ivf_topk" -> (50L, "query_id:bigint,neighbor_id:bigint,rank:int"),
+      "q70_lsh_recall" -> (10L, "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double"),
+      "q71_ivf_recall" -> (10L, "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double"),
+      "q72_minhash_recall" -> (1L, "n_exact:bigint,n_found:bigint,recall:double"),
+      "q73_cosine_pairs_bucketed" -> (43L, "id_a:bigint,id_b:bigint"),
+      "q87_sq8_topk" -> (50L, "query_id:bigint,neighbor_id:bigint,rank:int"),
+      "q88_sq8_recall" -> (10L, "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double"),
+      "q91_lsh_sq8_topk" -> (50L, "query_id:bigint,neighbor_id:bigint,rank:int"),
+      "q111_semantic_dedup" -> (500L, "vec_id:bigint,cluster_rep:bigint,keep:boolean"),
+      "q118_incremental_dedup" -> (10262L, "existing_id:bigint,incoming_id:bigint,jaccard:double")
+    ))
 }

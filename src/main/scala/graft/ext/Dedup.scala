@@ -550,6 +550,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
+  /** [[editDistancePairs]] with the blocking width AUTO-SELECTED: the
+    * caller no longer has to know the corpus to pick the quadratic-cost
+    * knob. Candidate blockings are the first `w` whitespace tokens of
+    * `strCol` for w in [minWords, maxWords]; ONE probe pass (the
+    * [[distinctSetCount]] plan-choice pattern: explode all candidate
+    * widths, count per block, Σ c·(c−1)/2 per width — only 8-byte keys
+    * shuffle, never the strings) measures each width's quadratic residue,
+    * and the NARROWEST width whose residue fits `budgetComparisons` wins
+    * (narrow = best recall: a dist≤maxDist pair is only found if it agrees
+    * on the block, so widening trades recall for cost — the same contract
+    * as the explicit-width form, now bounded instead of hoped). Falls back
+    * to `maxWords` when no width fits, with the residue logged.
+    */
+  def editDistancePairsAuto(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, minWords: Int = 1, maxWords: Int = 4,
+      budgetComparisons: Long = 5000000L): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, "need 1 <= minWords <= maxWords")
+    val toks = split(col(strCol), " ")
+    def blockAt(w: Int): Column = concat_ws(" ", slice(toks, 1, w))
+    val widths = minWords to maxWords
+    val resid = df
+      .select(posexplode(array(widths.map(w => xxhash64(lit(w), blockAt(w))): _*)))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("c"))
+      .groupBy(col("pos")).agg(sum(col("c") * (col("c") - 1)).as("r2"))
+      .collect().map(r => widths(r.getInt(0)) -> r.getLong(1) / 2).toMap
+    val chosen = widths.find(w => resid.getOrElse(w, 0L) <= budgetComparisons)
+      .getOrElse {
+        System.err.println(s"editDistancePairsAuto: no width within " +
+          s"budget=$budgetComparisons (residues=$resid); using maxWords=$maxWords")
+        maxWords
+      }
+    editDistancePairs(df, idCol, strCol, maxDist, blockAt(chosen))
+  }
+
   /** SimHash: 64-bit signature whose bit i is the sign of Σ_token ±1 over
     * bit i of the token hash. One per-row codegen'd pass
     * ([[graft.functions.expressions.SimHash64]]) — no explode, no shuffle.

@@ -33,8 +33,8 @@ object Similarity {
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine (self excluded), deterministic tie-break on id.
     * Queries are broadcast; the corpus is scanned once — at 100 TB the
-    * corpus never shuffles, and per-partition top-k would be the next
-    * refinement (TakeOrdered pattern) if k·|queries| grew large.
+    * corpus never shuffles, and the bounded-heap tail ([[heapTopK]]) keeps
+    * the rank shuffle at ≤ k·|queries| rows per partition.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
@@ -45,13 +45,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    // Bounded-heap tail (not a window): the corpus×|queries| scored set
+    // would otherwise shuffle into |queries| rank partitions; the heap
+    // aggregate ships ≤ k rows per query per partition.
+    heapTopK(scored, k)
   }
 
   /** Shared ranking tail for the approximate top-k forms: bounded-heap
@@ -128,17 +127,16 @@ object Similarity {
     // (query_id, neighbor_id, cos) — ~24 bytes/row through the shuffle
     // instead of the two full vectors (~10x less shuffle bandwidth; the
     // per-occurrence cost is ONE codegen'd dot, norms precomputed above).
+    // The distinct stays (a pair surfacing from several tables would occupy
+    // several heap slots), but it partial-aggregates map-side; the heap tail
+    // then ships ≤ k rows per query per partition instead of the full
+    // candidate set through a window-rank shuffle.
     val cand = c.join(q, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    heapTopK(cand, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of
@@ -176,15 +174,14 @@ object Similarity {
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(array((0 until math.min(nprobe, cents.length)).map(p =>
         cellOf(cents, col("qv"), p)): _*)))
+    // nprobe cells are disjoint (cellOf(p) enumerates DISTINCT centroids per
+    // query), so no dedup needed before the bounded-heap tail: map-side
+    // combine ships ≤ k candidates per query per partition.
     val cand = assigned.join(probed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    heapTopK(cand, k)
   }
 
   /** Bounded deterministic centroid fit shared by [[ivfTopK]] and

@@ -221,18 +221,23 @@ object TextAnalysis {
     // prunes which bigrams are REPORTED, not the probability space
     val totalB = biAll.agg(sum(col("nab")).as("tb")).select(col("tb"))
     val bi = biAll.filter(col("nab") >= minCount)
+    // Unigram counts have VOCABULARY cardinality (grows with the corpus), so
+    // no broadcast hint: plain equi-joins on the token, and AQE upgrades them
+    // to broadcast only when the frame actually fits. The two 1-row totals
+    // stay broadcast crossJoins.
     val scored = bi
-      .join(broadcast(uni.withColumnsRenamed(Map("w" -> "w1", "nw" -> "na"))), Seq("w1"))
-      .join(broadcast(uni.withColumnsRenamed(Map("w" -> "w2", "nw" -> "nb"))), Seq("w2"))
+      .join(uni.withColumnsRenamed(Map("w" -> "w1", "nw" -> "na")), Seq("w1"))
+      .join(uni.withColumnsRenamed(Map("w" -> "w2", "nw" -> "nb")), Seq("w2"))
       .crossJoin(broadcast(totalU)).crossJoin(broadcast(totalB))
       .withColumn("pmi", round(
         log((col("nab").cast("double") / col("tb")) /
           ((col("na").cast("double") / col("t")) *
             (col("nb").cast("double") / col("t")))), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
+    // Bounded global top-k: TakeOrderedAndProject (per-partition heap of k,
+    // driver merge of k rows) — never the single-partition Window sort, which
+    // would funnel every scored bigram through one task at corpus scale.
+    scored.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
       .select(col("w1"), col("w2"), col("nab"), col("pmi"))
   }
 

@@ -26,11 +26,17 @@ case class NormalizeText(child: Expression, form: String)
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_normalize_text"
 
+  // form is a plan-time constant — resolve the enum ONCE here, not per row
+  // (valueOf inside compute would add a string→enum lookup to every row of
+  // a function framed as scan-speed)
+  @transient private lazy val resolvedForm: java.text.Normalizer.Form =
+    java.text.Normalizer.Form.valueOf(form)
+
   override def nullSafeEval(input: Any): Any =
-    NormalizeText.compute(input.asInstanceOf[UTF8String], form)
+    NormalizeText.compute(input.asInstanceOf[UTF8String], resolvedForm)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val formRef = ctx.addReferenceObj("form", form, "java.lang.String")
+    val formRef = ctx.addReferenceObj("form", resolvedForm, "java.text.Normalizer.Form")
     val util = NormalizeText.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $util.compute($s, $formRef);")
   }
@@ -42,12 +48,11 @@ case class NormalizeText(child: Expression, form: String)
 object NormalizeText {
   val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
 
-  def compute(s: UTF8String, form: String): UTF8String = {
+  def compute(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
     val str = s.toString
     // normalized-check first: for already-normalized text (the common case
     // on clean corpora) this is a single scan with no allocation
-    val f = java.text.Normalizer.Form.valueOf(form)
-    if (java.text.Normalizer.isNormalized(str, f)) s
-    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
   }
 }

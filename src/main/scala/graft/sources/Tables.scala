@@ -134,12 +134,17 @@ object Tables {
         floor((c.cast("double") - lit(lo)) / lit(hi - lo) * maxCode)))
     val za = quantize(col(keyA), r.getDouble(0), r.getDouble(1))
     val zb = quantize(col(keyB), r.getDouble(2), r.getDouble(3))
-    // nulls sort first: a null in either key lands in z-bucket -1
     val z = (0 until bits).map { i =>
       shiftleft(shiftright(za, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(zb, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_ bitwiseOR _)
-    df.withColumn("__graft_z", coalesce(z, lit(-1L)))
+    // Null keys must be gated EXPLICITLY: greatest/least SKIP null
+    // arguments, so quantize() maps a null key to 0, not null — without
+    // this gate null-key rows would silently co-locate with the (0,0)
+    // corner tile and widen that file's min/max stats. They sort first
+    // into their own z-bucket -1 instead.
+    val zSafe = when(col(keyA).isNull || col(keyB).isNull, lit(-1L)).otherwise(z)
+    df.withColumn("__graft_z", zSafe)
       .repartitionByRange(nFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")

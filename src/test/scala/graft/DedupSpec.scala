@@ -193,6 +193,28 @@ class DedupSpec extends SparkTestBase {
     assert(got((1L, 3L)) == 2)
   }
 
+  test("editDistancePairsAuto widens the prefix on a skewed block and matches the explicit width") {
+    import org.apache.spark.sql.functions.{concat_ws, slice, split, col}
+    // Every row shares the first word: a width-1 blocking has ONE block of
+    // n rows (quadratic residue n·(n−1)/2 = 4950 comparisons), while the
+    // second word splits it 10 ways (residue ~10·(10·9/2) = 450). With a
+    // budget between the two, the probe must reject width 1 and pick 2.
+    val df = (0 until 100).map(i => (i.toLong, s"alpha w${i % 10} v$i"))
+      .toDF("id", "name")
+    val auto = Dedup.editDistancePairsAuto(df, "id", "name",
+      maxDist = 2, minWords = 1, maxWords = 3, budgetComparisons = 1000L)
+    val explicit2 = Dedup.editDistancePairs(df, "id", "name",
+      maxDist = 2, blockCol = concat_ws(" ", slice(split(col("name"), " "), 1, 2)))
+    assert(rows(auto) == rows(explicit2))
+    // under a budget that fits width 1, auto must take the narrowest (best
+    // recall) width — the full one-block pair set, a superset of width 2's
+    val auto1 = Dedup.editDistancePairsAuto(df, "id", "name",
+      maxDist = 2, minWords = 1, maxWords = 3, budgetComparisons = 100000L)
+    val explicit1 = Dedup.editDistancePairs(df, "id", "name",
+      maxDist = 2, blockCol = split(col("name"), " ").getItem(0))
+    assert(rows(auto1) == rows(explicit1))
+  }
+
   test("measured pair recall: MinHash banding finds >= 0.95 of exact Jaccard pairs") {
     // 64 hashes / 16 bands has ~0.9998 theoretical recall at j=0.8; on the
     // sf0.01 corpus the measured value is 1.0. Deterministic — a drop below
