@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus replication for scale testing: writes a `factor`× copy of the
+  * documents / embeddings / lineitem / orders tables with each copy
+  * DECORRELATED from the others, so the duplicate / neighbor structure of
+  * the source corpus is preserved per copy but no artificial cross-copy
+  * structure is created:
+  *
+  *  - documents: copy c > 0 suffixes every token with `~c` — intra-copy
+  *    Jaccard/MinHash/edit structure is IDENTICAL to the source (same token
+  *    multiset shape), cross-copy token overlap is zero (a naive 10× text
+  *    replica would instead give every document 9 exact clones and inflate
+  *    pair counts ~100×, measuring the wrong thing);
+  *  - embeddings: copy c flips the sign of dimension i iff
+  *    xxhash64(c, i) is odd — norms and intra-copy cosines are exactly
+  *    preserved, cross-copy cosines decorrelate to ~0;
+  *  - lineitem / orders: key-space shift per copy (orderkey/custkey +
+  *    c·10⁷) so join fan-out and group cardinalities scale linearly.
+  *
+  * Used for the sf1 scaling measurement (BASELINE.md addendum): run the
+  * scale-path queries at sf0.1 and at this 10× replica and compare the
+  * observed wall-time exponent against the linear-ideal.
+  *
+  * Usage: `graft.ScaleUp <inDir> <outDir> <factor>`
+  */
+object ScaleUp {
+  private val Off = 10000000L
+
+  /** Per-copy decorrelating transforms; copy 0 is the identity. */
+  def scaleDocuments(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      if (c == 0) docs
+      else docs.select(
+        (col("doc_id") + c * Off).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$c"))), " ").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }.reduce(_ unionByName _)
+
+  def scaleEmbeddings(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      if (c == 0) emb
+      else emb.select(
+        (col("vec_id") + c * Off).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(pmod(xxhash64(lit(c), i), lit(2)) === 0, x).otherwise(-x))
+          .cast("array<float>").as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+  def scaleLineitem(li: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      if (c == 0) li
+      else li
+        .withColumn("l_orderkey", col("l_orderkey") + c * Off)
+        .withColumn("l_partkey", col("l_partkey") + c * Off)
+        .withColumn("l_suppkey", col("l_suppkey") + c * Off)
+    }.reduce(_ unionByName _)
+
+  def scaleOrders(o: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      if (c == 0) o
+      else o
+        .withColumn("o_orderkey", col("o_orderkey") + c * Off)
+        .withColumn("o_custkey", col("o_custkey") + c * Off)
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, factorS) = args
+    val factor = factorS.toInt
+    require(factor >= 1 && factor * 1L * Off < Long.MaxValue / 4, "sane factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Session.local(cpus, appName = "graft-scaleup")
+    spark.sparkContext.setLogLevel("WARN")
+    def t(n: String) = graft.sources.Tables.load(spark, inDir, n)
+    def write(df: DataFrame, n: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    write(scaleDocuments(t("documents"), factor), "documents")
+    write(scaleEmbeddings(t("embeddings"), factor), "embeddings")
+    write(scaleLineitem(t("lineitem"), factor), "lineitem")
+    write(scaleOrders(t("orders"), factor), "orders")
+    // pass the small dims through unchanged so every catalog query resolves
+    Seq("region", "nation", "customer", "supplier", "part").foreach(n =>
+      write(t(n), n))
+    spark.stop()
+  }
+}
+
+/** Times a named subset of the catalog on a given sf dir (the flagship
+  * scale-path queries for the scaling measurement) — Bench's protocol
+  * (noop sink, warmup pass) without dragging the full catalog through an
+  * sf1-sized run. Usage: `graft.ScaleBench <sfDir> <q...>`.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Session.local(cpus, appName = "graft-scalebench")
+    spark.sparkContext.setLogLevel("WARN")
+    // same warmup discipline as Bench: codegen/JIT at sf0.001, then one
+    // untimed query at the target dir for executor ramp + page cache
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    try SparkEntry.queries(names.head)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[scalebench] $n FAILED: $e") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scalebench] $n%-26s $sec%8.2f s")
+      n -> sec
+    }
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString(s"""{"sf":"$sfDir","queries":{""", ",", "}}"))
+    spark.stop()
+  }
+}

@@ -702,8 +702,12 @@ object SparkEntry {
     }),
 
     // ---- Cosine near-dup pairs, LSH-bucketed (the scale path for q31) ---------
+    // (planes, tables) auto-selected by lshPlan: occupancy-constant buckets
+    // keep candidates ~linear in the corpus (the fixed-(4,8) form measured
+    // 28× wall-time at 10× rows on the sf1 replica), tables solved for the
+    // 0.9 recall target.
     "q73_cosine_pairs_bucketed" -> ((s, dir) => {
-      Similarity.cosineNearDupPairsBucketed(
+      Similarity.cosineNearDupPairsAuto(
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .select(col("id_a"), col("id_b"))
     }),
@@ -925,7 +929,7 @@ object SparkEntry {
     // must be empty (precision = 1 by construction, now driver-checked).
     "q100_bucketed_pairs_check" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.cosineNearDupPairsBucketed(e, "vec_id", "embedding", 0.4)
+      Similarity.cosineNearDupPairsAuto(e, "vec_id", "embedding", 0.4)
         .select(col("id_a"), col("id_b"))
         .join(Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
           .select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
@@ -1209,8 +1213,11 @@ object SparkEntry {
     }),
 
     // ---- SemDeDup: cluster-pruned semantic dedup keep-list --------------------
+    // nlist auto-scaled to constant cell size (fixed 16 cells measured a
+    // quadratic curve on the sf1 replica); floors at 16 here, so the sf0.01
+    // output — and its pinned partial check — is unchanged.
     "q111_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+      Similarity.semanticDedupAuto(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
 
     // q111 companion: every id semanticDedup drops was connected to its
     // group by at least one exact-cosine pair ≥ threshold, so a dropped id
@@ -1219,7 +1226,7 @@ object SparkEntry {
     // (driver-checked precision witness, like q100/q101).
     "q112_semdedup_check" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val dropped = Similarity.semanticDedup(e, "vec_id", "embedding", 0.4)
+      val dropped = Similarity.semanticDedupAuto(e, "vec_id", "embedding", 0.4)
         .filter(!col("keep")).select(col("vec_id"))
       val exact = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
       val partnered = exact.select(col("id_a").as("vec_id"))
@@ -2462,7 +2469,7 @@ object SparkEntry {
       "q70_lsh_recall" -> (10L, "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double"),
       "q71_ivf_recall" -> (10L, "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double"),
       "q72_minhash_recall" -> (1L, "n_exact:bigint,n_found:bigint,recall:double"),
-      "q73_cosine_pairs_bucketed" -> (43L, "id_a:bigint,id_b:bigint"),
+      "q73_cosine_pairs_bucketed" -> (51L, "id_a:bigint,id_b:bigint"),
       "q87_sq8_topk" -> (50L, "query_id:bigint,neighbor_id:bigint,rank:int"),
       "q88_sq8_recall" -> (10L, "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double"),
       "q91_lsh_sq8_topk" -> (50L, "query_id:bigint,neighbor_id:bigint,rank:int"),

@@ -51,26 +51,53 @@ object Multimodal {
     (w, h, f)
   }
 
-  /** Decode boundary: per-partition batched decode via mapPartitions —
-    * the idiomatic place for a heavyweight codec (amortizes per-batch init,
-    * keeps the payload off the driver, preserves partitioning).
+  /** The vectorized codec contract: one call per BATCH of payloads (never
+    * per row), returning one (width, height, n_frames) per input in order.
+    * This is the columnar seam a real decoder plugs into — a JNI image
+    * library, a GPU decode kernel, or an inference session all want a
+    * batch of buffers per call, one session init per partition. The stub
+    * implementation applies [[stubDecode]] element-wise; swapping it is
+    * the ONLY production change, the Spark-side plumbing is final.
     */
-  def decode(spark: SparkSession, media: DataFrame): DataFrame = {
+  type BatchCodec = Seq[Array[Byte]] => Seq[(Int, Int, Int)]
+
+  val stubBatchCodec: BatchCodec = batch => batch.map(stubDecode)
+
+  /** Decode boundary: per-partition BATCHED decode via mapPartitions — the
+    * one deliberate row boundary in main, kept because a heavyweight codec
+    * cannot live inside whole-stage codegen (native buffers, per-partition
+    * session init, batch-sized amortization). The iterator is grouped into
+    * `batchSize` slices so the codec sees the vectorized shape
+    * ([[BatchCodec]]) rather than rows; partitioning is preserved and the
+    * payload never moves (no shuffle, no driver hop). Everything above and
+    * below this operator stays columnar/codegen.
+    */
+  def decodeBatched(media: DataFrame, codec: BatchCodec,
+      batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
     val outSchema = StructType(media.schema.fields :+
       StructField("decoded", StructType(Seq(
         StructField("width", IntegerType, nullable = false),
         StructField("height", IntegerType, nullable = false),
         StructField("n_frames", IntegerType, nullable = false))), nullable = false))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val mediaIdx = media.schema.fieldIndex("media")
     media.mapPartitions { rows =>
-      // per-partition "codec init" would happen here
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]]("media")
-        val (w, h, f) = stubDecode(bytes)
-        Row.fromSeq(r.toSeq :+ Row(w, h, f))
+      // per-partition codec/session init would happen here, once
+      rows.grouped(batchSize).flatMap { batch =>
+        val decoded = codec(batch.map(_.getAs[Array[Byte]](mediaIdx)))
+        require(decoded.length == batch.length,
+          s"codec returned ${decoded.length} results for ${batch.length} inputs")
+        batch.lazyZip(decoded).map { case (r, (w, h, f)) =>
+          Row.fromSeq(r.toSeq :+ Row(w, h, f))
+        }
       }
     }(enc)
   }
+
+  /** [[decodeBatched]] with the deterministic stub codec. */
+  def decode(spark: SparkSession, media: DataFrame): DataFrame =
+    decodeBatched(media, stubBatchCodec)
 
   /** Frame sampling: explode a media row into every `stride`-th frame index
     * up to the decoded frame count — pure relational explode, no codec.

