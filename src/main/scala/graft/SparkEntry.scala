@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Fns
 import graft.operators.{Aggregates, Joins, Relational, Upsert}
-import graft.ext.{Dedup, Imputation, Multimodal, Profiling, Recall, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Imputation, Mixing, Multimodal, Profiling, Recall, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — the operator catalog (SURVEY.md §2) plus the
@@ -1050,6 +1050,22 @@ object SparkEntry {
     "q124_editdist_auto" -> ((s, dir) =>
       Dedup.editDistancePairsAuto(t(s, dir, "part"), "p_partkey", "p_name",
         maxDist = 2)),
+
+    // ---- Data-recipe mixing: largest language-mixture-exact downsample -------
+    // (50% en / 20% de / 15% es / 15% fr; zh outside the recipe drops).
+    // Deterministic member selection by (md5(doc_id), doc_id) rank — any
+    // engine reproduces the exact set, not just the proportions.
+    "q125_mixture_sample" -> ((s, dir) =>
+      Mixing.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15))),
+
+    // ---- Epoch-style repeat factors toward a 1000-row mix at the same
+    // recipe: scarce domains repeat, abundant domains subsample — the
+    // upsampling step real data recipes need. n_repeats=0 rows are the
+    // dropped-doc audit trail.
+    "q126_mixture_repeats" -> ((s, dir) =>
+      Mixing.mixtureRepeats(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15), 1000L)),
 
     // ---- GROUPING SETS (the explicit form beside rollup q20 / cube q48) -------
     "q114_grouping_sets" -> ((s, dir) => {
@@ -2399,6 +2415,30 @@ object SparkEntry {
         CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
       FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
       WHERE levenshtein(a.p_name, b.p_name) <= 2""",
+
+    "q125_mixture_sample" -> """
+      WITH w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.2), ('es', 0.15), ('fr', 0.15)),
+      c AS (SELECT d.lang, COUNT(*) AS n FROM documents d JOIN w ON d.lang = w.lang GROUP BY 1),
+      t AS (SELECT FLOOR(MIN(n / wt)) AS ntot FROM c JOIN w ON c.lang = w.lang),
+      q AS (SELECT w.lang, CAST(FLOOR(wt * ntot) AS BIGINT) AS quota FROM w, t),
+      r AS (SELECT d.doc_id, d.lang,
+              row_number() OVER (PARTITION BY d.lang
+                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+            FROM documents d JOIN w ON d.lang = w.lang)
+      SELECT r.doc_id, r.lang FROM r JOIN q ON r.lang = q.lang WHERE rk <= quota""",
+
+    "q126_mixture_repeats" -> """
+      WITH w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.2), ('es', 0.15), ('fr', 0.15)),
+      c AS (SELECT d.lang, COUNT(*) AS n FROM documents d JOIN w ON d.lang = w.lang GROUP BY 1),
+      q AS (SELECT w.lang, CAST(FLOOR(wt * 1000) AS BIGINT) AS quota, c.n
+            FROM w JOIN c ON w.lang = c.lang),
+      r AS (SELECT d.doc_id, d.lang,
+              row_number() OVER (PARTITION BY d.lang
+                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+            FROM documents d JOIN w ON d.lang = w.lang)
+      SELECT r.doc_id, r.lang,
+        (q.quota // q.n) + CASE WHEN r.rk <= (q.quota % q.n) THEN 1 ELSE 0 END AS n_repeats
+      FROM r JOIN q ON r.lang = q.lang""",
 
     // Same oracle shape as q103: the auto-picked width (1 at sf0.01) and
     // the pinned width-2 blocking produce IDENTICAL pair sets on this

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-recipe mixing: resample a corpus so domain (source / language /
+  * dataset) proportions match a target mixture — the step that turns a
+  * curated corpus into a training mix ("data recipe"). Two forms:
+  *
+  *  - [[mixtureSample]]: the LARGEST mixture-exact downsample (no domain
+  *    repeated, scarcest weighted domain consumed whole);
+  *  - [[mixtureRepeats]]: epoch-style repeat factors toward a target total
+  *    (scarce domains repeat, abundant domains subsample — how real recipes
+  *    hit e.g. 30% code / 50% web / 20% books when the raw pools don't).
+  *
+  * Selection inside a domain is deterministic and engine-neutral: rank by
+  * `(md5(id), id)` — the same md5-threshold convention as the q77 hash
+  * sampler, so any engine reproduces the exact member set, not just the
+  * proportions.
+  *
+  * Scale shape: the per-domain counts are a MODEL-PARAMETER collect (one
+  * row per named domain in the recipe — recipes name dozens of domains,
+  * not millions); the rank window sorts only (domain, 16-byte hash, id)
+  * triples — the payload is projected away before the shuffle and never
+  * moves. The quota frame is a true dim (|recipe| rows), broadcast.
+  */
+object Mixing {
+
+  private def checkedWeights(weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.nonEmpty, "empty mixture")
+    require(weights.values.forall(w => w > 0 && w.isFinite), "weights must be > 0")
+    val s = weights.values.sum
+    require(math.abs(s - 1.0) < 1e-9, s"weights must sum to 1, got $s")
+    weights
+  }
+
+  /** Per-domain doc counts for the named domains — driver-resident recipe
+    * state (≤ |recipe| rows by construction).
+    */
+  private def domainCounts(df: DataFrame, domainCol: String,
+      weights: Map[String, Double]): Map[String, Long] = {
+    val counts = df
+      .filter(col(domainCol).isin(weights.keys.toSeq.map(lit(_)): _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty, s"recipe domains absent from corpus: $missing")
+    counts
+  }
+
+  private def rankInDomain(df: DataFrame, idCol: String, domainCol: String,
+      domains: Iterable[String]): DataFrame =
+    df.select(col(idCol), col(domainCol))
+      .filter(col(domainCol).isin(domains.toSeq.map(lit(_)): _*))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col(domainCol))
+        .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
+
+  /** Largest downsample whose domain proportions EXACTLY match `weights`
+    * (up to floor rounding): total `N = floor(min_d(n_d / w_d))`, per-domain
+    * quota `floor(w_d · N)`, members the quota smallest by `(md5(id), id)`.
+    * Domains not named in the recipe are dropped (the allowlist semantic a
+    * recipe implies). Emits `(id, domain)` of the kept rows.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val w = checkedWeights(weights)
+    val counts = domainCounts(df, domainCol, w)
+    val nTotal = math.floor(w.map { case (d, wt) => counts(d) / wt }.min).toLong
+    val quotas = w.map { case (d, wt) => d -> math.floor(wt * nTotal).toLong }
+    val s = df.sparkSession
+    import s.implicits._
+    val qdf = quotas.toSeq.toDF(domainCol, "__quota")
+    rankInDomain(df, idCol, domainCol, w.keys)
+      .join(broadcast(qdf), Seq(domainCol))
+      .filter(col("__rk") <= col("__quota"))
+      .select(col(idCol), col(domainCol))
+  }
+
+  /** Epoch-style repeat factors toward `targetTotal` rows at the target
+    * mixture: domain quota `floor(w_d · targetTotal)` spread as
+    * `quota / n_d` repeats for every doc plus one extra for the
+    * `quota mod n_d` first-ranked docs. A domain with quota < n_d
+    * subsamples (repeats 0/1), a scarce domain repeats (2, 3, …) — the
+    * upsampling a real recipe needs when raw pools don't match the mix.
+    * Emits every recipe-domain row with its `n_repeats` (0 = dropped), the
+    * audit artifact a mix run ships.
+    */
+  def mixtureRepeats(df: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Double], targetTotal: Long): DataFrame = {
+    require(targetTotal > 0, "targetTotal must be > 0")
+    val w = checkedWeights(weights)
+    val counts = domainCounts(df, domainCol, w)
+    val plan = w.map { case (d, wt) =>
+      val quota = math.floor(wt * targetTotal).toLong
+      val n = counts(d)
+      (d, quota / n, quota % n)
+    }.toSeq
+    val s = df.sparkSession
+    import s.implicits._
+    val pdf = plan.toDF(domainCol, "__base", "__rem")
+    rankInDomain(df, idCol, domainCol, w.keys)
+      .join(broadcast(pdf), Seq(domainCol))
+      .select(col(idCol), col(domainCol),
+        (col("__base") + when(col("__rk") <= col("__rem"), 1L).otherwise(0L))
+          .as("n_repeats"))
+  }
+}

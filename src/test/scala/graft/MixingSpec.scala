@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Mixing
+
+class MixingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 60 a / 30 b / 10 c — deliberately NOT the target mixture
+  private def corpus = (
+    (1 to 60).map(i => (i.toLong, "a")) ++
+    (61 to 90).map(i => (i.toLong, "b")) ++
+    (91 to 100).map(i => (i.toLong, "c"))).toDF("id", "dom")
+
+  test("mixtureSample: exact target proportions, scarcest weighted domain consumed whole") {
+    // N = floor(min(60/0.5, 30/0.4, 10/0.1)) = floor(min(120, 75, 100)) = 75
+    val got = Mixing.mixtureSample(corpus, "id", "dom",
+      Map("a" -> 0.5, "b" -> 0.4, "c" -> 0.1))
+    val byDom = got.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom == Map("a" -> 37L, "b" -> 30L, "c" -> 7L)) // floor(w*75)
+    // deterministic: same call, same member set
+    val again = Mixing.mixtureSample(corpus, "id", "dom",
+      Map("a" -> 0.5, "b" -> 0.4, "c" -> 0.1))
+    assert(rows(got) == rows(again))
+  }
+
+  test("mixtureSample drops domains outside the recipe") {
+    val got = Mixing.mixtureSample(corpus, "id", "dom", Map("a" -> 0.7, "b" -> 0.3))
+    assert(got.filter(col("dom") === "c").count() == 0)
+  }
+
+  test("mixtureRepeats: repeat counts sum to the per-domain quotas; scarce domain upsamples") {
+    // target 200: quotas a=100 (base 1 rem 40), b=60 (base 2 rem 0), c=40 (base 4 rem 0)
+    val got = Mixing.mixtureRepeats(corpus, "id", "dom",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), 200L)
+    val sums = got.groupBy("dom").agg(sum("n_repeats").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(sums == Map("a" -> 100L, "b" -> 60L, "c" -> 40L))
+    // every corpus row of a recipe domain is present (0-repeat rows audit the drops)
+    assert(got.count() == 100)
+    val cRepeats = got.filter(col("dom") === "c").select("n_repeats")
+      .as[Long].collect().toSet
+    assert(cRepeats == Set(4L))
+  }
+
+  test("mixtureRepeats: subsampling domain gets 0/1 repeats") {
+    // target 50: quota a = floor(0.9*50)=45 < 60 docs -> base 0, rem 45
+    val got = Mixing.mixtureRepeats(corpus, "id", "dom",
+      Map("a" -> 0.9, "c" -> 0.1), 50L)
+    val aRep = got.filter(col("dom") === "a").select("n_repeats").as[Long].collect()
+    assert(aRep.count(_ == 1L) == 45 && aRep.count(_ == 0L) == 15)
+  }
+
+  test("invalid recipes are rejected") {
+    intercept[IllegalArgumentException] {
+      Mixing.mixtureSample(corpus, "id", "dom", Map("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.mixtureSample(corpus, "id", "dom", Map("a" -> 0.5, "zz" -> 0.5))
+    }
+  }
+}
