@@ -1067,6 +1067,23 @@ object SparkEntry {
       Mixing.mixtureRepeats(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15), 1000L)),
 
+    // ---- Token-budget mixture (recipes weight by TOKENS): hash-ranked docs
+    // fill each domain's token budget; en cuts off mid-pool, de's whole
+    // pool fits its budget — both paths exercised at sf0.01.
+    "q128_token_mixture" -> ((s, dir) =>
+      Mixing.mixtureTokenSample(t(s, dir, "documents"), "doc_id", "lang",
+        size(TextAnalysis.tokens(col("text"))),
+        Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.15, "fr" -> 0.15), 20000L)),
+
+    // ---- Dedup-preserving ingest: accept-list for appending a batch to an
+    // exactly-deduplicated corpus (anti-join on content hash + within-batch
+    // canonical copy) — the invariant-maintenance form of q23/q11.
+    "q129_dedup_ingest" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.dedupIngest(d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "doc_id", "text")
+    }),
+
     // ---- GROUPING SETS (the explicit form beside rollup q20 / cube q48) -------
     "q114_grouping_sets" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1400,6 +1417,24 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.98)
       Dedup.connectedComponents(docs, "doc_id", pairs)
+    }),
+
+    // ---- Quality-aware canonical selection: near-dup clusters (q61's
+    // components) keep their HIGHEST-QUALITY member (q57's score, ties on
+    // doc_id) instead of the min-id — what a production dedup actually
+    // ships, since the canonical doc should be the best copy, not the
+    // first-crawled one. Composes three verified operators; one extra
+    // argmax per cluster on top of the component join.
+    "q127_quality_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.98)
+      val comp = Dedup.connectedComponents(docs, "doc_id", pairs)
+      val q = TextAnalysis.qualityFeatures(docs, "text")
+        .select(col("doc_id"), col("quality_score"))
+      Aggregates.argmaxRowPerGroup(
+          comp.join(q, Seq("doc_id")), Seq("rep"), "quality_score", "doc_id")
+        .select(col("rep").as("cluster_rep"), col("doc_id").as("keep_id"),
+          col("quality_score"))
     }),
 
     // ---- DataSourceV2: the reference's per-day fetch loop as a parallel source --
@@ -2388,6 +2423,19 @@ object SparkEntry {
         reject_reason IS NULL AS keep
       FROM g""",
 
+    // q61's fp-partition cluster shape + the curation quality CTE (q is
+    // bit-exact cross-engine, so the argmax needs no rounding)
+    "q127_quality_canonical" -> s"""
+      $curationSqlCtes,
+      fp AS (SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(${sqlTokens("lower(text)")})), ' ')) AS fp
+             FROM documents),
+      comp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM fp),
+      j AS (SELECT comp.doc_id, comp.rep, q.quality_score FROM comp JOIN q USING (doc_id)),
+      rr AS (SELECT j.*, row_number() OVER (PARTITION BY rep
+               ORDER BY quality_score DESC, doc_id) AS rn FROM j)
+      SELECT rep AS cluster_rep, doc_id AS keep_id, quality_score FROM rr WHERE rn = 1""",
+
     "q106_tfidf" -> s"""
       WITH toks AS (
         SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS token FROM documents),
@@ -2439,6 +2487,26 @@ object SparkEntry {
       SELECT r.doc_id, r.lang,
         (q.quota // q.n) + CASE WHEN r.rk <= (q.quota % q.n) THEN 1 ELSE 0 END AS n_repeats
       FROM r JOIN q ON r.lang = q.lang""",
+
+    "q128_token_mixture" -> s"""
+      WITH w(lang, bud) AS (VALUES
+        ('en', CAST(FLOOR(0.5 * 20000) AS BIGINT)), ('de', CAST(FLOOR(0.2 * 20000) AS BIGINT)),
+        ('es', CAST(FLOOR(0.15 * 20000) AS BIGINT)), ('fr', CAST(FLOOR(0.15 * 20000) AS BIGINT))),
+      tk AS (SELECT doc_id, lang, CAST(len(${sqlTokens("text")}) AS INT) AS n_tokens
+             FROM documents),
+      r AS (SELECT tk.doc_id, tk.lang, tk.n_tokens, w.bud,
+              SUM(CAST(tk.n_tokens AS BIGINT)) OVER (PARTITION BY tk.lang
+                ORDER BY md5(CAST(tk.doc_id AS VARCHAR)), tk.doc_id) AS cum
+            FROM tk JOIN w ON tk.lang = w.lang)
+      SELECT doc_id, lang, n_tokens FROM r WHERE cum - n_tokens < bud""",
+
+    "q129_dedup_ingest" -> """
+      WITH ex AS (SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 400),
+      inc AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
+              FROM documents WHERE doc_id >= 400 GROUP BY 1)
+      SELECT inc.doc_id, inc.content_hash FROM inc
+      LEFT JOIN ex ON inc.content_hash = ex.content_hash
+      WHERE ex.content_hash IS NULL""",
 
     // Same oracle shape as q103: the auto-picked width (1 at sf0.01) and
     // the pinned width-2 blocking produce IDENTICAL pair sets on this

@@ -550,6 +550,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
+  /** Dedup-preserving ingest: the accept-list for merging a new batch into
+    * a stored corpus that must stay exactly-deduplicated — the invariant an
+    * ingestion pipeline maintains on every append (the reference's
+    * anti-join upsert keyed by CONTENT instead of id). A batch row is
+    * accepted iff its content hash is absent from the corpus (anti-join on
+    * the 16-byte hash — payloads never shuffle) AND it is the batch's own
+    * canonical copy (min id per hash — the within-batch exact dedup).
+    * Emits `(id, content_hash)` of the accepted rows.
+    */
+  def dedupIngest(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val exHash = existing
+      .select(md5(col(textCol).cast("binary")).as("content_hash")).distinct()
+    incoming
+      .groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .join(exHash, Seq("content_hash"), "left_anti")
+      .select(col(idCol), col("content_hash"))
+  }
+
   /** [[editDistancePairs]] with the blocking width AUTO-SELECTED: the
     * caller no longer has to know the corpus to pick the quadratic-cost
     * knob. Candidate blockings are the first `w` whitespace tokens of

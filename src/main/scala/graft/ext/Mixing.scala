@@ -77,6 +77,34 @@ object Mixing {
       .select(col(idCol), col(domainCol))
   }
 
+  /** Token-budget mixture: real recipes weight domains by TOKENS, not
+    * docs. Each domain gets budget `floor(w_d · targetTokens)` and takes
+    * its hash-ranked docs while tokens remain (the doc crossing the
+    * boundary is included, so every non-zero budget takes at least one
+    * doc; a domain whose pool is smaller than its budget is consumed
+    * whole). One running-sum window per domain over `(id, domain,
+    * n_tokens)` triples — the payload never enters the shuffle, no driver
+    * collect at all. Emits `(id, domain, n_tokens)` of the kept docs.
+    */
+  def mixtureTokenSample(df: DataFrame, idCol: String, domainCol: String,
+      tokenCount: org.apache.spark.sql.Column, weights: Map[String, Double],
+      targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be > 0")
+    val w = checkedWeights(weights)
+    val s = df.sparkSession
+    import s.implicits._
+    val bdf = w.toSeq.map { case (d, wt) =>
+      (d, math.floor(wt * targetTokens).toLong) }.toDF(domainCol, "__budget")
+    df.select(col(idCol), col(domainCol), tokenCount.cast("int").as("n_tokens"))
+      .filter(col(domainCol).isin(w.keys.toSeq.map(lit(_)): _*))
+      .withColumn("__cum", sum(col("n_tokens").cast("long"))
+        .over(Window.partitionBy(col(domainCol))
+          .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
+      .join(broadcast(bdf), Seq(domainCol))
+      .filter(col("__cum") - col("n_tokens") < col("__budget"))
+      .select(col(idCol), col(domainCol), col("n_tokens"))
+  }
+
   /** Epoch-style repeat factors toward `targetTotal` rows at the target
     * mixture: domain quota `floor(w_d · targetTotal)` spread as
     * `quota / n_d` repeats for every doc plus one extra for the

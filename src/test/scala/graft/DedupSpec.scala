@@ -193,6 +193,18 @@ class DedupSpec extends SparkTestBase {
     assert(got((1L, 3L)) == 2)
   }
 
+  test("dedupIngest accepts only content new to the corpus, one canonical copy per hash") {
+    val existing = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha"),   // already stored -> rejected
+      (11L, "gamma"), (12L, "gamma"), // batch-internal dup -> min id only
+      (13L, "delta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupIngest(existing, incoming, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L))
+  }
+
   test("editDistancePairsAuto widens the prefix on a skewed block and matches the explicit width") {
     import org.apache.spark.sql.functions.{concat_ws, slice, split, col}
     // Every row shares the first word: a width-1 blocking has ONE block of

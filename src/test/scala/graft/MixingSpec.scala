@@ -51,6 +51,20 @@ class MixingSpec extends SparkTestBase {
     assert(aRep.count(_ == 1L) == 45 && aRep.count(_ == 0L) == 15)
   }
 
+  test("mixtureTokenSample: budgets bound per-domain tokens; boundary doc included") {
+    val df = corpus.withColumn("toks", lit(10))
+    // budgets: a = 0.5*400 = 200 tokens = 20 docs of 10; c = 0.1*400 = 40 -> 4 docs
+    val got = Mixing.mixtureTokenSample(df, "id", "dom", org.apache.spark.sql.functions.col("toks"),
+      Map("a" -> 0.5, "b" -> 0.4, "c" -> 0.1), 400L)
+    val byDom = got.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom == Map("a" -> 20L, "b" -> 16L, "c" -> 4L))
+    // a 1-token overshoot still takes the boundary doc: budget 25 with
+    // 10-token docs -> cum 10,20,30; the 30 row has cum-n=20 < 25 -> 3 docs
+    val small = Mixing.mixtureTokenSample(df, "id", "dom", org.apache.spark.sql.functions.col("toks"),
+      Map("c" -> 1.0), 25L)
+    assert(small.count() == 3)
+  }
+
   test("invalid recipes are rejected") {
     intercept[IllegalArgumentException] {
       Mixing.mixtureSample(corpus, "id", "dom", Map("a" -> 0.5, "b" -> 0.4))
