@@ -1084,6 +1084,39 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- Directed containment pairs: the partial-overlap dup Jaccard
+    // under-scores (short doc quoted whole inside a long one) — 3-gram
+    // shingles, |A∩B|/|A| >= 0.8, (a,b) = a inside b.
+    "q130_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
+
+    // ---- Semantic-dedup ingest: accept-list for appending a vector batch
+    // to a semantically-deduplicated store (store-owned quantizer, cell-
+    // pruned exact cosine, cross pairs only) — q118's embedding analog.
+    "q131_semantic_ingest" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticIngest(e.filter(col("vec_id") < 400),
+        e.filter(col("vec_id") >= 400), "vec_id", "embedding", 0.4)
+    }),
+
+    // q131 companion: every REJECTED incoming vector has an exact-cosine
+    // partner >= threshold somewhere in the store — the anti-join against
+    // the brute-force cross scores is empty (precision witness, q112
+    // style; the accept side is recall, measured not promised).
+    "q132_semantic_ingest_check" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ex = e.filter(col("vec_id") < 400)
+      val inc = e.filter(col("vec_id") >= 400)
+      val rejected = Similarity.semanticIngest(ex, inc, "vec_id", "embedding", 0.4)
+        .filter(!col("accept")).select(col("vec_id"))
+      val i = inc.select(col("vec_id"), col("embedding").as("iv"))
+      val x = ex.select(col("vec_id").as("ex_id"), col("embedding").as("ev"))
+      val partnered = i.crossJoin(x)
+        .filter(round(Similarity.cosine(col("iv"), col("ev")), 6) >= 0.4)
+        .select(col("vec_id")).distinct()
+      rejected.join(partnered, Seq("vec_id"), "left_anti")
+    }),
+
     // ---- GROUPING SETS (the explicit form beside rollup q20 / cube q48) -------
     "q114_grouping_sets" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -2500,6 +2533,28 @@ object SparkEntry {
             FROM tk JOIN w ON tk.lang = w.lang)
       SELECT doc_id, lang, n_tokens FROM r WHERE cum - n_tokens < bud""",
 
+    "q130_containment_pairs" -> s"""
+      WITH toks AS (
+        SELECT doc_id AS id, ${sqlTokens("lower(text)")} AS tk FROM documents
+      ), t AS (
+        SELECT id,
+          CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+               ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                      i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+        FROM toks
+      ), inv AS (
+        SELECT id, len(sh) AS sz, unnest(sh) AS s FROM t WHERE len(sh) > 0
+      )
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(COUNT(*) AS DOUBLE) / a.sz AS containment
+      FROM inv a JOIN inv b ON a.s = b.s AND a.id <> b.id
+      WHERE b.sz >= a.sz * 0.8
+      GROUP BY a.id, b.id, a.sz
+      HAVING COUNT(*) >= a.sz * 0.8""",
+
+    "q132_semantic_ingest_check" -> """
+      SELECT vec_id FROM embeddings WHERE FALSE""",
+
     "q129_dedup_ingest" -> """
       WITH ex AS (SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 400),
       inc AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
@@ -2582,6 +2637,7 @@ object SparkEntry {
       "q88_sq8_recall" -> (10L, "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double"),
       "q91_lsh_sq8_topk" -> (50L, "query_id:bigint,neighbor_id:bigint,rank:int"),
       "q111_semantic_dedup" -> (500L, "vec_id:bigint,cluster_rep:bigint,keep:boolean"),
-      "q118_incremental_dedup" -> (10262L, "existing_id:bigint,incoming_id:bigint,jaccard:double")
+      "q118_incremental_dedup" -> (10262L, "existing_id:bigint,incoming_id:bigint,jaccard:double"),
+      "q131_semantic_ingest" -> (100L, "vec_id:bigint,accept:boolean,blocked_by:bigint")
     ))
 }

@@ -550,6 +550,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
+  /** Directed near-CONTAINMENT pairs: `|A∩B| / |A| ≥ threshold` over
+    * n-gram shingle sets — the partial-overlap dup Jaccard under-scores
+    * (a short doc quoted whole inside a long one has tiny Jaccard but
+    * containment ≈ 1; boilerplate wrappers, quote-reply chains, abstract-
+    * in-paper). Directed: (a, b) means a is (nearly) inside b. Same
+    * inverted-index equi-join scale shape as [[ngramJaccardPairs]] — the
+    * shingle join carries 8-byte hashes, the asymmetric size prefilter
+    * `|B| ≥ θ·|A|` prunes before grouping, payloads never shuffle.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
+    GraftFunctions.register(df.sparkSession)
+    val sh = df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val a = inv.select(col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = inv.select(col("s"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("sz_b") >= col("sz_a") * lit(threshold)) // |A∩B| ≤ |B|
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= col("sz_a") * lit(threshold))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("sz_a")).as("containment"))
+  }
+
   /** Dedup-preserving ingest: the accept-list for merging a new batch into
     * a stored corpus that must stay exactly-deduplicated — the invariant an
     * ingestion pipeline maintains on every append (the reference's

@@ -530,6 +530,43 @@ object Similarity {
     semanticDedup(df, idCol, vecCol, threshold, nlist, fitSample, kmeansIters)
   }
 
+  /** Semantic-dedup INGEST: the accept-list for appending a new vector
+    * batch to a semantically-deduplicated store — the embedding-side
+    * analog of the MinHash incremental dedup (q118) and the content-hash
+    * ingest. The STORE owns the quantizer (centroids fit on `existing`
+    * with the [[semanticDedupAuto]] auto-nlist rule); both sides assign to
+    * cells, and an incoming vector is rejected iff a stored vector in its
+    * cell reaches `threshold` exact cosine. Emits every incoming row:
+    * `(id, accept, blocked_by)` with the highest-cosine stored partner
+    * (ties → smaller id) as the audit trail. Cross pairs only — the store
+    * is never re-paired against itself; cell pruning means recall < 1 (a
+    * straddling pair is invisible — q132 witnesses the rejection side
+    * exactly like q112).
+    */
+  def semanticIngest(existing: DataFrame, incoming: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, targetCellSize: Int = 256,
+      fitSample: Int = 4096, kmeansIters: Int = 3): DataFrame = {
+    GraftFunctions.register(existing.sparkSession)
+    val n = existing.count()
+    val nlist = math.ceil(n.toDouble / targetCellSize).toInt.max(16).min(fitSample / 4)
+    val cents = fitCellCentroids(existing, idCol, vecCol, nlist, fitSample, kmeansIters)
+    val ex = existing.select(col(idCol).as("ex_id"), col(vecCol).as("ev"))
+      .withColumn("cell", cellOf(cents, col("ev"), 0))
+      .withColumn("en", norm(col("ev")))
+    val inc = incoming.select(col(idCol).as("id"), col(vecCol).as("iv"))
+      .withColumn("cell", cellOf(cents, col("iv"), 0))
+      .withColumn("inorm", norm(col("iv")))
+    val hits = inc.join(ex, Seq("cell"))
+      .withColumn("cos", round(dot(col("iv"), col("ev")) / (col("inorm") * col("en")), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(max_by(col("ex_id"), struct(col("cos"), lit(0L) - col("ex_id")))
+        .as("blocked_by"))
+    inc.select(col("id")).join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol), col("blocked_by").isNull.as("accept"),
+        col("blocked_by"))
+  }
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, fitSample: Int = 4096,
       kmeansIters: Int = 3): DataFrame = {

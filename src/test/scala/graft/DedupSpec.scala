@@ -193,6 +193,22 @@ class DedupSpec extends SparkTestBase {
     assert(got((1L, 3L)) == 2)
   }
 
+  test("containmentPairs finds the short-doc-inside-long-doc case Jaccard misses") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),                                     // A
+      (2L, "alpha beta gamma delta and much more trailing text here now"), // contains A
+      (3L, "totally unrelated words only")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // directed: 1 is inside 2; 2 is NOT inside 1
+    assert(got == Set((1L, 2L)))
+    // the same pair's Jaccard is far below 0.8 — containment is the only
+    // lens that catches it
+    val j = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.8).count()
+    assert(j == 0)
+  }
+
   test("dedupIngest accepts only content new to the corpus, one canonical copy per hash") {
     val existing = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val incoming = Seq(
