@@ -28,7 +28,8 @@ object Bench {
         "q95_ivf_recall_check", "q96_sq8_recall_check", "q97_sq8_shape_check",
         "q98_hll_check", "q99_lsh_sq8_recall_check", "q100_bucketed_pairs_check",
         "q101_minhash_precision_check", "q108_cms_check", "q112_semdedup_check",
-        "q113_approx_quantile_check", "q119_incremental_dedup_check")
+        "q113_approx_quantile_check", "q119_incremental_dedup_check",
+        "q132_semantic_ingest_check")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

@@ -1090,6 +1090,27 @@ object SparkEntry {
     "q130_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
 
+    // ---- Sliding event-time windows (1h width / 15min slide: each event
+    // fans out to 4 windows; epoch-aligned, batch+stream same semantics) ----
+    "q133_sliding_window" -> ((s, dir) =>
+      Streams.slidingCounts(t(s, dir, "events"), "1 hour", "15 minutes")),
+
+    // ---- Winsorization (clip to per-group exact p01/p99, then decimal-
+    // exact sums): the standard outlier-robust cleaning step; the stat
+    // frame is one row per group (fixed 3-value domain), broadcast.
+    "q134_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val q = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.01D)").as("p01"),
+          expr("percentile(l_extendedprice, 0.99D)").as("p99"))
+      li.join(broadcast(q), Seq("l_returnflag"))
+        .withColumn("clipped",
+          least(greatest(col("l_extendedprice"), col("p01")), col("p99")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Fns.dsum(col("clipped")).as("sum_clipped"),
+          Fns.dsum(col("l_extendedprice")).as("sum_raw"))
+    }),
+
     // ---- Semantic-dedup ingest: accept-list for appending a vector batch
     // to a semantically-deduplicated store (store-owned quantizer, cell-
     // pruned exact cosine, cross pairs only) — q118's embedding analog.
@@ -2554,6 +2575,26 @@ object SparkEntry {
 
     "q132_semantic_ingest_check" -> """
       SELECT vec_id FROM embeddings WHERE FALSE""",
+
+    // windows generated on epoch-aligned 15-min boundaries covering the
+    // events range; inner join drops empty windows, matching Spark's
+    // event-driven window() fan-out
+    "q133_sliding_window" -> """
+      WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:00:00',
+                   TIMESTAMP '2024-01-31 00:00:00', INTERVAL 15 MINUTE)) AS ws)
+      SELECT g.ws AS win_start, e.event_type, COUNT(*) AS n
+      FROM events e JOIN g ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 1 HOUR
+      GROUP BY 1, 2""",
+
+    "q134_winsorize" -> s"""
+      WITH q AS (SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.01) AS p01,
+                   quantile_cont(l_extendedprice, 0.99) AS p99
+                 FROM lineitem GROUP BY 1)
+      SELECT l.l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(least(greatest(l_extendedprice, p01), p99) AS DECIMAL(18,4))) AS DOUBLE) AS sum_clipped,
+        ${sqlDsum("l_extendedprice")} AS sum_raw
+      FROM lineitem l JOIN q USING (l_returnflag) GROUP BY 1""",
 
     "q129_dedup_ingest" -> """
       WITH ex AS (SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 400),

@@ -27,6 +27,24 @@ object Streams {
         col("w.start").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding event-time window counts (width > slide ⇒ each event lands in
+    * width/slide windows — `window()` does the fan-out; epoch-aligned
+    * starts, identical batch/stream semantics).
+    */
+  def slidingCounts(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Streaming form of [[slidingCounts]] with a late-data watermark. */
+  def slidingCountsStream(events: DataFrame, width: String, slide: String,
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
   /** Streaming form with a watermark for state eviction of late data. */
   def tumblingCountsStream(events: DataFrame, width: String, watermark: String): DataFrame =
     events.withWatermark("ts", watermark)

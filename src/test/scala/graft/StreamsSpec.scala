@@ -169,6 +169,24 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("slidingCountsStream fans each event into width/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val agg = Streams.slidingCountsStream(input.toDS().toDF(), "1 hour", "30 minutes", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("slide_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(Streams.Event(1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("slide_out")
+        .select("win_start", "n").as[(Timestamp, Long)].collect().toSet
+      // one event, two windows: [09:30, 10:30) and [10:00, 11:00)
+      assert(got == Set(
+        (ts("2024-01-01 09:30:00"), 1L),
+        (ts("2024-01-01 10:00:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("enrichStream joins each micro-batch against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
