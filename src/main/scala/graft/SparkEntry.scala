@@ -1090,6 +1090,11 @@ object SparkEntry {
     "q130_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
 
+    // ---- Bigram-LM document scoring (KenLM/CCNet-style fluency signal,
+    // self-scored corpus LM; decimal-domain log sums for determinism) -------
+    "q135_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScores(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- Sliding event-time windows (1h width / 15min slide: each event
     // fans out to 4 windows; epoch-aligned, batch+stream same semantics) ----
     "q133_sliding_window" -> ((s, dir) =>
@@ -2575,6 +2580,24 @@ object SparkEntry {
 
     "q132_semantic_ingest_check" -> """
       SELECT vec_id FROM embeddings WHERE FALSE""",
+
+    "q135_bigram_lm" -> s"""
+      WITH nz AS (
+        SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+      n2 AS (SELECT doc_id, ts FROM nz WHERE len(ts) >= 2),
+      db0 AS (SELECT doc_id,
+                unnest([{'w1': ts[i], 'w2': ts[i+1]} for i in range(1, len(ts))]) AS b
+              FROM n2),
+      db AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM db0),
+      uni AS (SELECT unnest(ts) AS w1 FROM n2),
+      ug AS (SELECT w1, COUNT(*) AS na FROM uni GROUP BY 1),
+      bi AS (SELECT w1, w2, COUNT(*) AS nab FROM db GROUP BY 1, 2),
+      j AS (SELECT db.doc_id,
+              CAST(round(ln(CAST(nab AS DOUBLE) / na), 6) AS DECIMAL(18,6)) AS term
+            FROM db JOIN bi USING (w1, w2) JOIN ug USING (w1))
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+      FROM j GROUP BY 1""",
 
     // windows generated on epoch-aligned 15-min boundaries covering the
     // events range; inner join drops empty windows, matching Spark's

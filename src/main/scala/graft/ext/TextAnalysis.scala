@@ -241,6 +241,42 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("nab"), col("pmi"))
   }
 
+  /** Bigram language-model document scoring — the KenLM/CCNet-style
+    * fluency signal as a self-scored corpus LM: each document's average
+    * `ln p(w2|w1)` under the corpus's own bigram counts
+    * (`p(w2|w1) = n(w1 w2) / n(w1)`). Low scores mark token soup and
+    * boilerplate; the deterministic complement to [[rareTokenRatio]].
+    *
+    * Determinism contract: every per-bigram log term is rounded to 6 dp
+    * and summed in DECIMAL(18,6) — accumulation-order-independent, so the
+    * per-doc average is bit-identical on any cluster and in the DuckDB
+    * oracle (the same dsum trick as the decimal-exact sums). The count
+    * joins are vocabulary-sized — plain equi-joins, NO broadcast hints
+    * (AQE decides). Docs with no bigram are absent by construction.
+    */
+  def bigramLmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = col("__lm_toks")
+    val base = df.select(col(idCol), tokens(lower(col(textCol))).as("__lm_toks"))
+      .filter(size(toks) >= 2)
+    val docBi = base.select(col(idCol),
+      explode(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+        .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = base.select(explode(toks).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("na"))
+    val bi = docBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nab"))
+    docBi
+      .join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .withColumn("__term", round(log(col("nab").cast("double") / col("na")), 6)
+        .cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("__lp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__lp").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
+  }
+
   /** Corpus-curation keep-list — the standard pre-training quality gate:
     * language allowlist + quality-score floor + token-count window, with
     * the FIRST failing check recorded as `reject_reason` (null when kept).
