@@ -206,7 +206,7 @@ object SparkEntry {
       val incoming = o.filter(
         col("o_orderdate") >= to_timestamp(lit("1998-01-01")) &&
         col("o_orderdate") < to_timestamp(lit("2000-01-01")))
-        .select(o.columns.map(col): _*)
+        .select(o.columns.toSeq.map(col): _*)
       Upsert.mergeInsertOnly(existing, incoming, Seq("o_orderkey"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
     }),
@@ -1089,6 +1089,23 @@ object SparkEntry {
     // shingles, |A∩B|/|A| >= 0.8, (a,b) = a inside b.
     "q130_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
+
+    // ---- Source-overlap matrix: near-dup pair counts by (source_a,
+    // source_b) — WHICH sources copy from each other, the curation
+    // diagnostic that decides dedup order and source trust. Exact 1-gram
+    // Jaccard pairs (q25 machinery) joined back to the two docs' sources;
+    // unordered source pair normalized so the matrix is upper-triangular.
+    "q136_source_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val src = d.select(col("doc_id"), col("source"))
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", 1, 0.8)
+        .join(src.withColumnsRenamed(Map("doc_id" -> "id_a", "source" -> "src_a")), Seq("id_a"))
+        .join(src.withColumnsRenamed(Map("doc_id" -> "id_b", "source" -> "src_b")), Seq("id_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
 
     // ---- Bigram-LM document scoring (KenLM/CCNet-style fluency signal,
     // self-scored corpus LM; decimal-domain log sums for determinism) -------
@@ -2580,6 +2597,25 @@ object SparkEntry {
 
     "q132_semantic_ingest_check" -> """
       SELECT vec_id FROM embeddings WHERE FALSE""",
+
+    "q136_source_overlap" -> s"""
+      WITH t AS (
+        SELECT doc_id AS id, list_distinct(${sqlTokens("lower(text)")}) AS sh FROM documents
+      ), inv AS (
+        SELECT id, len(sh) AS sz, unnest(sh) AS s FROM t WHERE len(sh) > 0
+      ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id, a.sz, b.sz
+        HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.8
+      )
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             COUNT(*) AS n_pairs
+      FROM pairs
+      JOIN documents da ON pairs.id_a = da.doc_id
+      JOIN documents db ON pairs.id_b = db.doc_id
+      GROUP BY 1, 2""",
 
     "q135_bigram_lm" -> s"""
       WITH nz AS (

@@ -206,7 +206,7 @@ object Similarity {
     * on the smaller centroid id — deterministic on any cluster.
     */
   private def cellOf(cents: Array[Array[Float]], vec: Column, probe: Int): Column = {
-    val centArr = array(cents.zipWithIndex.map { case (cv, i) =>
+    val centArr = array(cents.toSeq.zipWithIndex.map { case (cv, i) =>
       struct(lit(i.toLong).as("cid"), typedLit(cv.toSeq).as("cv"))
     }: _*)
     val scored = transform(centArr, c =>

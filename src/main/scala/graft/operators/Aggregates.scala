@@ -29,8 +29,8 @@ object Aggregates {
     val others = df.columns.filter(c => c != key)
     df.groupBy(col(key))
       .agg(
-        max_by(struct(others.map(col): _*), col(ord)).as("__row"))
-      .select(col(key) +: others.map(c => col(s"__row.$c").as(c)): _*)
+        max_by(struct(others.toSeq.map(col): _*), col(ord)).as("__row"))
+      .select((col(key) +: others.map(c => col(s"__row.$c").as(c))).toSeq: _*)
   }
 
   /** A4 — argmax row per group ([function_app.py:263-264]: idxmax + loc):

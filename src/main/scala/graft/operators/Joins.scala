@@ -70,9 +70,9 @@ object Joins {
     val needles = entries.map(_.get(0).toString.toLowerCase)
     val ids = entries.map(r => lit(r.get(2)))
     graft.functions.GraftFunctions.register(fact.sparkSession)
-    val idx = graft.functions.GraftFunctions.firstContainsIndex(col(lookupCol), needles)
+    val idx = graft.functions.GraftFunctions.firstContainsIndex(col(lookupCol), needles.toSeq)
     fact.withColumn(outCol,
-      when(idx.isNotNull, element_at(array(ids: _*), idx + 1))
+      when(idx.isNotNull, element_at(array(ids.toSeq: _*), idx + 1))
         .otherwise(lit(null)))
   }
 
@@ -91,7 +91,7 @@ object Joins {
     */
   def saltedJoin(fact: DataFrame, build: DataFrame, keys: Seq[String], salts: Int): DataFrame = {
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(fact.columns.toSeq.map(col): _*), lit(salts)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
@@ -134,7 +134,7 @@ object Joins {
       df.withColumn(c, last(col(s"__r_$c"), ignoreNulls = true).over(w))
     }
     filled.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ rightVals.map(col): _*)
+      .select((left.columns.map(col) ++ rightVals.map(col)).toSeq: _*)
   }
 
   /** Binned range join (extension): match `points` rows to `intervals`
@@ -236,7 +236,7 @@ object Joins {
     val keep = fact.columns.map(c => first(col(c)).as(c))
     joined
       .groupBy(col(rid))
-      .agg(keep.head, keep.tail :+ min_by(col("__id"), col("__o")).as(outCol): _*)
+      .agg(keep.head, (keep.tail :+ min_by(col("__id"), col("__o")).as(outCol)).toSeq: _*)
       .drop(rid)
   }
 }

@@ -62,7 +62,7 @@ object Upsert {
     * oracle testing: existing ∪ (incoming ⟕anti existing on keys).
     */
   def mergeInsertOnly(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
-    existing.unionByName(Joins.antiByKey(incoming, existing, keys).select(existing.columns.map(col): _*))
+    existing.unionByName(Joins.antiByKey(incoming, existing, keys).select(existing.columns.toSeq.map(col): _*))
 
   /** Full upsert (MERGE WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN
     * INSERT — last writer wins): incoming rows replace existing rows with
@@ -72,7 +72,7 @@ object Upsert {
     */
   def mergeUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     Joins.antiByKey(existing, incoming, keys)
-      .unionByName(incoming.select(existing.columns.map(col): _*))
+      .unionByName(incoming.select(existing.columns.toSeq.map(col): _*))
 
   /** SCD Type-2 apply: maintain a dimension with validity intervals.
     * `current` has (key, attrs..., valid_from, valid_to) where open rows
@@ -100,7 +100,7 @@ object Upsert {
     // open rows: close the changed ones, keep the rest
     val maintained = joined.select(
       (current.columns.filterNot(_ == "valid_to").map(col) :+
-        when(changed, col("__ts")).otherwise(col("valid_to")).as("valid_to")): _*)
+        when(changed, col("__ts")).otherwise(col("valid_to")).as("valid_to")).toSeq: _*)
     // new open rows for changed keys
     val fresh = joined.filter(changed).select(
       (current.columns.map {
@@ -109,7 +109,7 @@ object Upsert {
         case "valid_to" => lit(null).cast(current.schema("valid_to").dataType).as("valid_to")
         case c if compareCols.contains(c) => col("__newVals").getField(c).as(c)
         case c => col(c)
-      }): _*)
+      }).toSeq: _*)
     // brand-new keys (not in the dimension yet) open their first row
     val newKeys = Joins.antiByKey(
       updates.select(col(key) +: compareCols.map(col) :+ col(tsCol): _*), current, Seq(key))
@@ -120,7 +120,7 @@ object Upsert {
         case "valid_to" => lit(null).cast(current.schema("valid_to").dataType).as("valid_to")
         case c if compareCols.contains(c) => col(c)
         case c => lit(null).cast(current.schema(c).dataType).as(c)
-      }): _*)
+      }).toSeq: _*)
     closed.unionByName(maintained).unionByName(fresh).unionByName(opened)
   }
 }
