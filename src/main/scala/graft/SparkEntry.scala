@@ -1090,6 +1090,48 @@ object SparkEntry {
     "q130_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.8)),
 
+    // ---- Dataset card: the per-(source, lang) datasheet a corpus release
+    // ships — doc/token counts, mean quality (decimal-domain avg, order-
+    // independent), and exact-dup counts (docs sharing a content hash with
+    // ANY corpus doc). One scan + two hash joins on 16-byte keys.
+    "q137_dataset_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val feats = TextAnalysis.qualityFeatures(d, "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      val hashes = d.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      val hc = hashes.groupBy(col("h")).agg(count(lit(1)).as("hc"))
+      val dup = hashes.join(hc, Seq("h")).select(col("doc_id"), (col("hc") > 1).as("is_dup"))
+      d.select(col("doc_id"), col("source"), col("lang"))
+        .join(feats, Seq("doc_id")).join(dup, Seq("doc_id"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"),
+          // decimal-domain SUM (exact, order-independent); the mean is
+          // sum/n_docs for the reader — dividing here would reintroduce
+          // the double round-half-tie the decimal domain exists to avoid
+          sum(round(col("quality_score"), 6).cast("decimal(18,6)"))
+            .cast("double").as("sum_quality"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"))
+    }),
+
+    // ---- Vocabulary coverage: top-V tokens by corpus frequency with the
+    // cumulative coverage fraction — the vocab-construction artifact. The
+    // cumsum window is global but runs AFTER TakeOrderedAndProject bounds
+    // the frame to V rows — bounded by the model size, not the corpus.
+    "q138_vocab_coverage" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val counts = tk.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("tot"))
+      val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(1000)
+      val w = Window.orderBy(col("cnt").desc, col("token").asc)
+      top.withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(total))
+        .select(col("token"), col("cnt"), col("rank").cast("int").as("rank"),
+          round(col("cum").cast("double") / col("tot"), 6).as("coverage"))
+    }),
+
     // ---- Source-overlap matrix: near-dup pair counts by (source_a,
     // source_b) — WHICH sources copy from each other, the curation
     // diagnostic that decides dedup order and source trust. Exact 1-gram
@@ -2597,6 +2639,32 @@ object SparkEntry {
 
     "q132_semantic_ingest_check" -> """
       SELECT vec_id FROM embeddings WHERE FALSE""",
+
+    "q137_dataset_card" -> s"""
+      $curationSqlCtes,
+      h AS (SELECT doc_id, md5(text) AS h FROM documents),
+      hcnt AS (SELECT h, COUNT(*) AS hc FROM h GROUP BY 1),
+      dup AS (SELECT h.doc_id, hcnt.hc > 1 AS is_dup FROM h JOIN hcnt USING (h))
+      SELECT d.source, d.lang, COUNT(*) AS n_docs,
+        CAST(SUM(CAST(q.n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
+        CAST(SUM(CAST(round(q.quality_score, 6) AS DECIMAL(18,6))) AS DOUBLE)
+          AS sum_quality,
+        COUNT(*) FILTER (WHERE dup.is_dup) AS n_exact_dups
+      FROM documents d JOIN q USING (doc_id) JOIN dup USING (doc_id)
+      GROUP BY 1, 2""",
+
+    "q138_vocab_coverage" -> s"""
+      WITH tk AS (SELECT unnest(${sqlTokens("lower(text)")}) AS token FROM documents),
+      c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM c),
+      top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 1000),
+      r AS (SELECT token, cnt,
+              row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+              CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token) AS BIGINT) AS cum
+            FROM top)
+      SELECT token, cnt, CAST(rank AS INT) AS rank,
+        round(CAST(cum AS DOUBLE) / tot, 6) AS coverage
+      FROM r, tot""",
 
     "q136_source_overlap" -> s"""
       WITH t AS (
