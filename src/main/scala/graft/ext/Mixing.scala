@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the per-domain counts are a MODEL-PARAMETER collect (one
   * row per named domain in the recipe — recipes name dozens of domains,
-  * not millions); the rank window sorts only (domain, 16-byte hash, id)
-  * triples — the payload is projected away before the shuffle and never
-  * moves. The quota frame is a true dim (|recipe| rows), broadcast.
+  * not millions); the payload is projected away before any shuffle and
+  * never moves; and selection is the TWO-PHASE bucketed form
+  * ([[keepSmallestByHash]]) — a recipe domain can be half the corpus, so
+  * no operator here ever sorts a whole domain in one window partition.
+  * The quota frame is a true dim (|recipe| rows), broadcast.
   */
 object Mixing {
 
@@ -49,12 +51,52 @@ object Mixing {
     counts
   }
 
-  private def rankInDomain(df: DataFrame, idCol: String, domainCol: String,
+  /** (id, domain, __h) triples for the recipe domains — the hash every
+    * selection ranks on (engine-neutral md5 hex, same as the q77 sampler).
+    */
+  private def hashed(df: DataFrame, idCol: String, domainCol: String,
       domains: Iterable[String]): DataFrame =
     df.select(col(idCol), col(domainCol))
       .filter(col(domainCol).isin(domains.toSeq.map(lit(_)): _*))
-      .withColumn("__rk", row_number().over(Window.partitionBy(col(domainCol))
-        .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
+      .withColumn("__h", md5(col(idCol).cast("string").cast("binary")))
+
+  /** EXACT distributed rank-threshold selection without a per-domain
+    * global sort: a recipe domain can be half the corpus, so
+    * `row_number over (partition by domain)` would funnel half the rows
+    * through ONE sort task. Instead the hash space is pre-bucketed on the
+    * first two hex chars (256 buckets, consistent with the (__h, id)
+    * order because the bucket IS the hash prefix): bucket counts cumsum in
+    * a 256-rows-per-domain window, buckets wholly inside the threshold
+    * are kept without ranking, and only the single BOUNDARY bucket —
+    * ~1/256th of the domain — is row_number'd. Output is bit-identical to
+    * the naive global rank (`__rk <= threshold(domain)`), which is what
+    * MixingSpec and the DuckDB oracles assert.
+    * `thresholds` carries (domainCol, __q); emits the kept (id, domain)
+    * rows plus their `__rk` global rank.
+    */
+  private def keepSmallestByHash(df: DataFrame, idCol: String, domainCol: String,
+      thresholds: DataFrame): DataFrame = {
+    val withB = df.withColumn("__b", substring(col("__h"), 1, 2))
+    val bcum = withB.groupBy(col(domainCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cumb", sum(col("__c")).over(
+        Window.partitionBy(col(domainCol)).orderBy(col("__b"))))
+      .join(broadcast(thresholds), Seq(domainCol))
+    val j = withB.join(bcum, Seq(domainCol, "__b"))
+    // bucket entirely inside the threshold: kept, rank derivable only for
+    // the boundary bucket (whole-bucket keeps don't need one — callers
+    // that need __rk for sub-thresholds re-enter with a smaller __q)
+    val whole = j.filter(col("__cumb") <= col("__q"))
+      .select(col(idCol), col(domainCol), lit(null).cast("long").as("__rk"))
+    val boundary = j
+      .filter(col("__cumb") > col("__q") && col("__cumb") - col("__c") < col("__q"))
+      .withColumn("__rkb", row_number().over(
+        Window.partitionBy(col(domainCol), col("__b")).orderBy(col("__h"), col(idCol))))
+      .filter(col("__rkb") <= col("__q") - (col("__cumb") - col("__c")))
+      .select(col(idCol), col(domainCol),
+        (col("__rkb") + col("__cumb") - col("__c")).as("__rk"))
+    whole.unionByName(boundary)
+  }
 
   /** Largest downsample whose domain proportions EXACTLY match `weights`
     * (up to floor rounding): total `N = floor(min_d(n_d / w_d))`, per-domain
@@ -70,10 +112,8 @@ object Mixing {
     val quotas = w.map { case (d, wt) => d -> math.floor(wt * nTotal).toLong }
     val s = df.sparkSession
     import s.implicits._
-    val qdf = quotas.toSeq.toDF(domainCol, "__quota")
-    rankInDomain(df, idCol, domainCol, w.keys)
-      .join(broadcast(qdf), Seq(domainCol))
-      .filter(col("__rk") <= col("__quota"))
+    val qdf = quotas.toSeq.toDF(domainCol, "__q")
+    keepSmallestByHash(hashed(df, idCol, domainCol, w.keys), idCol, domainCol, qdf)
       .select(col(idCol), col(domainCol))
   }
 
@@ -94,15 +134,31 @@ object Mixing {
     val s = df.sparkSession
     import s.implicits._
     val bdf = w.toSeq.map { case (d, wt) =>
-      (d, math.floor(wt * targetTokens).toLong) }.toDF(domainCol, "__budget")
-    df.select(col(idCol), col(domainCol), tokenCount.cast("int").as("n_tokens"))
+      (d, math.floor(wt * targetTokens).toLong) }.toDF(domainCol, "__q")
+    // same two-phase bucket selection as keepSmallestByHash, with the
+    // bucket statistic a token SUM instead of a row count: whole buckets
+    // under the budget skip the running-sum window entirely; only the
+    // boundary bucket (~1/256th of the domain) windows row-by-row.
+    val withB = df
+      .select(col(idCol), col(domainCol), tokenCount.cast("int").as("n_tokens"))
       .filter(col(domainCol).isin(w.keys.toSeq.map(lit(_)): _*))
-      .withColumn("__cum", sum(col("n_tokens").cast("long"))
-        .over(Window.partitionBy(col(domainCol))
-          .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
+      .withColumn("__h", md5(col(idCol).cast("string").cast("binary")))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val bcum = withB.groupBy(col(domainCol), col("__b"))
+      .agg(sum(col("n_tokens").cast("long")).as("__c"))
+      .withColumn("__cumb", sum(col("__c")).over(
+        Window.partitionBy(col(domainCol)).orderBy(col("__b"))))
       .join(broadcast(bdf), Seq(domainCol))
-      .filter(col("__cum") - col("n_tokens") < col("__budget"))
+    val j = withB.join(bcum, Seq(domainCol, "__b"))
+    val whole = j.filter(col("__cumb") <= col("__q"))
       .select(col(idCol), col(domainCol), col("n_tokens"))
+    val boundary = j
+      .filter(col("__cumb") > col("__q") && col("__cumb") - col("__c") < col("__q"))
+      .withColumn("__cumr", sum(col("n_tokens").cast("long")).over(
+        Window.partitionBy(col(domainCol), col("__b")).orderBy(col("__h"), col(idCol))))
+      .filter(col("__cumr") - col("n_tokens") + (col("__cumb") - col("__c")) < col("__q"))
+      .select(col(idCol), col(domainCol), col("n_tokens"))
+    whole.unionByName(boundary)
   }
 
   /** Epoch-style repeat factors toward `targetTotal` rows at the target
@@ -127,10 +183,16 @@ object Mixing {
     val s = df.sparkSession
     import s.implicits._
     val pdf = plan.toDF(domainCol, "__base", "__rem")
-    rankInDomain(df, idCol, domainCol, w.keys)
-      .join(broadcast(pdf), Seq(domainCol))
+    val h = hashed(df, idCol, domainCol, w.keys)
+    // the rem-smallest rows per domain get the +1 — the same bucketed
+    // selection as mixtureSample (no full-domain sort), left-joined back
+    val extra = keepSmallestByHash(h,
+        idCol, domainCol, pdf.select(col(domainCol), col("__rem").as("__q")))
+      .select(col(idCol), col(domainCol), lit(1L).as("__x"))
+    h.select(col(idCol), col(domainCol))
+      .join(broadcast(pdf.select(col(domainCol), col("__base"))), Seq(domainCol))
+      .join(extra, Seq(idCol, domainCol), "left")
       .select(col(idCol), col(domainCol),
-        (col("__base") + when(col("__rk") <= col("__rem"), 1L).otherwise(0L))
-          .as("n_repeats"))
+        (col("__base") + coalesce(col("__x"), lit(0L))).as("n_repeats"))
   }
 }
