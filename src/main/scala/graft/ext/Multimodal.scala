@@ -126,6 +126,57 @@ object Multimodal {
       struct(lit(w).as("width"), lit(h).as("height"),
         col("decoded.n_frames").as("n_frames")))
 
+  /** The batched inference contract for payload → embedding extraction —
+    * the production shape of a model forward pass: one call per batch of
+    * payloads (a GPU/ONNX session wants batches, one session init per
+    * partition), one fixed-dim float vector per input in order. Same seam
+    * discipline as [[BatchCodec]]: swapping the stub for a real model is
+    * the only production change.
+    */
+  type FeatureCodec = Seq[Array[Byte]] => Seq[Array[Float]]
+
+  /** Deterministic stub: FNV-1a over (payload bytes, dim index), scaled to
+    * [-1, 1] — stable across JVMs, no RNG.
+    */
+  def stubFeatureCodec(dim: Int): FeatureCodec = batch => batch.map { bytes =>
+    Array.tabulate(dim) { i =>
+      var h = 1469598103934665603L
+      h = (h ^ i) * 1099511628211L
+      if (bytes != null) { var j = 0; while (j < bytes.length) {
+        h = (h ^ (bytes(j) & 0xff)) * 1099511628211L; j += 1 } }
+      (h.toDouble / Long.MaxValue).toFloat
+    }
+  }
+
+  /** Batched feature extraction through the [[FeatureCodec]] seam:
+    * mapPartitions groups rows into `batchSize` slices, the codec runs
+    * once per slice, and the output `(media_id, embedding)` feeds every
+    * [[Similarity]] operator. Partitioning preserved, payload never
+    * shuffles, everything around the seam stays codegen.
+    */
+  def extractFeaturesBatched(media: DataFrame, codec: FeatureCodec, dim: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val vecs = codec(batch.map(_.getAs[Array[Byte]](mediaIdx)))
+        require(vecs.length == batch.length,
+          s"codec returned ${vecs.length} results for ${batch.length} inputs")
+        require(vecs.forall(_.length == dim),
+          s"codec returned a vector of the wrong dimension (expected $dim)")
+        batch.lazyZip(vecs).map { case (r, v) =>
+          Row(r.getLong(idIdx), v.toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** ===== STUB codec ===== Feature extraction: media payload → fixed-dim
     * float embedding. The stub derives a deterministic pseudo-embedding
     * from the payload bytes (xxhash per dimension, scaled to [-1, 1]) so

@@ -63,6 +63,21 @@ class RelationalSpec extends SparkTestBase {
     assert(calls.value >= 6 && calls.value < 20, s"codec called ${calls.value} times")
   }
 
+  test("multimodal: extractFeaturesBatched is deterministic and feeds similarity ops") {
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("id", "p"), "id", "p", "img")
+    val feats = Multimodal.extractFeaturesBatched(media, Multimodal.stubFeatureCodec(16), 16, 2)
+    assert(feats.select(size(col("embedding"))).as[Int].collect().toSet == Set(16))
+    // deterministic: identical payloads -> identical embeddings -> exact dup pair
+    val pairs = graft.ext.Similarity.cosineNearDupPairs(feats, "media_id", "embedding", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // dimension contract enforced
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeaturesBatched(media, Multimodal.stubFeatureCodec(8), 16).collect()
+    }
+  }
+
   test("multimodal: resize rewrites metadata, extractFeatures feeds similarity ops") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("id", "p"), "id", "p", "img")
