@@ -228,6 +228,38 @@ object Streams {
       }
       .start()
 
+  /** Streaming dedup-preserving ingest: each micro-batch appends ONLY the
+    * rows whose content hash is new — new to the stored corpus AND to the
+    * batch itself ([[graft.ext.Dedup.dedupIngest]]'s accept-list, with the
+    * accepted rows' full payloads joined back by id). The target therefore
+    * stays exactly-deduplicated under continuous arrival, and a replayed
+    * micro-batch (restart, retry) is a no-op because its hashes are
+    * already stored — the same idempotence contract as [[upsertSink]],
+    * keyed by CONTENT instead of business key.
+    */
+  def dedupIngestSink(
+      df: DataFrame,
+      targetPath: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val existing =
+          try spark.read.parquet(targetPath)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema) }
+        val accepted = graft.ext.Dedup.dedupIngest(existing, b, idCol, textCol)
+          .select(col(idCol))
+        b.join(accepted, Seq(idCol))
+          .write.mode("append").parquet(targetPath): Unit
+      }
+      .start()
+
   /** [[upsertSink]] with a JDBC target: each micro-batch runs
     * [[graft.sources.Jdbc.upsertJdbc]]'s anti-join insert-only merge, so a
     * replayed micro-batch (restart, retry) never duplicates a business key

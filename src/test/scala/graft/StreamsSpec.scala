@@ -169,6 +169,26 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupIngestSink keeps the target exactly-deduplicated across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_ingest_cp").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.dedupIngestSink(
+      input.toDS().toDF("doc_id", "text"), s"$dir/t", "doc_id", "text", cp)
+    try {
+      // batch 1: within-batch dup (2 repeats 1's content) -> canonical only
+      input.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      q.processAllAvailable()
+      // batch 2: cross-batch dup (4 repeats stored content) -> rejected
+      input.addData((4L, "alpha"), (5L, "gamma"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/t")
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
+    } finally q.stop()
+  }
+
   test("slidingCountsStream fans each event into width/slide windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
