@@ -1149,6 +1149,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // ---- N-gram novelty (memorization surface): fraction of a doc's
+    // distinct 3-grams that appear NOWHERE else in the corpus — low
+    // novelty flags boilerplate/templated docs that survive exact and
+    // near dedup. One explode + df join on 8-byte shingle hashes.
+    "q139_ngram_novelty" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.hashedShingles(col("text"), 3)).as("sg"))
+      val df3 = sh.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+      sh.join(df3, Seq("sg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_ngrams")).as("novelty"))
+    }),
+
     // ---- Bigram-LM document scoring (KenLM/CCNet-style fluency signal,
     // self-scored corpus LM; decimal-domain log sums for determinism) -------
     "q135_bigram_lm" -> ((s, dir) =>
@@ -2639,6 +2656,20 @@ object SparkEntry {
 
     "q132_semantic_ingest_check" -> """
       SELECT vec_id FROM embeddings WHERE FALSE""",
+
+    "q139_ngram_novelty" -> s"""
+      WITH toks AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS tk FROM documents),
+      t3 AS (SELECT doc_id,
+               CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+                    ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                           i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+             FROM toks),
+      inv AS (SELECT doc_id, unnest(sh) AS sg FROM t3 WHERE len(sh) > 0),
+      dfq AS (SELECT sg, COUNT(*) AS df FROM inv GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_ngrams,
+        CAST(COUNT(*) FILTER (WHERE df = 1) AS BIGINT) AS n_novel,
+        CAST(COUNT(*) FILTER (WHERE df = 1) AS DOUBLE) / COUNT(*) AS novelty
+      FROM inv JOIN dfq USING (sg) GROUP BY 1""",
 
     "q137_dataset_card" -> s"""
       $curationSqlCtes,
