@@ -209,6 +209,18 @@ class DedupSpec extends SparkTestBase {
     assert(j == 0)
   }
 
+  test("new-op edges: empty text excluded from containment; ingest into empty corpus accepts all canonicals") {
+    val withEmpty = Seq((1L, ""), (2L, "alpha beta gamma delta"), (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // doc 1 has no 3-gram shingles -> never paired, no division by zero
+    val pairs = Dedup.containmentPairs(withEmpty, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 3L), (3L, 2L)))
+    // empty existing corpus: every incoming canonical accepted
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Dedup.dedupIngest(none, withEmpty, "doc_id", "text").count()
+    assert(got == 2) // one canonical per distinct text: "" and the alpha doc
+  }
+
   test("dedupIngest accepts only content new to the corpus, one canonical copy per hash") {
     val existing = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val incoming = Seq(

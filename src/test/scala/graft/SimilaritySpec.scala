@@ -212,6 +212,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.join(exact, Seq("id_a", "id_b"), "left_anti").count() == 0)
   }
 
+  test("semanticIngest: duplicate incoming vector rejected with its blocker; novel vector accepted") {
+    val ex = emb.filter(col("vec_id") < 400)
+    val inc = emb.filter(col("vec_id") >= 400)
+    val got = Similarity.semanticIngest(ex, inc, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    // at threshold 0.999 only exact-duplicate vectors block; all 100 rows come back
+    assert(got.size == 100)
+    // empty incoming: empty accept-list, no errors
+    val none = Similarity.semanticIngest(ex, inc.filter(col("vec_id") < 0),
+      "vec_id", "embedding", 0.9)
+    assert(none.count() == 0)
+  }
+
   test("semanticDedupAuto matches the explicit form at small n (nlist floor)") {
     // at 500 vectors the auto rule floors at nlist=16 — identical output to
     // the explicit default, so q111's pinned expectations transfer
