@@ -344,9 +344,11 @@ object SparkEntry {
     }),
 
     // ---- Similarity: LSH-bucketed ANN top-k (no oracle: approximate) ----------
+    // planes auto-scaled to constant bucket occupancy (floors at the tuned
+    // 4-plane default here, so the pinned partial check is unchanged)
     "q30_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      Similarity.lshTopKAuto(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
 
     // ---- Similarity: cosine near-dup pairs -------------------------------------

@@ -139,6 +139,27 @@ object Similarity {
     heapTopK(cand, k)
   }
 
+  /** [[lshTopK]] with `numPlanes` AUTO-SCALED from one corpus-count probe
+    * (the occupancy half of [[lshPlan]]): fixed planes mean bucket
+    * occupancy — and per-query candidate work — grows linearly with the
+    * corpus; occupancy-constant planes keep it flat. Top-k has no
+    * threshold to solve tables from analytically, so `tables` stays the
+    * recall knob and the floor at 4 planes preserves the measured recall
+    * of the tuned default on small corpora (at sf0.01 this is EXACTLY the
+    * default plan — SimilaritySpec pins the equivalence); measure recall
+    * with [[Recall.topKRecall]] after any corpus jump, as the scaladoc of
+    * the explicit form already demands.
+    */
+  def lshTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, targetOccupancy: Int = 32,
+      tables: Int = 8): DataFrame = {
+    val n = corpus.count()
+    val planes = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0))
+      .toInt.max(4).min(24)
+    lshTopK(corpus, queries, idCol, vecCol, k, planes, tables)
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of
     * `nlist` centroids partitions the corpus; each query probes only its
     * `nprobe` nearest centroid cells, then ranks exactly within them.

@@ -225,6 +225,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("lshTopKAuto matches the tuned default at small n (planes floor)") {
+    // 500 vectors / occupancy 32 -> ceil(log2(15.6)) = 4 planes = the
+    // tuned default, so the pinned q30 results transfer to the auto form
+    val q = emb.filter(col("vec_id") < 10)
+    val auto = Similarity.lshTopKAuto(emb, q, "vec_id", "embedding", 5)
+    val explicit = Similarity.lshTopK(emb, q, "vec_id", "embedding", 5)
+    assert(rows(auto) == rows(explicit))
+  }
+
   test("semanticDedupAuto matches the explicit form at small n (nlist floor)") {
     // at 500 vectors the auto rule floors at nlist=16 — identical output to
     // the explicit default, so q111's pinned expectations transfer
