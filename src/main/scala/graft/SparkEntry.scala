@@ -1151,6 +1151,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // ---- Per-source doc-length profile: exact token-count quartiles per
+    // source via the histogram-percentile operator (no per-group value
+    // buffering) — the length-distribution panel of the dataset card.
+    "q140_length_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("double").as("n_tokens"))
+      Aggregates.exactPercentilesByKey(d, "source", "n_tokens",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+    }),
+
+    // ---- Language-ID confusion matrix: labeled lang vs langId prediction
+    // counts — the quality audit of the classifier the curation gate
+    // (q105) depends on; one projection + one hash aggregate.
+    "q141_langid_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+
     // ---- N-gram novelty (memorization surface): fraction of a doc's
     // distinct 3-grams that appear NOWHERE else in the corpus — low
     // novelty flags boilerplate/templated docs that survive exact and
@@ -2658,6 +2678,23 @@ object SparkEntry {
 
     "q132_semantic_ingest_check" -> """
       SELECT vec_id FROM embeddings WHERE FALSE""",
+
+    "q140_length_profile" -> s"""
+      WITH t AS (SELECT source,
+                   CAST(len(${sqlTokens("text")}) AS DOUBLE) AS n_tokens
+                 FROM documents)
+      SELECT source,
+        quantile_cont(n_tokens, 0.25) AS p25,
+        quantile_cont(n_tokens, 0.5) AS p50,
+        quantile_cont(n_tokens, 0.75) AS p75
+      FROM t GROUP BY 1""",
+
+    // reuses the curation CTE chain's lid (language-ID) stage
+    "q141_langid_confusion" -> s"""
+      $curationSqlCtes
+      SELECT d.lang, lid.lang_pred, COUNT(*) AS n
+      FROM documents d JOIN lid ON d.doc_id = lid.doc_id
+      GROUP BY 1, 2""",
 
     "q139_ngram_novelty" -> s"""
       WITH toks AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS tk FROM documents),
