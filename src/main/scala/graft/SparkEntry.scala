@@ -1151,6 +1151,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // ---- Daily volume anomaly flags: day-over-day z-score of event counts
+    // from integer-exact moments (n, Σx, Σx² are all integers, so the
+    // derived doubles are bit-identical cross-engine) — the ingest-health
+    // monitor a data pipeline runs on arrival volumes. |z| > 2 flagged.
+    "q143_daily_anomaly" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      val stats = daily.agg(count(lit(1)).as("nd"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      val mean = col("s1").cast("double") / col("nd")
+      val variance = col("s2").cast("double") / col("nd") - mean * mean
+      daily.crossJoin(broadcast(stats))
+        .withColumn("z", round((col("n") - mean) / sqrt(variance), 6))
+        .filter(abs(col("z")) > lit(2.0))
+        .select(col("day"), col("n"), col("z"))
+    }),
+
+    // ---- Semantic retrieval: exact ANN top-3 joined back to the document
+    // payloads (vec_id and doc_id share the id space in this corpus) — the
+    // retrieval surface a RAG pipeline runs; the ANN stage never touches
+    // text, payloads join in by id AFTER the top-k is fixed.
+    "q142_semantic_retrieval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val hits = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 3)
+      hits.join(t(s, dir, "documents")
+          .select(col("doc_id").as("neighbor_id"), col("source")),
+        Seq("neighbor_id"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("source"))
+    }),
+
     // ---- Per-source doc-length profile: exact token-count quartiles per
     // source via the histogram-percentile operator (no per-group value
     // buffering) — the length-distribution panel of the dataset card.
@@ -2678,6 +2709,33 @@ object SparkEntry {
 
     "q132_semantic_ingest_check" -> """
       SELECT vec_id FROM embeddings WHERE FALSE""",
+
+    "q143_daily_anomaly" -> """
+      WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
+      s AS (SELECT COUNT(*) AS nd, CAST(SUM(n) AS BIGINT) AS s1,
+              CAST(SUM(n * n) AS BIGINT) AS s2 FROM d)
+      SELECT day, n,
+        round((n - CAST(s1 AS DOUBLE) / nd)
+          / sqrt(CAST(s2 AS DOUBLE) / nd
+            - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd)), 6) AS z
+      FROM d, s
+      WHERE abs((n - CAST(s1 AS DOUBLE) / nd)
+          / sqrt(CAST(s2 AS DOUBLE) / nd
+            - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))) > 2.0""",
+
+    // q85's exact ANN SQL shape + the payload join
+    "q142_semantic_retrieval" -> """
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+           c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           r AS (
+             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+               SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id ASC) AS rank
+               FROM q JOIN c ON query_id <> neighbor_id)
+             WHERE rank <= 3)
+      SELECT r.query_id, r.rank, r.neighbor_id, d.source
+      FROM r JOIN documents d ON r.neighbor_id = d.doc_id""",
 
     "q140_length_profile" -> s"""
       WITH t AS (SELECT source,
