@@ -35,7 +35,12 @@ object ScaleUp {
       if (c == 0) docs
       else docs.select(
         (col("doc_id") + c * Off).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
+        // salt on the SAME whitespace tokenization the shinglers use (runs
+        // of whitespace, empties dropped): a raw split(" ") would turn the
+        // empty tokens of irregular whitespace into real "~c" tokens and
+        // break the intra-copy-structure-identical invariant
+        array_join(transform(
+          filter(split(trim(col("text")), "\\s+"), t => t =!= ""),
           t => concat(t, lit(s"~$c"))), " ").as("text"),
         col("lang"), col("source"))
         .withColumn("n_chars", length(col("text")))
@@ -70,6 +75,17 @@ object ScaleUp {
         .withColumn("o_custkey", col("o_custkey") + c * Off)
     }.reduce(_ unionByName _)
 
+  /** Replicate a dim with its primary key shifted per copy, other columns
+    * unchanged — keeps the replica's fact FKs RESOLVABLE (a fact row of
+    * copy c joins its copy's dim row), so dim-join queries measure real
+    * join work instead of silently dropping 1−1/factor of their probes.
+    */
+  def scaleDim(dim: DataFrame, keyCol: String, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      if (c == 0) dim
+      else dim.withColumn(keyCol, col(keyCol) + c * Off)
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val Array(inDir, outDir, factorS) = args
     val factor = factorS.toInt
@@ -78,15 +94,30 @@ object ScaleUp {
     val spark = Session.local(cpus, appName = "graft-scaleup")
     spark.sparkContext.setLogLevel("WARN")
     def t(n: String) = graft.sources.Tables.load(spark, inDir, n)
+    // key-space guard: ids must fit below the per-copy offset, or copies
+    // collide (chained ScaleUp runs would alias copy c of id d with copy
+    // c+1 of id d−Off and manufacture artificial cross-copy structure)
+    Seq("documents" -> "doc_id", "embeddings" -> "vec_id",
+        "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
+        "part" -> "p_partkey", "supplier" -> "s_suppkey",
+        "customer" -> "c_custkey").foreach { case (tbl, k) =>
+      val mx = t(tbl).agg(max(col(k))).head().getLong(0)
+      require(mx < Off, s"ScaleUp: max($tbl.$k)=$mx >= offset $Off — " +
+        "scaling this input would collide key spaces across copies")
+    }
     def write(df: DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$n.parquet")
     write(scaleDocuments(t("documents"), factor), "documents")
     write(scaleEmbeddings(t("embeddings"), factor), "embeddings")
     write(scaleLineitem(t("lineitem"), factor), "lineitem")
     write(scaleOrders(t("orders"), factor), "orders")
-    // pass the small dims through unchanged so every catalog query resolves
-    Seq("region", "nation", "customer", "supplier", "part").foreach(n =>
-      write(t(n), n))
+    // dims referenced by the scaled facts replicate with shifted keys so
+    // every copy's FKs resolve; region/nation are genuinely global dims
+    // (nationkeys unchanged in customer/supplier copies) and pass through
+    write(scaleDim(t("part"), "p_partkey", factor), "part")
+    write(scaleDim(t("supplier"), "s_suppkey", factor), "supplier")
+    write(scaleDim(t("customer"), "c_custkey", factor), "customer")
+    Seq("region", "nation").foreach(n => write(t(n), n))
     spark.stop()
   }
 }
@@ -113,17 +144,21 @@ object ScaleBench {
     try SparkEntry.queries(names.head)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = names.map { n =>
+    // failures are NOT timings: a crash (or typo'd name) must never emit a
+    // bogus near-zero number that could be read as a scaling measurement
+    val results = names.flatMap { n =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[scalebench] $n FAILED: $e") }
+      val ok =
+        try { SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[scalebench] $n FAILED: $e"); false }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scalebench] $n%-26s $sec%8.2f s")
-      n -> sec
+      if (ok) { System.err.println(f"[scalebench] $n%-26s $sec%8.2f s"); Some(n -> sec) }
+      else None
     }
+    val failed = names.filterNot(results.map(_._1).toSet)
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println(results.map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString(s"""{"sf":"$sfDir","queries":{""", ",", "}}"))
+      .mkString(s"""{"sf":"$sfDir","failed":${failed.size},"queries":{""", ",", "}}"))
     spark.stop()
   }
 }

@@ -153,12 +153,21 @@ object Similarity {
   def lshTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, targetOccupancy: Int = 32,
       tables: Int = 8): DataFrame = {
-    val n = corpus.count()
-    val planes = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0))
-      .toInt.max(4).min(24)
+    // same occupancy rule as lshPlan, floored at the tuned 4-plane default
+    val planes = occupancyPlanes(corpus.count(), targetOccupancy,
+      minPlanes = 4, maxPlanes = 24)
     lshTopK(corpus, queries, idCol, vecCol, k, planes, tables)
   }
+
+  /** The occupancy half of [[lshPlan]], shared with [[lshTopKAuto]]:
+    * planes = ceil(log2(n / targetOccupancy)) keeps expected bucket size
+    * constant as the corpus grows. ONE definition.
+    */
+  def occupancyPlanes(n: Long, targetOccupancy: Int, minPlanes: Int,
+      maxPlanes: Int): Int =
+    math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0))
+      .toInt.max(minPlanes).min(maxPlanes)
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of
     * `nlist` centroids partitions the corpus; each query probes only its
@@ -361,11 +370,8 @@ object Similarity {
       if (s >= 1.0) 1
       else math.ceil(math.log(1.0 - recallTarget) / math.log1p(-s)).toInt.max(1)
     }
-    val occupancyPlanes = math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0))
-      .toInt.max(minPlanes).min(maxPlanes)
     // back off planes until the recall target is feasible within maxTables
-    val planes = Iterator.iterate(occupancyPlanes)(_ - 1)
+    val planes = Iterator.iterate(occupancyPlanes(n, targetOccupancy, minPlanes, maxPlanes))(_ - 1)
       .dropWhile(p => p > minPlanes && tablesFor(p) > maxTables)
       .next()
     (planes, tablesFor(planes).min(maxTables))
@@ -542,12 +548,18 @@ object Similarity {
     * cells is invisible — more cells trade recall for cost, the documented
     * contract).
     */
+  /** Shared auto-nlist rule for the cell-pruned operators: constant cell
+    * size, floored at 16, capped so the driver k-means keeps ≥4 sample
+    * points per centroid. ONE definition — semanticDedupAuto and
+    * semanticIngest must never desynchronize.
+    */
+  def autoNlist(n: Long, targetCellSize: Int, fitSample: Int): Int =
+    math.ceil(n.toDouble / targetCellSize).toInt.max(16).min(fitSample / 4)
+
   def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, targetCellSize: Int = 256, fitSample: Int = 4096,
       kmeansIters: Int = 3): DataFrame = {
-    val n = df.count()
-    val nlist = math.ceil(n.toDouble / targetCellSize).toInt
-      .max(16).min(fitSample / 4)
+    val nlist = autoNlist(df.count(), targetCellSize, fitSample)
     semanticDedup(df, idCol, vecCol, threshold, nlist, fitSample, kmeansIters)
   }
 
@@ -569,7 +581,12 @@ object Similarity {
       fitSample: Int = 4096, kmeansIters: Int = 3): DataFrame = {
     GraftFunctions.register(existing.sparkSession)
     val n = existing.count()
-    val nlist = math.ceil(n.toDouble / targetCellSize).toInt.max(16).min(fitSample / 4)
+    // bootstrap: an empty store blocks nothing — every incoming vector is
+    // accepted (the content-hash ingest supports the same first-ever case)
+    if (n == 0)
+      return incoming.select(col(idCol), lit(true).as("accept"),
+        lit(null).cast("long").as("blocked_by"))
+    val nlist = autoNlist(n, targetCellSize, fitSample)
     val cents = fitCellCentroids(existing, idCol, vecCol, nlist, fitSample, kmeansIters)
     val ex = existing.select(col(idCol).as("ex_id"), col(vecCol).as("ev"))
       .withColumn("cell", cellOf(cents, col("ev"), 0))

@@ -253,9 +253,17 @@ object Streams {
           try spark.read.parquet(targetPath)
           catch { case _: org.apache.spark.sql.AnalysisException =>
             spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema) }
+        // join on (id, content hash), not id alone: an at-least-once source
+        // can deliver duplicate ids in one batch, and an id-only join would
+        // fan the accept-list out and write duplicate content — the exact
+        // invariant this sink exists to hold. dropDuplicates collapses
+        // identical redelivered rows deterministically (payloads equal).
         val accepted = graft.ext.Dedup.dedupIngest(existing, b, idCol, textCol)
-          .select(col(idCol))
-        b.join(accepted, Seq(idCol))
+          .select(col(idCol), col("content_hash").as("__ch"))
+        b.withColumn("__ch", md5(col(textCol).cast("binary")))
+          .join(accepted, Seq(idCol, "__ch"))
+          .dropDuplicates(idCol, "__ch")
+          .drop("__ch")
           .write.mode("append").parquet(targetPath): Unit
       }
       .start()

@@ -223,6 +223,10 @@ class SimilaritySpec extends SparkTestBase {
     val none = Similarity.semanticIngest(ex, inc.filter(col("vec_id") < 0),
       "vec_id", "embedding", 0.9)
     assert(none.count() == 0)
+    // bootstrap: empty STORE accepts every incoming vector (first ingest)
+    val boot = Similarity.semanticIngest(ex.filter(col("vec_id") < 0), inc,
+      "vec_id", "embedding", 0.9)
+    assert(boot.count() == 100 && boot.filter(!col("accept")).count() == 0)
   }
 
   test("lshTopKAuto matches the tuned default at small n (planes floor)") {

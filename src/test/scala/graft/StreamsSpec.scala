@@ -177,8 +177,10 @@ class StreamsSpec extends SparkTestBase {
     val q = Streams.dedupIngestSink(
       input.toDS().toDF("doc_id", "text"), s"$dir/t", "doc_id", "text", cp)
     try {
-      // batch 1: within-batch dup (2 repeats 1's content) -> canonical only
-      input.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      // batch 1: within-batch dup (2 repeats 1's content) -> canonical only;
+      // (1, alpha) REDELIVERED twice in the same batch (at-least-once
+      // source) -> still written exactly once, no join fan-out
+      input.addData((1L, "alpha"), (1L, "alpha"), (2L, "alpha"), (3L, "beta"))
       q.processAllAvailable()
       // batch 2: cross-batch dup (4 repeats stored content) -> rejected
       input.addData((4L, "alpha"), (5L, "gamma"))
