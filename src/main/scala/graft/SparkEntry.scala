@@ -2831,12 +2831,17 @@ object SparkEntry {
         round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
       FROM j GROUP BY 1""",
 
-    // windows generated on epoch-aligned 15-min boundaries covering the
-    // events range; inner join drops empty windows, matching Spark's
-    // event-driven window() fan-out
+    // windows generated on epoch-aligned 15-min boundaries DERIVED from the
+    // events range (floor min ts to the grid minus the window width, floor
+    // max ts to the grid) — literal bounds would silently miss windows on a
+    // regenerated or differently-scaled events table; inner join drops
+    // empty windows, matching Spark's event-driven window() fan-out
     "q133_sliding_window" -> """
-      WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:00:00',
-                   TIMESTAMP '2024-01-31 00:00:00', INTERVAL 15 MINUTE)) AS ws)
+      WITH b AS (SELECT
+          TIMESTAMP '1970-01-01' + CAST(floor(epoch(MIN(ts))/900)*900 AS BIGINT) * INTERVAL 1 SECOND - INTERVAL 45 MINUTE AS lo,
+          TIMESTAMP '1970-01-01' + CAST(floor(epoch(MAX(ts))/900)*900 AS BIGINT) * INTERVAL 1 SECOND AS hi
+        FROM events),
+      g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS ws FROM b)
       SELECT g.ws AS win_start, e.event_type, COUNT(*) AS n
       FROM events e JOIN g ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 1 HOUR
       GROUP BY 1, 2""",

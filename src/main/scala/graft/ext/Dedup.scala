@@ -554,28 +554,73 @@ object Dedup {
     * n-gram shingle sets — the partial-overlap dup Jaccard under-scores
     * (a short doc quoted whole inside a long one has tiny Jaccard but
     * containment ≈ 1; boilerplate wrappers, quote-reply chains, abstract-
-    * in-paper). Directed: (a, b) means a is (nearly) inside b. Same
-    * inverted-index equi-join scale shape as [[ngramJaccardPairs]] — the
-    * shingle join carries 8-byte hashes, the asymmetric size prefilter
-    * `|B| ≥ θ·|A|` prunes before grouping, payloads never shuffle.
+    * in-paper). Directed: (a, b) means a is (nearly) inside b.
+    *
+    * Scale shape (the [[ngramJaccardPairs]] machinery, adapted to the
+    * directed predicate):
+    *
+    *  1. set-representative collapse ([[setRepresentatives]]) — discovery
+    *     runs once per DISTINCT shingle set; identical-set pairs (containment
+    *     exactly 1.0, both directions) are emitted by expansion, never
+    *     joined;
+    *  2. ASYMMETRIC prefix filter: containment ≥ θ needs
+    *     `|A∩B| ≥ ⌈θ·|A|⌉`, so in a global rarest-first shingle order the
+    *     intersection must touch one of A's first `|A| − ⌈θ·|A|⌉ + 1`
+    *     shingles (pigeonhole) as long as B is indexed IN FULL. Only the
+    *     contained side is prefix-pruned — a hot boilerplate shingle sits in
+    *     nearly no prefix, so the candidate join cost is
+    *     Σ_s dfPrefix(s)·df(s) instead of the Σ_s df(s)² flood of a raw
+    *     self-joined index;
+    *  3. one-sided size prefilter `|B| ≥ θ·|A|` (|A∩B| ≤ |B|) while
+    *     candidates are still 8-byte key rows;
+    *  4. exact verification (codegen'd sorted-merge intersection) on the
+    *     full sets — precision 1 by construction, hash-identical output to
+    *     the unfiltered formulation.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
     GraftFunctions.register(df.sparkSession)
-    val sh = df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val inv = sh.select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-    val a = inv.select(col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = inv.select(col("s"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("s"))
-      .filter(col("id_a") =!= col("id_b"))
+    val (reps, members) = setRepresentatives(df, idCol, textCol, n)
+    val inv = reps.select(col("skey"), col("sh_size"), explode(col("sh")).as("s"))
+    // Global rarity order over distinct sets; ties by the shingle hash →
+    // total order (the same order [[prefixFilteredSetPairs]] uses).
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("skey").orderBy(col("df").asc, col("s").asc)
+    // The prefix bound uses the SAME double expression the verify filter
+    // compares against (ceil(sh_size·θ) = minimal integer intersection), so
+    // prefix pruning can never drop a pair the verifier would keep.
+    val prefixA = inv.join(dfreq, Seq("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sh_size") - ceil(col("sh_size") * lit(threshold)) + 1)
+      .select(col("s"), col("skey").as("skey_a"), col("sh_size").as("sz_a"))
+    val fullB = inv.select(col("s"), col("skey").as("skey_b"), col("sh_size").as("sz_b"))
+    val candidates = prefixA.join(fullB, Seq("s"))
+      .filter(col("skey_a") =!= col("skey_b"))
       .filter(col("sz_b") >= col("sz_a") * lit(threshold)) // |A∩B| ≤ |B|
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"))
-      .agg(count(lit(1)).as("inter"))
+      .select("skey_a", "skey_b").distinct()
+    val full = reps.select(col("skey"), col("sh"), col("sh_size"))
+    val verified = candidates
+      .join(full.select(col("skey").as("skey_a"), col("sh").as("sh_a"),
+        col("sh_size").as("sz_a")), Seq("skey_a"))
+      .join(full.select(col("skey").as("skey_b"), col("sh").as("sh_b")), Seq("skey_b"))
+      .withColumn("inter", GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b")))
       .filter(col("inter") >= col("sz_a") * lit(threshold))
-      .select(col("id_a"), col("id_b"),
+      .select(col("skey_a"), col("skey_b"),
         (col("inter").cast("double") / col("sz_a")).as("containment"))
+    // Directed expansion: identical sets contain each other exactly (1.0,
+    // BOTH directions); cross pairs keep their (contained, container)
+    // orientation — no least/greatest normalization.
+    val x = members.select(col("skey").as("k1"), col("id").as("xid"))
+    val y = members.select(col("skey").as("k2"), col("id").as("yid"))
+    val intra = x.join(y, col("k1") === col("k2") && col("xid") =!= col("yid"))
+      .select(col("xid").as("id_a"), col("yid").as("id_b"), lit(1.0).as("containment"))
+    val cross = verified
+      .join(x, verified("skey_a") === x("k1"))
+      .join(y, verified("skey_b") === y("k2"))
+      .select(col("xid").as("id_a"), col("yid").as("id_b"), col("containment"))
+    cross.unionByName(intra)
   }
 
   /** Dedup-preserving ingest: the accept-list for merging a new batch into

@@ -125,6 +125,12 @@ object Mixing {
     * whole). One running-sum window per domain over `(id, domain,
     * n_tokens)` triples — the payload never enters the shuffle, no driver
     * collect at all. Emits `(id, domain, n_tokens)` of the kept docs.
+    *
+    * `tokenCount` is summed in LONG (a corpus-scale token total overflows
+    * int); rows whose token count is NULL are excluded from both the
+    * budget accounting and the output — an unknown length can neither
+    * spend budget nor be charged for it. Callers wanting a different
+    * policy coalesce before the call.
     */
   def mixtureTokenSample(df: DataFrame, idCol: String, domainCol: String,
       tokenCount: org.apache.spark.sql.Column, weights: Map[String, Double],
@@ -140,7 +146,8 @@ object Mixing {
     // under the budget skip the running-sum window entirely; only the
     // boundary bucket (~1/256th of the domain) windows row-by-row.
     val withB = df
-      .select(col(idCol), col(domainCol), tokenCount.cast("int").as("n_tokens"))
+      .select(col(idCol), col(domainCol), tokenCount.cast("long").as("n_tokens"))
+      .filter(col("n_tokens").isNotNull)
       .filter(col(domainCol).isin(w.keys.toSeq.map(lit(_)): _*))
       .withColumn("__h", md5(col(idCol).cast("string").cast("binary")))
       .withColumn("__b", substring(col("__h"), 1, 2))

@@ -202,11 +202,11 @@ object Similarity {
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cell", cellOf(cents, col("cv"), 0))
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(array((0 until math.min(nprobe, cents.length)).map(p =>
-        cellOf(cents, col("qv"), p)): _*)))
-    // nprobe cells are disjoint (cellOf(p) enumerates DISTINCT centroids per
-    // query), so no dedup needed before the bounded-heap tail: map-side
-    // combine ships ≤ k candidates per query per partition.
+      .withColumn("cell", explode(GraftFunctions.nearestCellIds(
+        col("qv"), cents, math.min(nprobe, cents.length))))
+    // nprobe cells are disjoint (nearestCellIds enumerates DISTINCT
+    // centroids per query), so no dedup needed before the bounded-heap tail:
+    // map-side combine ships ≤ k candidates per query per partition.
     val cand = assigned.join(probed, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -233,19 +233,14 @@ object Similarity {
   }
 
   /** `probe`-th nearest centroid id (0 = nearest) by argmax dot; ties break
-    * on the smaller centroid id — deterministic on any cluster.
+    * on the smaller centroid id — deterministic on any cluster. One
+    * codegen'd primitive loop per row
+    * ([[graft.functions.expressions.NearestCellIds]]) — cell assignment
+    * touches every corpus vector, so it must ride the scan, not churn
+    * through per-row struct-array sorts.
     */
-  private def cellOf(cents: Array[Array[Float]], vec: Column, probe: Int): Column = {
-    val centArr = array(cents.toSeq.zipWithIndex.map { case (cv, i) =>
-      struct(lit(i.toLong).as("cid"), typedLit(cv.toSeq).as("cv"))
-    }: _*)
-    val scored = transform(centArr, c =>
-      struct(dot(vec, c.getField("cv")).as("s"), c.getField("cid").as("cid")))
-    // descending by score: sort ascending on (-s, cid)
-    val sorted = array_sort(transform(scored, s =>
-      struct((-s.getField("s")).as("ns"), s.getField("cid").as("cid"))))
-    element_at(sorted, probe + 1).getField("cid")
-  }
+  private def cellOf(cents: Array[Array[Float]], vec: Column, probe: Int): Column =
+    element_at(GraftFunctions.nearestCellIds(vec, cents, probe + 1), probe + 1)
 
   /** Spherical k-means (Lloyd) on the driver over the bounded fit sample:
     * inputs normalized to the unit sphere, argmax-dot assignment (== cosine
@@ -582,10 +577,12 @@ object Similarity {
     GraftFunctions.register(existing.sparkSession)
     val n = existing.count()
     // bootstrap: an empty store blocks nothing — every incoming vector is
-    // accepted (the content-hash ingest supports the same first-ever case)
+    // accepted (the content-hash ingest supports the same first-ever case).
+    // blocked_by's type is the STORE's id type (it holds ex_id values), so
+    // both branches return one schema for any id type, not just long.
     if (n == 0)
       return incoming.select(col(idCol), lit(true).as("accept"),
-        lit(null).cast("long").as("blocked_by"))
+        lit(null).cast(existing.schema(idCol).dataType).as("blocked_by"))
     val nlist = autoNlist(n, targetCellSize, fitSample)
     val cents = fitCellCentroids(existing, idCol, vecCol, nlist, fitSample, kmeansIters)
     val ex = existing.select(col(idCol).as("ex_id"), col(vecCol).as("ev"))
@@ -598,7 +595,11 @@ object Similarity {
       .withColumn("cos", round(dot(col("iv"), col("ev")) / (col("inorm") * col("en")), 6))
       .filter(col("cos") >= threshold)
       .groupBy(col("id"))
-      .agg(max_by(col("ex_id"), struct(col("cos"), lit(0L) - col("ex_id")))
+      // highest cosine, ties → smaller ex_id: min over (1−cos, ex_id).
+      // 1−cos is strictly decreasing and injective on 6-dp-rounded cosines
+      // (spacing 1e-6 ≫ ulp(1)), and unlike numeric negation it never
+      // casts the id — any ordered id type (long, string, …) works.
+      .agg(min_by(col("ex_id"), struct((lit(1.0) - col("cos")).as("d"), col("ex_id")))
         .as("blocked_by"))
     inc.select(col("id")).join(hits, Seq("id"), "left")
       .select(col("id").as(idCol), col("blocked_by").isNull.as("accept"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{BloomMightContainLong, FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, NormalizeText, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, WordShingleHashes}
+import graft.functions.expressions.{BloomMightContainLong, FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, NearestCellIds, NormalizeText, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, WordShingleHashes}
 
 /** Registry for the engine's native Catalyst expressions.
   *
@@ -45,6 +45,12 @@ object GraftFunctions {
           s"graft_first_contains_index needles must be array<string>, got $other")
       }
     })),
+    // nearest_cell_ids(vec, centroids, nprobe): centroids must be a foldable
+    // array<array<float>> literal (the driver-fit IVF model), nprobe an int
+    "graft_nearest_cell_ids" -> (args =>
+      NearestCellIds(args(0),
+        evalFloatMatrix(args(1), "graft_nearest_cell_ids centroids"),
+        evalInt(args(2), "graft_nearest_cell_ids nprobe"))),
     // sq8_encode(vec, mins, scales) / sq8_dot(a, b, mins, scales): the grid
     // arrays must be foldable array<double> literals (model parameters)
     "graft_sq8_encode" -> (args =>
@@ -104,6 +110,13 @@ object GraftFunctions {
       case other => analysisError(s"$what must be array<double>, got $other")
     }
 
+  private def evalFloatMatrix(e: Expression, what: String): Seq[Seq[Float]] =
+    evalFolded(e, what) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map(i => a.getArray(i).toFloatArray().toSeq)
+      case other => analysisError(s"$what must be array<array<float>>, got $other")
+    }
+
   def register(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
@@ -144,6 +157,12 @@ object GraftFunctions {
     call_function("graft_lsh_sign_buckets", vec,
       org.apache.spark.sql.functions.lit(numPlanes),
       org.apache.spark.sql.functions.lit(tables))
+
+  /** Top-`nprobe` nearest-centroid ids (array<long>) by argmax dot. */
+  def nearestCellIds(vec: Column, cents: Array[Array[Float]], nprobe: Int): Column =
+    call_function("graft_nearest_cell_ids", vec,
+      org.apache.spark.sql.functions.typedLit(cents.map(_.toSeq).toSeq),
+      org.apache.spark.sql.functions.lit(nprobe))
 
   /** 0-based index of the first needle contained in lower(haystack). */
   def firstContainsIndex(haystack: Column, needlesLower: Seq[String]): Column =

@@ -427,3 +427,87 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Top-`nprobe` nearest-centroid ids of an array<float> vector by argmax
+  * dot product — the IVF cell-assignment kernel ([[graft.ext.Similarity]]
+  * `cellOf`). Scores accumulate in double in element order (zipped to the
+  * shorter length), exactly the [[FloatVectorDot]] fold, and selection is
+  * `nprobe` argmax sweeps with strict-greater comparison, so ties break on
+  * the smaller centroid id and a NaN score ranks below every real score —
+  * bit-identical ranking to the Column formulation it replaces
+  * (`array_sort` ascending on `(-score, cid)` structs), but one primitive
+  * loop per row instead of building, negating, and sorting an
+  * `nlist`-element struct array through interpreted higher-order
+  * functions. Cell assignment runs once per corpus row, so at auto-nlist
+  * scale (up to 1024 centroids) this is the difference between the
+  * assignment pass riding the scan and it dominating the job.
+  *
+  * Centroids are a model parameter (driver-fit, ≤ fitSample rows — the
+  * same contract as the IVF fit); they ride the expression as data, reach
+  * generated code via a reference object, and use `Seq` so case-class
+  * structural equality (canonicalization, subexpression elimination) works.
+  */
+case class NearestCellIds(child: Expression, centroids: Seq[Seq[Float]], nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(nprobe >= 1 && nprobe <= centroids.length,
+    s"1 <= nprobe <= ${centroids.length}, got $nprobe")
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cell_ids"
+
+  @transient private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  def compute(input: ArrayData): GenericArrayData = {
+    val v = input.toFloatArray()
+    val k = cents.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = cents(c)
+      val n = math.min(v.length, cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v(i).toDouble * cv(i).toDouble; i += 1 }
+      scores(c) = acc
+      c += 1
+    }
+    val out = new Array[Long](nprobe)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < nprobe) {
+      var best = -1
+      var bestScore = 0.0
+      var j = 0
+      while (j < k) {
+        if (!used(j)) {
+          val s = scores(j)
+          if (best < 0 || s > bestScore ||
+              (java.lang.Double.isNaN(bestScore) && !java.lang.Double.isNaN(s))) {
+            best = j; bestScore = s
+          }
+        }
+        j += 1
+      }
+      used(best) = true
+      out(r) = best.toLong
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("nearestCellIds", this, classOf[NearestCellIds].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
