@@ -22,6 +22,10 @@ object Bench {
     // q92-q101 are the driver-visible partial CHECKS of the approximate ops
     // (recall floors, containment, structural contracts): each re-executes
     // the operators it checks, so timing them would also double-charge.
+    // q124's OPERATOR is the width probe (key-only residue pass) — the pair
+    // job it then launches is q103's, already timed under q103; timing q124
+    // too charged the same 6 s twice per catalog run. q145 re-executes both
+    // q144's and q136's whole pipelines (dominance witness).
     val measurementOnly =
       Set("q70_lsh_recall", "q71_ivf_recall", "q72_minhash_recall", "q88_sq8_recall",
         "q92_minhash_dup_check", "q93_simhash_dup_check", "q94_lsh_recall_check",
@@ -29,7 +33,8 @@ object Bench {
         "q98_hll_check", "q99_lsh_sq8_recall_check", "q100_bucketed_pairs_check",
         "q101_minhash_precision_check", "q108_cms_check", "q112_semdedup_check",
         "q113_approx_quantile_check", "q119_incremental_dedup_check",
-        "q132_semantic_ingest_check")
+        "q124_editdist_auto", "q132_semantic_ingest_check",
+        "q145_source_overlap_check")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

@@ -89,6 +89,23 @@ object SparkEntry {
   private def sqlTokens(x: String): String =
     s"CASE WHEN trim($x) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim($x), '\\s+') END"
 
+  /** Source-overlap matrix shared by q136 (exact pairs) and q144 (banded
+    * pairs): near-dup pair counts by unordered (source_a, source_b) —
+    * pair ids join back to the docs' sources, the source pair normalizes
+    * to upper-triangular. The pair generator is the only thing the two
+    * queries differ in.
+    */
+  private def overlapMatrix(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.withColumnsRenamed(Map("doc_id" -> "id_a", "source" -> "src_a")), Seq("id_a"))
+      .join(src.withColumnsRenamed(Map("doc_id" -> "id_b", "source" -> "src_b")), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Flagship on sf0.001 (driver smoke-checks rows>0): the reference's own
     * imputations ETL, end-to-end as one declarative plan.
     */
@@ -1139,16 +1156,42 @@ object SparkEntry {
     // diagnostic that decides dedup order and source trust. Exact 1-gram
     // Jaccard pairs (q25 machinery) joined back to the two docs' sources;
     // unordered source pair normalized so the matrix is upper-triangular.
+    // This is the LABELED EXACT BASELINE — the matrix an audit run
+    // computes at a scale where the exact pair job is affordable; q144 is
+    // the same matrix over the MinHash-banded generator, the form that
+    // survives corpus scale.
     "q136_source_overlap" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val src = d.select(col("doc_id"), col("source"))
-      Dedup.ngramJaccardPairs(d, "doc_id", "text", 1, 0.8)
-        .join(src.withColumnsRenamed(Map("doc_id" -> "id_a", "source" -> "src_a")), Seq("id_a"))
-        .join(src.withColumnsRenamed(Map("doc_id" -> "id_b", "source" -> "src_b")), Seq("id_b"))
-        .select(least(col("src_a"), col("src_b")).as("source_a"),
-          greatest(col("src_a"), col("src_b")).as("source_b"))
-        .groupBy(col("source_a"), col("source_b"))
-        .agg(count(lit(1)).as("n_pairs"))
+      overlapMatrix(d, Dedup.ngramJaccardPairs(d, "doc_id", "text", 1, 0.8))
+    }),
+
+    // ---- q136's SCALE PATH: the same source-overlap matrix over the
+    // MinHash-banded pair generator (candidates from one band equi-join,
+    // exact-Jaccard verify) instead of the exact all-pairs machinery —
+    // the exact generator was measured n^1.26 at 10× rows (its candidate
+    // count is the driver), the banded generator's candidates come from
+    // bucket collisions only. Verify-first ⇒ every emitted pair is a true
+    // ≥0.8 pair, so each cell is a LOWER BOUND of q136's cell (missed
+    // pairs are banding recall, not precision) — q145 driver-checks that
+    // dominance cell by cell.
+    "q144_source_overlap_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      overlapMatrix(d, Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8))
+    }),
+
+    // q144 companion: banded pairs ⊆ exact pairs (precision 1 by
+    // verify-first construction), so q144's matrix must be cell-wise
+    // dominated by q136's — a q144 cell exceeding its q136 cell, or
+    // appearing without one, would prove a false pair. Empty by
+    // construction, driver-checked against a WHERE FALSE oracle.
+    "q145_source_overlap_check" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val banded = overlapMatrix(d, Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8))
+      val exact = overlapMatrix(d, Dedup.ngramJaccardPairs(d, "doc_id", "text", 1, 0.8))
+        .withColumnsRenamed(Map("n_pairs" -> "n_exact"))
+      banded.join(exact, Seq("source_a", "source_b"), "left")
+        .filter(col("n_exact").isNull || col("n_pairs") > col("n_exact"))
+        .select(col("source_a"), col("source_b"), col("n_pairs"))
     }),
 
     // ---- Daily volume anomaly flags: day-over-day z-score of event counts
@@ -2710,6 +2753,10 @@ object SparkEntry {
     "q132_semantic_ingest_check" -> """
       SELECT vec_id FROM embeddings WHERE FALSE""",
 
+    "q145_source_overlap_check" -> """
+      SELECT source AS source_a, source AS source_b,
+        CAST(0 AS BIGINT) AS n_pairs FROM documents WHERE FALSE""",
+
     "q143_daily_anomaly" -> """
       WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),
       s AS (SELECT COUNT(*) AS nd, CAST(SUM(n) AS BIGINT) AS s1,
@@ -2919,26 +2966,57 @@ object SparkEntry {
     * regression gate on both dimensions, leaving only the value hash to
     * the recall / precision companion queries (q92-q101, q112, q119).
     *
-    * Keyed by sf-dir basename (pins are per scale factor); [[Verify]]
-    * emits `partial_checks.json` from this next to the driver's dump, and
-    * PartialChecksSpec enforces the sf0.01 pins in `sbt test`.
+    * Keyed by sf-dir basename — pinned at ALL THREE driver scale factors,
+    * so a driver verify at any of them emits checked rows instead of
+    * `"unpinned"`; [[Verify]] emits `partial_checks.json` from this next
+    * to the driver's dump, and PartialChecksSpec enforces the sf0.001 and
+    * sf0.01 pins in `sbt test` (sf0.1 is checked by the driver's own
+    * verify — re-measure all three when an operator legitimately changes).
     */
-  def partialExpectations: Map[String, Map[String, (Long, String)]] = Map(
-    "sf0.01" -> Map(
-      "q27_minhash_lsh" -> (30328L, "id_a:bigint,id_b:bigint,jaccard:double"),
-      "q28_simhash" -> (17L, "id_a:bigint,id_b:bigint,hamming:int"),
-      "q30_lsh_topk" -> (50L, "query_id:bigint,neighbor_id:bigint,rank:int"),
-      "q53_approx_distinct" -> (3L, "l_returnflag:string,approx_parts:bigint,exact_parts:bigint"),
-      "q56_ivf_topk" -> (50L, "query_id:bigint,neighbor_id:bigint,rank:int"),
-      "q70_lsh_recall" -> (10L, "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double"),
-      "q71_ivf_recall" -> (10L, "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double"),
-      "q72_minhash_recall" -> (1L, "n_exact:bigint,n_found:bigint,recall:double"),
-      "q73_cosine_pairs_bucketed" -> (51L, "id_a:bigint,id_b:bigint"),
-      "q87_sq8_topk" -> (50L, "query_id:bigint,neighbor_id:bigint,rank:int"),
-      "q88_sq8_recall" -> (10L, "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double"),
-      "q91_lsh_sq8_topk" -> (50L, "query_id:bigint,neighbor_id:bigint,rank:int"),
-      "q111_semantic_dedup" -> (500L, "vec_id:bigint,cluster_rep:bigint,keep:boolean"),
-      "q118_incremental_dedup" -> (10262L, "existing_id:bigint,incoming_id:bigint,jaccard:double"),
-      "q131_semantic_ingest" -> (100L, "vec_id:bigint,accept:boolean,blocked_by:bigint")
-    ))
+  def partialExpectations: Map[String, Map[String, (Long, String)]] = {
+    // schemas are scale-invariant; only the row pins vary per sf
+    val schemas = Map(
+      "q27_minhash_lsh" -> "id_a:bigint,id_b:bigint,jaccard:double",
+      "q28_simhash" -> "id_a:bigint,id_b:bigint,hamming:int",
+      "q30_lsh_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int",
+      "q53_approx_distinct" -> "l_returnflag:string,approx_parts:bigint,exact_parts:bigint",
+      "q56_ivf_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int",
+      "q70_lsh_recall" -> "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double",
+      "q71_ivf_recall" -> "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double",
+      "q72_minhash_recall" -> "n_exact:bigint,n_found:bigint,recall:double",
+      "q73_cosine_pairs_bucketed" -> "id_a:bigint,id_b:bigint",
+      "q87_sq8_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int",
+      "q88_sq8_recall" -> "query_id:bigint,n_exact:bigint,n_hit:bigint,recall:double",
+      "q91_lsh_sq8_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int",
+      "q111_semantic_dedup" -> "vec_id:bigint,cluster_rep:bigint,keep:boolean",
+      "q118_incremental_dedup" -> "existing_id:bigint,incoming_id:bigint,jaccard:double",
+      "q131_semantic_ingest" -> "vec_id:bigint,accept:boolean,blocked_by:bigint",
+      "q144_source_overlap_lsh" -> "source_a:string,source_b:string,n_pairs:bigint")
+    val rows = Map(
+      "sf0.001" -> Map(
+        "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
+        "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
+        "q73_cosine_pairs_bucketed" -> 62L, "q87_sq8_topk" -> 50L,
+        "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
+        "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10118L,
+        "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L),
+      "sf0.01" -> Map(
+        "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
+        "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
+        "q73_cosine_pairs_bucketed" -> 51L, "q87_sq8_topk" -> 50L,
+        "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
+        "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10262L,
+        "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L),
+      "sf0.1" -> Map(
+        "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
+        "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
+        "q73_cosine_pairs_bucketed" -> 848L, "q87_sq8_topk" -> 50L,
+        "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
+        "q111_semantic_dedup" -> 2000L, "q118_incremental_dedup" -> 452469L,
+        "q131_semantic_ingest" -> 1600L, "q144_source_overlap_lsh" -> 210L))
+    rows.map { case (sf, m) => sf -> m.map { case (q, r) => q -> (r, schemas(q)) } }
+  }
 }

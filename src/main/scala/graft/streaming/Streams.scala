@@ -268,6 +268,59 @@ object Streams {
       }
       .start()
 
+  /** Streaming semantic-dedup ingest: the embedding-side member of the
+    * ingest-sink triple (business-key [[upsertSink]], content-hash
+    * [[dedupIngestSink]], semantic — this). Each micro-batch appends only
+    * the vectors [[graft.ext.Similarity.semanticIngest]] accepts: no
+    * stored vector in the incoming vector's quantizer cell reaches
+    * `threshold` exact cosine.
+    *
+    * Quantizer policy — STORE-OWNED, REFIT PER BATCH: the cell centroids
+    * are fit on the CURRENT store at the start of every micro-batch (the
+    * bounded hash-spread `fitSample` collect + driver k-means of the batch
+    * operator, with the shared auto-nlist rule), never on the batch. The
+    * batch therefore cannot steer the quantizer it is judged by, the
+    * store's cell structure tracks its own drift as it grows, and a batch
+    * is always compared under one consistent quantizer — at the cost of
+    * one bounded fit per batch, the price of cell assignments staying
+    * fresh without a separate model-maintenance job.
+    *
+    * Idempotence (replay a micro-batch after a restart): an accepted row's
+    * vector is in the store when the replay arrives, blocks its duplicate
+    * at cosine exactly 1 ≥ threshold, and the replay appends nothing; a
+    * rejected row stays rejected (its blocker is still stored). Identical
+    * redelivered (id, vector) rows within one batch collapse before the
+    * ingest so the accept-list join cannot fan out. Within-batch NEAR-dups
+    * (distinct vectors) are both accepted — cross-pairs-only is the batch
+    * operator's documented contract; run [[graft.ext.Similarity
+    * .semanticDedupAuto]] on the batch first where that matters.
+    */
+  def semanticIngestSink(
+      df: DataFrame,
+      targetPath: String,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().dropDuplicates(idCol, vecCol)
+        val existing =
+          try spark.read.parquet(targetPath)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema) }
+        val accepted = graft.ext.Similarity
+          .semanticIngest(existing, b, idCol, vecCol, threshold)
+          .filter(col("accept"))
+          .select(col(idCol))
+        b.join(accepted, Seq(idCol), "left_semi")
+          .write.mode("append").parquet(targetPath): Unit
+      }
+      .start()
+
   /** [[upsertSink]] with a JDBC target: each micro-batch runs
     * [[graft.sources.Jdbc.upsertJdbc]]'s anti-join insert-only merge, so a
     * replayed micro-batch (restart, retry) never duplicates a business key

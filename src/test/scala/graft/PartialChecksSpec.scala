@@ -9,12 +9,15 @@ package graft
   * by the oracle-checked companion queries (q92-q101, q112, q119).
   */
 class PartialChecksSpec extends SparkTestBase {
-  private val sfDir = "/root/testdata/sf0.01"
-  private val sfName = "sf0.01"
+  // sf0.1's pins are held by the same map but executed only by the driver's
+  // verify (running the full approximate catalog at sf0.1 in unit tests
+  // would dominate the suite); sf0.001 and sf0.01 execute here.
+  private val enforced = Seq("sf0.001", "sf0.01")
 
-  for ((name, (expRows, expSchema)) <- SparkEntry.partialExpectations(sfName).toSeq.sortBy(_._1)) {
+  for (sfName <- enforced;
+       (name, (expRows, expSchema)) <- SparkEntry.partialExpectations(sfName).toSeq.sortBy(_._1)) {
     test(s"$name: pinned rows=$expRows and schema hold at $sfName") {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = SparkEntry.queries(name)(spark, s"/root/testdata/$sfName")
       val schema = df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
       assert(schema == expSchema, s"schema drift for $name")
       val rows = df.count()
@@ -22,11 +25,13 @@ class PartialChecksSpec extends SparkTestBase {
     }
   }
 
-  test("every no-oracle query is pinned (no_oracle only on the hash dimension)") {
+  test("every no-oracle query is pinned at every pinned scale factor") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val pinned = SparkEntry.partialExpectations(sfName).keySet
-    assert(noOracle == pinned,
-      s"unpinned no-oracle queries: ${(noOracle -- pinned).toSeq.sorted.mkString(", ")}; " +
-        s"stale pins: ${(pinned -- noOracle).toSeq.sorted.mkString(", ")}")
+    for (sfName <- SparkEntry.partialExpectations.keys.toSeq.sorted) {
+      val pinned = SparkEntry.partialExpectations(sfName).keySet
+      assert(noOracle == pinned,
+        s"$sfName: unpinned no-oracle queries: ${(noOracle -- pinned).toSeq.sorted.mkString(", ")}; " +
+          s"stale pins: ${(pinned -- noOracle).toSeq.sorted.mkString(", ")}")
+    }
   }
 }

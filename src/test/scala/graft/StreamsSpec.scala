@@ -191,6 +191,32 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("semanticIngestSink blocks near-dup vectors; a replayed micro-batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_semingest").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_semingest_cp").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.semanticIngestSink(
+      input.toDS().toDF("vec_id", "embedding"), s"$dir/t", "vec_id", "embedding",
+      threshold = 0.99, cp)
+    try {
+      // batch 1 bootstraps the empty store (everything accepted)
+      input.addData((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      q.processAllAvailable()
+      // batch 2: 3 is colinear with stored 1 (cos = 1) -> blocked;
+      // 4 is 45 degrees from both (cos ~= 0.707 < 0.99) -> accepted
+      input.addData((3L, Seq(2f, 0f)), (4L, Seq(1f, 1f)))
+      q.processAllAvailable()
+      // batch 3: REPLAY of batch 2 (restart/retry) -> no-op: 4's stored
+      // copy blocks its duplicate at cos exactly 1, 3 is still blocked by 1
+      input.addData((3L, Seq(2f, 0f)), (4L, Seq(1f, 1f)))
+      q.processAllAvailable()
+      val store = spark.read.parquet(s"$dir/t")
+      assert(store.select("vec_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+      assert(store.count() == 3) // the replay appended nothing
+    } finally q.stop()
+  }
+
   test("slidingCountsStream fans each event into width/slide windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
