@@ -1168,29 +1168,41 @@ object SparkEntry {
     // ---- q136's SCALE PATH: the same source-overlap matrix over the
     // MinHash-banded pair generator (candidates from one band equi-join,
     // exact-Jaccard verify) instead of the exact all-pairs machinery —
-    // the exact generator was measured n^1.26 at 10× rows (its candidate
-    // count is the driver), the banded generator's candidates come from
-    // bucket collisions only. Verify-first ⇒ every emitted pair is a true
-    // ≥0.8 pair, so each cell is a LOWER BOUND of q136's cell (missed
-    // pairs are banding recall, not precision) — q145 driver-checks that
-    // dominance cell by cell.
+    // AND aggregated at the distinct-set level (Dedup.minhashSourceOverlap),
+    // so no document pair is ever materialized: on the dup-dense 10×
+    // replica the expanded pair set is ~30 M rows and composing
+    // overlapMatrix over minhashLshPairs drags it through five pair-sized
+    // shuffles; the count factors through (skey, source) member counts
+    // instead. Verify-first ⇒ every counted pair is a true ≥0.8 pair, so
+    // each cell is a LOWER BOUND of q136's cell (missed pairs are banding
+    // recall, not precision) — q145 driver-checks that dominance cell by
+    // cell, and ALSO that this factored count equals the pair-expanded
+    // count exactly.
     "q144_source_overlap_lsh" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      overlapMatrix(d, Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8))
+      Dedup.minhashSourceOverlap(d, "doc_id", "text", "source", 1, 64, 16, 0.8)
     }),
 
-    // q144 companion: banded pairs ⊆ exact pairs (precision 1 by
-    // verify-first construction), so q144's matrix must be cell-wise
-    // dominated by q136's — a q144 cell exceeding its q136 cell, or
-    // appearing without one, would prove a false pair. Empty by
+    // q144 companion, two invariants in one empty witness: (1) banded
+    // pairs ⊆ exact pairs (precision 1 by verify-first construction), so
+    // q144's matrix must be cell-wise dominated by q136's — a q144 cell
+    // exceeding its q136 cell, or appearing without one, would prove a
+    // false pair; (2) the factored set-level count must EQUAL the
+    // pair-expanded count (overlapMatrix over minhashLshPairs) cell by
+    // cell — any mismatch would prove the factorization wrong. Empty by
     // construction, driver-checked against a WHERE FALSE oracle.
     "q145_source_overlap_check" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val banded = overlapMatrix(d, Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8))
+      val banded = Dedup.minhashSourceOverlap(d, "doc_id", "text", "source", 1, 64, 16, 0.8)
+      val expanded = overlapMatrix(d, Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8))
+        .withColumnsRenamed(Map("n_pairs" -> "n_expanded"))
       val exact = overlapMatrix(d, Dedup.ngramJaccardPairs(d, "doc_id", "text", 1, 0.8))
         .withColumnsRenamed(Map("n_pairs" -> "n_exact"))
       banded.join(exact, Seq("source_a", "source_b"), "left")
-        .filter(col("n_exact").isNull || col("n_pairs") > col("n_exact"))
+        .join(expanded, Seq("source_a", "source_b"), "full")
+        .filter(col("n_exact").isNull || col("n_pairs") > col("n_exact") ||
+          col("n_pairs").isNull || col("n_expanded").isNull ||
+          col("n_pairs") =!= col("n_expanded"))
         .select(col("source_a"), col("source_b"), col("n_pairs"))
     }),
 

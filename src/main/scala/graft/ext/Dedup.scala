@@ -378,12 +378,32 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       verifyThreshold: Double = 0.7): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(df.sparkSession)
-    val r = numHashes / bands
     // One representative per distinct shingle set (identical sets share all
     // bands by construction — they are expanded, not hashed).
     val (reps, members) = setRepresentatives(df, idCol, textCol, n)
+    expandSetPairs(
+      minhashRepPairs(df, textCol, n, reps, members, numHashes, bands, verifyThreshold),
+      members)
+  }
+
+  /** Banded-LSH pair discovery over DISTINCT shingle sets: the shared core
+    * of [[minhashLshPairs]] (which expands to document pairs) and
+    * [[minhashSourceOverlap]] (which aggregates counts without ever
+    * materializing a document pair). Emits (skey_a, skey_b, jaccard) with
+    * skey_a < skey_b, exact-verified at >= verifyThreshold.
+    */
+  private def minhashRepPairs(
+      df: DataFrame,
+      textCol: String,
+      n: Int,
+      reps: DataFrame,
+      members: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      verifyThreshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
     val sig = reps.select(
       col("skey"), col("sh"), col("sh_size"),
       GraftFunctions.minhash(col("sh"), numHashes).as("sig"))
@@ -424,28 +444,116 @@ object Dedup {
           .select(col("skey_a"), col("skey_b"), jacM.as("jaccard"))
       }
     }
-    val repPairs = tinyPath.getOrElse {
-      // General path: band-bucket equi-join for candidates, size prefilter
-      // before the distinct, exact verify on fetched full sets.
+    tinyPath.getOrElse {
+      // General path: band-bucket equi-join for candidates, exact verify
+      // INLINE at each pair's FIRST shared band. The band rows carry the
+      // rep's shingle array and its full bucket vector, so a collision row
+      // has everything verification needs; the filter keeps a collision
+      // only where `band == firstEqualIndex(bks_a, bks_b)` — the smallest
+      // shared band — so every candidate pair is verified EXACTLY ONCE and
+      // emitted EXACTLY ONCE, with no distinct and no full-set fetch
+      // joins. Why this shape: on a near-dup-dense corpus candidates ≈
+      // true pairs can reach ~600× the corpus row count (the 10× sf0.1
+      // replica has ~30 M pairs from 50 k docs), and the
+      // distinct-then-fetch alternative re-ships BOTH full shingle arrays
+      // per candidate through two pair-sized hash joins — the array bytes
+      // crossing the wire scale with the PAIR count. Here array bytes
+      // scale with `bands`·|reps| (the band explode), bounded regardless
+      // of pair density, and the only pair-sized stream is the final
+      // (skeys, jaccard) output itself. Predicate order matters: the
+      // first-band check and the size-compatibility bound (j ≥ t requires
+      // t·|a| ≤ |b| ≤ |a|/t) short-circuit ahead of the O(|a|+|b|)
+      // intersection, so redundant collisions cost 16 long compares, not
+      // an intersection.
       val banded = withBuckets
-        .select(col("skey"), col("sh_size"), posexplode(col("buckets")))
+        .select(col("skey"), col("sh"), col("sh_size"), col("buckets"),
+          posexplode(col("buckets")))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-      val l = banded.select(col("band"), col("bucket"), col("skey").as("skey_a"), col("sh_size").as("size_a"))
-      val rgt = banded.select(col("band"), col("bucket"), col("skey").as("skey_b"), col("sh_size").as("size_b"))
-      // Size-compatibility prefilter (same bound the Jaccard prefix path
-      // uses): j(a,b) <= min/max, so j >= t requires t*|a| <= |b| <= |a|/t.
-      // Applied on the raw band join, BEFORE the distinct and the full-set
-      // fetch joins, it discards impossible pairs while they are still
-      // 16-byte key rows.
-      val candidates = l.join(rgt, Seq("band", "bucket"))
+      val l = banded.select(col("band"), col("bucket"), col("skey").as("skey_a"),
+        col("sh").as("sh_a"), col("sh_size").as("size_a"), col("buckets").as("bks_a"))
+      val rgt = banded.select(col("band"), col("bucket"), col("skey").as("skey_b"),
+        col("sh").as("sh_b"), col("sh_size").as("size_b"), col("buckets").as("bks_b"))
+      def inter = GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b"))
+      def jac = inter.cast("double") /
+        (col("size_a") + col("size_b") - inter).cast("double")
+      // shuffle-hash, not sort-merge: the band rows are wide (they carry
+      // the shingle array), so sorting both sides would spill ~2× the
+      // array bytes; hashing buckets one side per partition instead
+      l.join(rgt.hint("shuffle_hash"), Seq("band", "bucket"))
         .filter(col("skey_a") < col("skey_b") &&
+          GraftFunctions.firstEqualIndex(col("bks_a"), col("bks_b")) === col("band") &&
           col("size_b") >= col("size_a") * lit(verifyThreshold) &&
-          col("size_a") >= col("size_b") * lit(verifyThreshold))
-        .select("skey_a", "skey_b").distinct()
-      // exact verify on candidates only (codegen'd sorted-merge intersection)
-      verifySetPairs(reps, candidates, verifyThreshold)
+          col("size_a") >= col("size_b") * lit(verifyThreshold) &&
+          jac >= lit(verifyThreshold))
+        .select(col("skey_a"), col("skey_b"), jac.as("jaccard"))
     }
-    expandSetPairs(repPairs, members)
+  }
+
+  /** Source-overlap matrix at corpus scale: near-dup pair counts by
+    * unordered (source_a, source_b), WITHOUT materializing a single
+    * document pair. On a near-dup-dense corpus the pair set is the hot
+    * object — at the 10× sf0.1 replica it is ~30 M rows, and composing
+    * `overlap = count by source over [[minhashLshPairs]]` drags those 30 M
+    * expanded rows through the expansion joins plus two source join-backs
+    * (five pair-sized shuffles) only to collapse them into a |sources|²
+    * matrix. The matrix is a pure COUNT, and counts factor through the
+    * distinct-set quotient: for rep pair (k1, k2),
+    *
+    *   contribution(s, t) = cnt(k1, s) · cnt(k2, t)
+    *
+    * where cnt(k, s) = members of set k from source s, and identical-set
+    * (intra-skey) pairs contribute cnt·cnt' for s < t and C(cnt, 2) on the
+    * diagonal. So: aggregate members to (skey, source, cnt) — bounded by
+    * |distinct sets|·|sources|, tiny next to the pair set — join the
+    * verified REP pairs (skey_a, skey_b) to it twice (AQE broadcasts the
+    * count side), and sum products. The only pair-sized object left is the
+    * rep-pair stream itself, 16-byte keys flowing through two broadcast
+    * joins into a map-side partial agg — nothing pair-sized ever shuffles.
+    * Output is row-identical to counting the expanded pairs.
+    */
+  def minhashSourceOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      verifyThreshold: Double = 0.7): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val (reps, members) = setRepresentatives(df, idCol, textCol, n)
+    val repPairs =
+      minhashRepPairs(df, textCol, n, reps, members, numHashes, bands, verifyThreshold)
+    val srcCnt = members
+      .join(df.select(col(idCol).as("id"), col(sourceCol).as("src")), Seq("id"))
+      .groupBy(col("skey"), col("src"))
+      .agg(count(lit(1)).as("cnt"))
+    // Identical sets: every unordered member pair within one skey. Same
+    // source twice → C(cnt, 2); two sources → cnt·cnt', counted once via
+    // src_a <= src_b.
+    val ia = srcCnt.select(col("skey"), col("src").as("src_a"), col("cnt").as("cnt_a"))
+    val ib = srcCnt.select(col("skey"), col("src").as("src_b"), col("cnt").as("cnt_b"))
+    val intra = ia.join(ib, Seq("skey"))
+      .filter(col("src_a") <= col("src_b"))
+      .select(col("src_a").as("source_a"), col("src_b").as("source_b"),
+        when(col("src_a") < col("src_b"), col("cnt_a") * col("cnt_b"))
+          // cnt·(cnt−1) is even, so the long cast after Spark's double `/`
+          // is exact; keeping w LONG keeps n_pairs the count type
+          .otherwise((col("cnt_a") * (col("cnt_a") - 1) / 2).cast("long")).as("w"))
+    val cross = repPairs
+      .join(srcCnt.select(col("skey").as("skey_a"), col("src").as("src_a"),
+        col("cnt").as("cnt_a")), Seq("skey_a"))
+      .join(srcCnt.select(col("skey").as("skey_b"), col("src").as("src_b"),
+        col("cnt").as("cnt_b")), Seq("skey_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        (col("cnt_a") * col("cnt_b")).as("w"))
+    cross.unionByName(intra)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("w")).as("n_pairs"))
+      // the diagonal term is 0 for singleton sources — a cell must only
+      // exist where at least one true pair does
+      .filter(col("n_pairs") > 0)
   }
 
   /** Incremental near-dup check — the PRODUCTION dedup shape: pairs
