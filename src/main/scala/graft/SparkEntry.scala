@@ -1206,6 +1206,49 @@ object SparkEntry {
         .select(col("source_a"), col("source_b"), col("n_pairs"))
     }),
 
+    // ---- Hot-token boilerplate pruning (C4-style strip at token
+    // granularity): tokens in > 40% of documents are corpus boilerplate;
+    // the rewrite is one codegen'd projection against the broadcast Zipf
+    // head — corpus text never shuffles.
+    "q146_prune_hot_tokens" -> ((s, dir) =>
+      TextAnalysis.pruneHotTokens(t(s, dir, "documents"), "doc_id", "text", 0.4)),
+
+    // ---- LM-perplexity curation funnel (CCNet-style): gate documents on
+    // the bigram-LM mean log-probability (q135 machinery) and report the
+    // per-source funnel — scored (>= 2 tokens), kept at the floor, and
+    // the decimal-exact sum of kept scores as the audit statistic.
+    "q147_lm_gate_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scores = TextAnalysis.bigramLmScores(d, "doc_id", "text")
+      d.select(col("doc_id"), col("source"))
+        .join(scores.select(col("doc_id"), col("avg_logprob")), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("avg_logprob")).as("n_scored"),
+          sum(when(col("avg_logprob") >= lit(-3.5), 1L).otherwise(0L)).as("n_kept"),
+          // decimal-domain sum (order-free), double on the way out — the
+          // Fns.dsum contract; 6 dp matches the scores' rounding
+          sum(when(col("avg_logprob") >= lit(-3.5),
+            col("avg_logprob").cast("decimal(18,6)")).otherwise(lit(null)))
+            .cast("double").as("sum_kept_logprob"))
+    }),
+
+    // ---- Containment-prune policy: drop every document that is (nearly)
+    // contained in another (q130's directed pairs, contained side), keep
+    // the containers — the dedup decision substring-style duplication
+    // calls for, where Jaccard under-scores. Reports the per-source
+    // keep/drop funnel.
+    "q148_containment_prune" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val contained = Dedup.containmentPairs(d, "doc_id", "text", 3, 0.8)
+        .select(col("id_a").as("doc_id")).distinct()
+      d.select(col("doc_id"), col("source"))
+        .join(contained.withColumn("__drop", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__drop").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+    }),
+
     // ---- Daily volume anomaly flags: day-over-day z-score of event counts
     // from integer-exact moments (n, Σx, Σx² are all integers, so the
     // derived doubles are bit-identical cross-engine) — the ingest-health
@@ -2768,6 +2811,74 @@ object SparkEntry {
     "q145_source_overlap_check" -> """
       SELECT source AS source_a, source AS source_b,
         CAST(0 AS BIGINT) AS n_pairs FROM documents WHERE FALSE""",
+
+    // hot set = tokens in > 40% of docs; rebuild preserves order via the
+    // original token list filtered against the hot list (lambda over the
+    // cross-joined one-row hot set)
+    "q146_prune_hot_tokens" -> s"""
+      WITH nz AS (SELECT doc_id, ${sqlTokens("text")} AS ts FROM documents),
+      tok AS (SELECT doc_id, unnest(list_distinct(ts)) AS tok FROM nz),
+      dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY 1),
+      hot AS (SELECT coalesce(list(tok), []::VARCHAR[]) AS hs FROM dfreq
+              WHERE df > 0.4 * (SELECT COUNT(*) FROM documents))
+      SELECT nz.doc_id,
+        CAST(len(ts) AS INT) AS n_tokens_before,
+        CAST(len(list_filter(ts, t -> NOT list_contains(hs, t))) AS INT) AS n_tokens_after,
+        coalesce(array_to_string(list_filter(ts, t -> NOT list_contains(hs, t)), ' '),
+          '') AS text_pruned
+      FROM nz CROSS JOIN hot""",
+
+    // q135's score pipeline verbatim, then the gate + per-source funnel;
+    // kept-score sum in the decimal domain (order-free), double out
+    "q147_lm_gate_funnel" -> s"""
+      WITH nz AS (
+        SELECT doc_id, ${sqlTokens("lower(text)")} AS ts FROM documents),
+      n2 AS (SELECT doc_id, ts FROM nz WHERE len(ts) >= 2),
+      db0 AS (SELECT doc_id,
+                unnest([{'w1': ts[i], 'w2': ts[i+1]} for i in range(1, len(ts))]) AS b
+              FROM n2),
+      db AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM db0),
+      uni AS (SELECT unnest(ts) AS w1 FROM n2),
+      ug AS (SELECT w1, COUNT(*) AS na FROM uni GROUP BY 1),
+      bi AS (SELECT w1, w2, COUNT(*) AS nab FROM db GROUP BY 1, 2),
+      j AS (SELECT db.doc_id,
+              CAST(round(ln(CAST(nab AS DOUBLE) / na), 6) AS DECIMAL(18,6)) AS term
+            FROM db JOIN bi USING (w1, w2) JOIN ug USING (w1)),
+      scores AS (SELECT doc_id,
+              round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+            FROM j GROUP BY 1)
+      SELECT d.source,
+        COUNT(*) AS n_docs,
+        COUNT(s.avg_logprob) AS n_scored,
+        CAST(SUM(CASE WHEN s.avg_logprob >= -3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN s.avg_logprob >= -3.5
+          THEN CAST(s.avg_logprob AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_kept_logprob
+      FROM documents d LEFT JOIN scores s USING (doc_id)
+      GROUP BY 1""",
+
+    // q130's directed containment pairs as a CTE; drop the contained side
+    "q148_containment_prune" -> s"""
+      WITH toks AS (
+        SELECT doc_id AS id, ${sqlTokens("lower(text)")} AS tk FROM documents
+      ), t AS (
+        SELECT id,
+          CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+               ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                      i -> array_to_string(tk[i:i+2], ' '))) END AS sh
+        FROM toks
+      ), inv AS (
+        SELECT id, len(sh) AS sz, unnest(sh) AS s FROM t WHERE len(sh) > 0
+      ), contained AS (
+        SELECT DISTINCT a.id
+        FROM inv a JOIN inv b ON a.s = b.s AND a.id <> b.id
+        WHERE b.sz >= a.sz * 0.8
+        GROUP BY a.id, b.id, a.sz
+        HAVING COUNT(*) >= a.sz * 0.8
+      )
+      SELECT d.source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM documents d LEFT JOIN contained c ON d.doc_id = c.id
+      GROUP BY 1""",
 
     "q143_daily_anomaly" -> """
       WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),

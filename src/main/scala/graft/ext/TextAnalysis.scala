@@ -166,6 +166,47 @@ object TextAnalysis {
         "\\s+", " ")))
   }
 
+  /** Hot-token boilerplate pruning — the token-granularity form of the
+    * C4/RefinedWeb boilerplate strip: tokens appearing in more than
+    * `maxDocFrequency` of all documents (navigation chrome, license
+    * footers, template glue) are removed from every document, preserving
+    * the order of what survives. Emits one row per input document with the
+    * pruned text and before/after token counts, so drop rates are one
+    * aggregation away.
+    *
+    * Scale shape: document frequency is one explode + hash aggregate over
+    * 8-byte-ish token keys (map-side combine collapses each partition to
+    * its vocabulary). The hot set is the ZIPF HEAD of that table — a df
+    * floor that is a corpus fraction keeps only tokens frequent enough to
+    * appear in a constant fraction of documents, so the set is bounded by
+    * ~1/maxDocFrequency regardless of corpus size — and rides the driver
+    * as a model parameter (same contract as IVF centroids; `maxHotTokens`
+    * guards the collect). The rewrite is then a single codegen'd
+    * projection over the scan — filter + array_contains against the
+    * broadcast literal — with NO token-level shuffle and no join: the
+    * corpus text crosses the wire zero times.
+    */
+  def pruneHotTokens(df: DataFrame, idCol: String, textCol: String,
+      maxDocFrequency: Double, maxHotTokens: Int = 100000): DataFrame = {
+    require(maxDocFrequency > 0 && maxDocFrequency <= 1, "maxDocFrequency in (0,1]")
+    val total = df.count()
+    val hot = df
+      .select(explode(array_distinct(tokens(col(textCol)))).as("__ht_tok"))
+      .groupBy(col("__ht_tok")).agg(count(lit(1)).as("__ht_df"))
+      .filter(col("__ht_df") > lit(maxDocFrequency) * lit(total.toDouble))
+      .select(col("__ht_tok")).collect().map(_.getString(0))
+    require(hot.length <= maxHotTokens,
+      s"hot-token set ${hot.length} exceeds maxHotTokens=$maxHotTokens — " +
+        "raise maxDocFrequency or the cap")
+    val hotArr = typedLit(hot.toSeq.sorted)
+    df.select(col(idCol), tokens(col(textCol)).as("__ht_toks"))
+      .select(col(idCol), size(col("__ht_toks")).as("n_tokens_before"),
+        filter(col("__ht_toks"), t => !array_contains(hotArr, t)).as("__ht_kept"))
+      .select(col(idCol), col("n_tokens_before"),
+        size(col("__ht_kept")).as("n_tokens_after"),
+        array_join(col("__ht_kept"), " ").as("text_pruned"))
+  }
+
   /** Rare-token ratio — a deterministic perplexity proxy (the CCNet-style
     * quality signal without a language model): the fraction of a document's
     * tokens whose CORPUS frequency is below `minFreq`. Documents dominated

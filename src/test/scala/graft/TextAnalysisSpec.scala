@@ -223,4 +223,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(dup3 - 3.0 / 5) < 1e-15)        // 5 grams, 2 distinct
     assert(got(5L) == ((1L, 1.0, 1.0, 0.0)))        // no grams -> ratio 0
   }
+
+  test("pruneHotTokens: strips Zipf head, preserves order, handles edge docs") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog barked"),
+      (3L, "the end"),
+      (4L, "cat dog"),
+      (5L, "")                             // empty stays a row, stays empty
+    ).toDF("doc_id", "text")
+    // "the" is in 3/5 docs (df=3 > 0.5*5=2.5); everything else df<=2
+    val got = TextAnalysis.pruneHotTokens(df, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got(1L) == ((6, 4, "cat sat on mat")))   // both "the"s removed, order kept
+    assert(got(2L) == ((3, 2, "dog barked")))
+    assert(got(3L) == ((2, 1, "end")))
+    assert(got(4L) == ((2, 2, "cat dog")))           // untouched
+    assert(got(5L) == ((0, 0, "")))
+    // document whose every token is hot prunes to empty string, not null
+    val all = Seq((1L, "x y"), (2L, "x y"), (3L, "x y")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.pruneHotTokens(all, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(g2.forall(_ == ((2, 0, ""))))
+    // threshold above every df -> no hot set -> identity rewrite
+    val g3 = TextAnalysis.pruneHotTokens(df, "doc_id", "text", 1.0)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(g3(1L) == "the cat sat on the mat")
+    // the model-parameter guard trips on an oversized hot set
+    intercept[IllegalArgumentException] {
+      TextAnalysis.pruneHotTokens(all, "doc_id", "text", 0.5, maxHotTokens = 1)
+    }
+  }
 }
