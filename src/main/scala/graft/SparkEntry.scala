@@ -1249,6 +1249,57 @@ object SparkEntry {
           sum(when(col("__drop").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
     }),
 
+    // ---- Pairwise correlation matrix in ONE aggregate pass: the q59
+    // integer-moment discipline extended to 3 variables — one groupBy
+    // computes the full moment vector (3 sums, 6 products as
+    // DECIMAL(38,0)), every pairwise corr derives from it, and the matrix
+    // unpivots map-side. The scan is read ONCE however many variable
+    // pairs are profiled; corr's ×10⁴ scale cancels.
+    "q149_corr_matrix" -> ((s, dir) => {
+      val d380 = DecimalType(38, 0)
+      def s100(c: String) = round(col(c) * lit(100)).cast("long")
+      val m = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), s100("l_quantity").as("v1"),
+          s100("l_extendedprice").as("v2"), s100("l_discount").as("v3"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v1").cast(d380)).as("s1"),
+          sum(col("v2").cast(d380)).as("s2"),
+          sum(col("v3").cast(d380)).as("s3"),
+          sum((col("v1") * col("v1")).cast(d380)).as("s11"),
+          sum((col("v2") * col("v2")).cast(d380)).as("s22"),
+          sum((col("v3") * col("v3")).cast(d380)).as("s33"),
+          sum((col("v1") * col("v2")).cast(d380)).as("s12"),
+          sum((col("v1") * col("v3")).cast(d380)).as("s13"),
+          sum((col("v2") * col("v3")).cast(d380)).as("s23"))
+      val n = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      def corr(si: String, sj: String, sij: String, sii: String, sjj: String) =
+        (n * dbl(sij) - dbl(si) * dbl(sj)) /
+          sqrt((n * dbl(sii) - dbl(si) * dbl(si)) * (n * dbl(sjj) - dbl(sj) * dbl(sj)))
+      m.select(col("l_returnflag"), col("n"), explode(array(
+          struct(lit("quantity").as("var_x"), lit("price").as("var_y"),
+            corr("s1", "s2", "s12", "s11", "s22").as("corr")),
+          struct(lit("quantity").as("var_x"), lit("discount").as("var_y"),
+            corr("s1", "s3", "s13", "s11", "s33").as("corr")),
+          struct(lit("price").as("var_x"), lit("discount").as("var_y"),
+            corr("s2", "s3", "s23", "s22", "s33").as("corr")))).as("p"))
+        .select(col("l_returnflag"), col("n"), col("p.var_x").as("var_x"),
+          col("p.var_y").as("var_y"), col("p.corr").as("corr"))
+    }),
+
+    // ---- Per-group OLS trend (price on quantity): closed-form fit from
+    // the same one-pass decimal moments; slope/intercept/r² per segment.
+    "q150_group_ols" -> ((s, dir) =>
+      Profiling.groupOls(t(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")),
+
+    // ---- Per-source token-distribution entropy: vocabulary-diversity
+    // observability (template spam collapses it); 6-dp-rounded decimal
+    // terms keep the transcendental sum order-free and cross-engine exact.
+    "q151_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents"), "source", "text")),
+
     // ---- Daily volume anomaly flags: day-over-day z-score of event counts
     // from integer-exact moments (n, Σx, Σx² are all integers, so the
     // derived doubles are bit-identical cross-engine) — the ingest-health
@@ -2879,6 +2930,82 @@ object SparkEntry {
         CAST(SUM(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
       FROM documents d LEFT JOIN contained c ON d.doc_id = c.id
       GROUP BY 1""",
+
+    // same integer moments, same expression tree as the Spark side (q59
+    // discipline): corr = (n·sij − si·sj) / sqrt((n·sii − si²)(n·sjj − sj²))
+    "q149_corr_matrix" -> """
+      WITH s AS (
+        SELECT l_returnflag,
+          CAST(round(l_quantity * 100) AS BIGINT) AS v1,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS v2,
+          CAST(round(l_discount * 100) AS BIGINT) AS v3
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          SUM(v1) AS s1, SUM(v2) AS s2, SUM(v3) AS s3,
+          SUM(v1 * v1) AS s11, SUM(v2 * v2) AS s22, SUM(v3 * v3) AS s33,
+          SUM(v1 * v2) AS s12, SUM(v1 * v3) AS s13, SUM(v2 * v3) AS s23
+        FROM s GROUP BY 1),
+      d AS (
+        SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+          CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+          CAST(s11 AS DOUBLE) AS s11d, CAST(s22 AS DOUBLE) AS s22d, CAST(s33 AS DOUBLE) AS s33d,
+          CAST(s12 AS DOUBLE) AS s12d, CAST(s13 AS DOUBLE) AS s13d, CAST(s23 AS DOUBLE) AS s23d
+        FROM m)
+      SELECT l_returnflag, n, 'quantity' AS var_x, 'price' AS var_y,
+        (nd * s12d - s1d * s2d) /
+          sqrt((nd * s11d - s1d * s1d) * (nd * s22d - s2d * s2d)) AS corr FROM d
+      UNION ALL
+      SELECT l_returnflag, n, 'quantity', 'discount',
+        (nd * s13d - s1d * s3d) /
+          sqrt((nd * s11d - s1d * s1d) * (nd * s33d - s3d * s3d)) FROM d
+      UNION ALL
+      SELECT l_returnflag, n, 'price', 'discount',
+        (nd * s23d - s2d * s3d) /
+          sqrt((nd * s22d - s2d * s2d) * (nd * s33d - s3d * s3d)) FROM d""",
+
+    "q150_group_ols" -> """
+      WITH s AS (
+        SELECT l_returnflag,
+          CAST(round(l_quantity * 100) AS BIGINT) AS x,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM s GROUP BY 1),
+      d AS (
+        SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+          CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+          CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+          CAST(syy AS DOUBLE) AS syyd
+        FROM m)
+      SELECT l_returnflag, n,
+        CASE WHEN (nd * sxxd - sxd * sxd) > 0
+          THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END AS slope,
+        CASE WHEN (nd * sxxd - sxd * sxd) > 0
+          THEN (syd / nd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+            * (sxd / nd)) / 100.0 END AS intercept,
+        CASE WHEN (nd * sxxd - sxd * sxd) > 0 AND (nd * syyd - syd * syd) > 0
+          THEN ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+            / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END AS r2
+      FROM d""",
+
+    // terms rounded to 6 dp and lifted to DECIMAL(18,6) before the sum
+    // (order-free); H = ln(N) − (Σ c·ln c)/N, final round 6 dp
+    "q151_token_entropy" -> s"""
+      WITH toks AS (
+        SELECT source, unnest(${sqlTokens("lower(text)")}) AS tok FROM documents),
+      c AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+      SELECT source,
+        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        COUNT(*) AS vocab_size,
+        round(ln(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE))
+          - CAST(SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 6)
+              AS DECIMAL(18,6))) AS DOUBLE)
+            / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 6) AS entropy
+      FROM c GROUP BY 1""",
 
     "q143_daily_anomaly" -> """
       WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1),

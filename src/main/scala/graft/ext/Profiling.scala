@@ -49,4 +49,45 @@ object Profiling {
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_value"), col("max_value"))
   }
+
+  /** Per-group ordinary least squares of y on x for 2-decimal inputs —
+    * trend-per-segment in ONE aggregate pass, the q59 integer-moment
+    * discipline end to end: inputs lift to scaled longs (×100, exact for
+    * 2-dec doubles), the five moments sum as DECIMAL(38,0) (overflow-free
+    * at any group size; long-backed fast path), and each integer sum gets
+    * one correctly-rounded cast to double before the closed-form
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * (the ×10⁴ scale cancels in slope and r²; intercept divides the means
+    * back by 100). Bit-reproducible on any cluster and engine because the
+    * doubles derive from identical integers through an identical
+    * expression tree. Degenerate groups (zero x-variance) emit null slope/
+    * intercept/r² rather than ±Inf.
+    */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x100 = round(col(xCol) * lit(100)).cast("long")
+    val y100 = round(col(yCol) * lit(100)).cast("long")
+    val m = df
+      .select(col(groupCol), x100.as("x"), y100.as("y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d380)).as("sx"),
+        sum(col("y").cast(d380)).as("sy"),
+        sum((col("x") * col("y")).cast(d380)).as("sxy"),
+        sum((col("x") * col("x")).cast(d380)).as("sxx"),
+        sum((col("y") * col("y")).cast(d380)).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val dx = n * sxx - sx * sx
+    val dy = n * syy - sy * sy
+    val num = n * sxy - sx * sy
+    val slope = when(dx > lit(0.0), num / dx)
+    val r2 = when(dx > lit(0.0) && dy > lit(0.0), (num * num) / (dx * dy))
+    m.select(col(groupCol), col("n"),
+      slope.as("slope"),
+      when(dx > lit(0.0), (sy / n - (num / dx) * (sx / n)) / lit(100.0)).as("intercept"),
+      r2.as("r2"))
+  }
 }

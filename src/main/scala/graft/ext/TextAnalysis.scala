@@ -166,6 +166,35 @@ object TextAnalysis {
         "\\s+", " ")))
   }
 
+  /** Per-group Shannon entropy of the token distribution — the vocabulary-
+    * diversity statistic a corpus datasheet reports (a source whose
+    * entropy collapses is template spam; one that jumps is a scrape-mix
+    * change). H = ln(N) − (Σ c·ln c)/N over per-token counts c.
+    *
+    * Determinism contract (the q117/q135 discipline): every transcendental
+    * term is rounded to 6 dp and lifted to DECIMAL(18,6) BEFORE the sum,
+    * so the aggregate is order-free and cross-engine exact; the closing
+    * arithmetic derives from identical integers/decimals through an
+    * identical expression tree. Shape: one explode + two hash aggregates
+    * (token counts, then the entropy fold per group) — token keys only,
+    * text never shuffles twice.
+    */
+  def tokenEntropy(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(tokens(lower(col(textCol)))).as("__te_tok"))
+      .groupBy(col(groupCol), col("__te_tok"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 6)
+          .cast("decimal(18,6)")).as("__te_sclnc"))
+      .select(col(groupCol), col("n_tokens"), col("vocab_size"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__te_sclnc").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("entropy"))
+  }
+
   /** Hot-token boilerplate pruning — the token-granularity form of the
     * C4/RefinedWeb boilerplate strip: tokens appearing in more than
     * `maxDocFrequency` of all documents (navigation chrome, license

@@ -27,4 +27,24 @@ class ProfilingSpec extends SparkTestBase {
     assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 0L)
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
+
+  test("groupOls recovers a known line and nulls out degenerate groups") {
+    // group a: y = 2x + 1 exactly (2-decimal values on the line)
+    val df = Seq(
+      ("a", 1.00, 3.00), ("a", 2.00, 5.00), ("a", 3.00, 7.00), ("a", 4.50, 10.00),
+      ("b", 5.00, 1.00), ("b", 5.00, 9.00),    // zero x-variance
+      ("c", 1.00, 4.00), ("c", 2.00, 4.00)     // zero y-variance: slope 0, r2 null
+    ).toDF("g", "x", "y")
+    val got = Profiling.groupOls(df, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getLong(1) == 4L)
+    assert(math.abs(a.getDouble(2) - 2.0) < 1e-12)       // slope
+    assert(math.abs(a.getDouble(3) - 1.0) < 1e-12)       // intercept (unscaled)
+    assert(math.abs(a.getDouble(4) - 1.0) < 1e-12)       // perfect fit
+    val b = got("b")
+    assert(b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4))
+    val c = got("c")
+    assert(c.getDouble(2) == 0.0 && c.isNullAt(4))
+  }
 }

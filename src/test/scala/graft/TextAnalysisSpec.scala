@@ -255,4 +255,23 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.pruneHotTokens(all, "doc_id", "text", 0.5, maxHotTokens = 1)
     }
   }
+
+  test("tokenEntropy: uniform beats skewed, single-token group scores zero") {
+    val df = Seq(
+      ("u", "a b c d"),              // uniform over 4 -> ln(4)
+      ("s", "a a a b"),              // skewed -> below ln(2)... above 0
+      ("z", "x x x x"),              // single token -> 0
+      ("e", "   ")                   // no tokens -> no row
+    ).toDF("src", "text")
+    val got = TextAnalysis.tokenEntropy(df, "src", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!got.contains("e"))
+    assert(got("u")._1 == 4L && got("u")._2 == 4L)
+    assert(math.abs(got("u")._3 - math.log(4.0)) < 1e-5)
+    assert(got("z")._3 == 0.0)
+    // H(3/4, 1/4) = ln4 - (3 ln3)/4
+    val hs = math.log(4.0) - 3.0 * math.log(3.0) / 4.0
+    assert(math.abs(got("s")._3 - hs) < 1e-5)
+    assert(got("s")._3 > 0.0 && got("s")._3 < got("u")._3)
+  }
 }
