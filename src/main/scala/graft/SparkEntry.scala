@@ -1317,6 +1317,31 @@ object SparkEntry {
         .select(col("day"), col("n"), col("z"))
     }),
 
+    // ---- Daily event-type distribution DRIFT (q143's volume z-score sees
+    // count anomalies; this sees MIX anomalies at constant volume — a
+    // producer going quiet while another doubles): per-day Shannon entropy
+    // of the event-type distribution (the q151 decimal-term discipline)
+    // plus the day-over-day delta from a lag window over the tiny
+    // day-level frame. Two hash aggs on (day, type) keys + one window
+    // over |days| rows — the event stream never shuffles twice.
+    "q152_daily_mix_drift" -> ((s, dir) => {
+      val c = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val daily = c.groupBy(col("day"))
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_types"),
+          sum(round(col("c").cast("double") * log(col("c").cast("double")), 6)
+            .cast("decimal(18,6)")).as("__sclnc"))
+        .select(col("day"), col("n_events"), col("n_types"),
+          round(log(col("n_events").cast("double")) -
+            col("__sclnc").cast("double") / col("n_events").cast("double"), 6)
+            .as("entropy"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      daily.withColumn("delta_entropy",
+        round(col("entropy") - lag(col("entropy"), 1).over(w), 6))
+    }),
+
     // ---- Semantic retrieval: exact ANN top-3 joined back to the document
     // payloads (vec_id and doc_id share the id space in this corpus) — the
     // retrieval surface a RAG pipeline runs; the ANN stage never touches
@@ -3019,6 +3044,23 @@ object SparkEntry {
       WHERE abs((n - CAST(s1 AS DOUBLE) / nd)
           / sqrt(CAST(s2 AS DOUBLE) / nd
             - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))) > 2.0""",
+
+    // q151's entropy discipline per day + lag over the day frame
+    "q152_daily_mix_drift" -> """
+      WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+                 FROM events GROUP BY 1, 2),
+      d AS (
+        SELECT day,
+          CAST(SUM(c) AS BIGINT) AS n_events,
+          COUNT(*) AS n_types,
+          round(ln(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE))
+            - CAST(SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 6)
+                AS DECIMAL(18,6))) AS DOUBLE)
+              / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE), 6) AS entropy
+        FROM c GROUP BY 1)
+      SELECT day, n_events, n_types, entropy,
+        round(entropy - lag(entropy, 1) OVER (ORDER BY day), 6) AS delta_entropy
+      FROM d""",
 
     // q85's exact ANN SQL shape + the payload join
     "q142_semantic_retrieval" -> """
