@@ -1300,6 +1300,25 @@ object SparkEntry {
     "q151_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(t(s, dir, "documents"), "source", "text")),
 
+    // ---- Population stability index between the pre-/post-1995 shipment
+    // snapshots of the price distribution — the drift gate a retraining
+    // pipeline runs on a new corpus cut; q107's bin convention, one-sided
+    // bins reported rather than epsilon-smoothed away.
+    "q153_psi_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cut = to_timestamp(lit("1995-01-01"))
+      Profiling.populationStability(
+        li.filter(col("l_shipdate") < cut), li.filter(col("l_shipdate") >= cut),
+        "l_returnflag", "l_extendedprice", 5000.0)
+    }),
+
+    // ---- MAD robust outlier screen (the 50%-breakdown complement to
+    // q121's IQR fence): exact interpolated medians, per-group stat
+    // frames broadcast, fence comparison riding the scan.
+    "q154_mad_outliers" -> ((s, dir) =>
+      Profiling.madOutliers(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", 3.0)),
+
     // ---- Daily volume anomaly flags: day-over-day z-score of event counts
     // from integer-exact moments (n, Σx, Σx² are all integers, so the
     // derived doubles are bit-identical cross-engine) — the ingest-health
@@ -3044,6 +3063,50 @@ object SparkEntry {
       WHERE abs((n - CAST(s1 AS DOUBLE) / nd)
           / sqrt(CAST(s2 AS DOUBLE) / nd
             - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))) > 2.0""",
+
+    // same bins, same (p−q)·ln(p/q) tree, 6-dp decimal terms
+    "q153_psi_drift" -> """
+      WITH a0 AS (
+        SELECT l_returnflag, CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+          COUNT(*) AS na
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-01-01' GROUP BY 1, 2),
+      a AS (SELECT l_returnflag, bin, na,
+              CAST(SUM(na) OVER (PARTITION BY l_returnflag) AS BIGINT) AS ta FROM a0),
+      b0 AS (
+        SELECT l_returnflag, CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+          COUNT(*) AS nb
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' GROUP BY 1, 2),
+      b AS (SELECT l_returnflag, bin, nb,
+              CAST(SUM(nb) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tb FROM b0),
+      j AS (
+        SELECT coalesce(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+          na, ta, nb, tb,
+          CAST(na AS DOUBLE) / CAST(ta AS DOUBLE) AS p,
+          CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE) AS q
+        FROM a FULL JOIN b ON a.l_returnflag = b.l_returnflag AND a.bin = b.bin)
+      SELECT l_returnflag,
+        CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b,
+        COUNT(CASE WHEN na IS NOT NULL AND nb IS NOT NULL THEN 1 END) AS n_bins_both,
+        COUNT(CASE WHEN nb IS NULL THEN 1 END) AS n_bins_a_only,
+        COUNT(CASE WHEN na IS NULL THEN 1 END) AS n_bins_b_only,
+        round(CAST(SUM(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+          THEN CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(18,6)) END)
+          AS DOUBLE), 6) AS psi
+      FROM j GROUP BY 1""",
+
+    "q154_mad_outliers" -> """
+      WITH med AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS median
+                   FROM lineitem GROUP BY 1),
+      dev AS (SELECT l.l_returnflag, m.median,
+                abs(l.l_extendedprice - m.median) AS ad
+              FROM lineitem l JOIN med m USING (l_returnflag)),
+      mad AS (SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+              FROM dev GROUP BY 1)
+      SELECT d.l_returnflag, COUNT(*) AS n, MAX(d.median) AS median,
+        MAX(m.mad) AS mad,
+        CAST(SUM(CASE WHEN d.ad > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM dev d JOIN mad m USING (l_returnflag) GROUP BY 1""",
 
     // q151's entropy discipline per day + lag over the day frame
     "q152_daily_mix_drift" -> """

@@ -50,6 +50,70 @@ object Profiling {
         col("min_value"), col("max_value"))
   }
 
+  /** Population stability index between two snapshots of a numeric
+    * column, per group — THE feature-drift score a data pipeline runs
+    * before retraining on a new corpus cut: fixed-width bins (the q107
+    * histogram convention), p = bin share in snapshot A, q = in B,
+    * PSI = Σ (p−q)·ln(p/q) over bins populated on BOTH sides, with the
+    * one-sided bin counts reported alongside (the standard smoothing
+    * decision is the caller's; reporting beats silently fabricating an
+    * epsilon). PSI < 0.1 is stable, 0.1-0.25 drifting, > 0.25 shifted.
+    *
+    * Determinism: p and q are ratios of exact integers (identical doubles
+    * in every engine), each transcendental term is rounded to 6 dp and
+    * lifted to DECIMAL(18,6) before the sum (order-free), final round 6 dp.
+    * Shape: one hash agg per snapshot to |groups|·|bins| rows, a window
+    * for the per-group totals over that tiny frame, one full outer join on
+    * (group, bin), one fold — the fact rows are touched exactly once each.
+    */
+  def populationStability(a: DataFrame, b: DataFrame, groupCol: String,
+      valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth > 0")
+    def binned(df: DataFrame, cnt: String) = df
+      .groupBy(col(groupCol), floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as(cnt))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val ca = binned(a, "na").withColumn("ta", sum(col("na")).over(w))
+    val cb = binned(b, "nb").withColumn("tb", sum(col("nb")).over(w))
+    val j = ca.join(cb, Seq(groupCol, "bin"), "full")
+    val p = col("na").cast("double") / col("ta").cast("double")
+    val q = col("nb").cast("double") / col("tb").cast("double")
+    val term = round((p - q) * log(p / q), 6).cast("decimal(18,6)")
+    j.groupBy(col(groupCol))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        count(when(col("na").isNotNull && col("nb").isNotNull, 1)).as("n_bins_both"),
+        count(when(col("nb").isNull, 1)).as("n_bins_a_only"),
+        count(when(col("na").isNull, 1)).as("n_bins_b_only"),
+        sum(when(col("na").isNotNull && col("nb").isNotNull, term)).as("__psum"))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("n_bins_both"),
+        col("n_bins_a_only"), col("n_bins_b_only"),
+        round(col("__psum").cast("double"), 6).as("psi"))
+  }
+
+  /** Robust per-group outlier screen on median absolute deviation — the
+    * MAD complement to the IQR fence (q121): med = exact interpolated
+    * p50, mad = p50 of |x − med|, outliers beyond k·mad. MAD tolerates
+    * up to 50% contamination where IQR's quartiles break at 25%, which
+    * is why cleaning pipelines run both. Stat frames are one row per
+    * group (bounded domain) and broadcast back — the fence comparison
+    * rides the scan; two percentile aggregates total.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("median"))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__ad", abs(col(valueCol) - col("median")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(__ad, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("__ad") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   /** Per-group ordinary least squares of y on x for 2-decimal inputs —
     * trend-per-segment in ONE aggregate pass, the q59 integer-moment
     * discipline end to end: inputs lift to scaled longs (×100, exact for

@@ -321,6 +321,51 @@ object Streams {
       }
       .start()
 
+  /** Streaming distribution-drift monitor — the q152 event-mix entropy on
+    * a live stream: per event-time window, the Shannon entropy of the
+    * event-type distribution (6-dp decimal terms, the batch operator's
+    * exact discipline). Structured Streaming allows ONE stateful
+    * aggregation per query, so the window × type counts are the streaming
+    * stage (watermark-evicted, append mode — a window emits once, when
+    * the watermark passes it) and the entropy fold over those counts is
+    * STATELESS within each micro-batch: by emission time a window's
+    * counts are complete and arrive in one batch, so the fold never needs
+    * cross-batch state. Results land via dynamic partition overwrite
+    * keyed by window start — a replayed micro-batch (restart, retry)
+    * rewrites its own windows with identical values, making the sink
+    * idempotent without a merge. The day-over-day delta (q152's lag) is
+    * one window over the tiny written frame at read time; a lag inside
+    * the stream would be a second stateful stage for no benefit.
+    */
+  def mixDriftSink(
+      events: DataFrame,
+      width: String,
+      watermark: String,
+      targetPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tumblingCountsStream(events, width, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val e = batch.toDF()
+          .groupBy(col("win_start"))
+          .agg(sum(col("n")).as("n_events"),
+            count(lit(1)).as("n_types"),
+            sum(round(col("n").cast("double") * log(col("n").cast("double")), 6)
+              .cast("decimal(18,6)")).as("__sclnc"))
+          .select(col("win_start"), col("n_events"), col("n_types"),
+            round(log(col("n_events").cast("double")) -
+              col("__sclnc").cast("double") / col("n_events").cast("double"), 6)
+              .as("entropy"))
+        if (!e.isEmpty)
+          e.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("win_start")
+            .parquet(targetPath): Unit
+      }
+      .start()
+
   /** [[upsertSink]] with a JDBC target: each micro-batch runs
     * [[graft.sources.Jdbc.upsertJdbc]]'s anti-join insert-only merge, so a
     * replayed micro-batch (restart, retry) never duplicates a business key

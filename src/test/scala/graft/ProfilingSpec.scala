@@ -28,6 +28,37 @@ class ProfilingSpec extends SparkTestBase {
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("populationStability: identical snapshots score 0, shifted ones score high") {
+    val a = Seq(("g", 1.0), ("g", 1.5), ("g", 12.0), ("g", 12.5)).toDF("grp", "v")
+    // identical distribution -> every term ln(1)=0
+    val same = Profiling.populationStability(a, a, "grp", "v", 10.0).collect().head
+    assert(same.getLong(1) == 4L && same.getLong(2) == 4L)
+    assert(same.getLong(3) == 2L && same.getLong(4) == 0L && same.getLong(5) == 0L)
+    assert(same.getDouble(6) == 0.0)
+    // B fully shifted into bin 1 plus a new bin 2: bin 0 becomes a-only
+    val b = Seq(("g", 11.0), ("g", 13.0), ("g", 14.0), ("g", 25.0)).toDF("grp", "v")
+    val r = Profiling.populationStability(a, b, "grp", "v", 10.0).collect().head
+    assert(r.getLong(3) == 1L)  // bin 1 shared
+    assert(r.getLong(4) == 1L)  // bin 0 a-only
+    assert(r.getLong(5) == 1L)  // bin 2 b-only
+    // shared bin: p=1/2, q=3/4 -> (p-q)ln(p/q) = (-0.25)·ln(2/3)
+    val expected = math.rint(-0.25 * math.log(2.0 / 3.0) * 1e6) / 1e6
+    assert(math.abs(r.getDouble(6) - expected) < 1e-9)
+  }
+
+  test("madOutliers flags only points beyond k·MAD and survives mad=0") {
+    val df = (Seq.fill(5)(10.0) ++ Seq(10.5, 9.5, 50.0)).zipWithIndex
+      .map { case (v, i) => ("g", v) }.toDF("grp", "v")
+    // median 10, deviations (0x5, .5, .5, 40) -> mad 0: every nonzero dev flagged
+    val r = Profiling.madOutliers(df, "grp", "v", 3.0).collect().head
+    assert(r.getLong(1) == 8L && r.getDouble(2) == 10.0 && r.getDouble(3) == 0.0)
+    assert(r.getLong(4) == 3L)
+    // well-spread group: only the far point breaks the 3·MAD fence
+    val df2 = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).map(("h", _)).toDF("grp", "v")
+    val r2 = Profiling.madOutliers(df2, "grp", "v", 3.0).collect().head
+    assert(r2.getDouble(2) == 3.5 && r2.getLong(4) == 1L)
+  }
+
   test("groupOls recovers a known line and nulls out degenerate groups") {
     // group a: y = 2x + 1 exactly (2-decimal values on the line)
     val df = Seq(

@@ -217,6 +217,44 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("mixDriftSink writes per-window entropy once finalized; replay is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixdrift").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_mixdrift_cp").toString
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.mixDriftSink(
+      input.toDS().toDF(), "1 hour", "1 hour", s"$dir/t", cp)
+    try {
+      // hour 10: 2 clicks + 2 views (uniform over 2 types -> ln 2);
+      // hour 11: 4 clicks (single type -> 0)
+      input.addData(
+        Streams.Event(1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0),
+        Streams.Event(2L, ts("2024-01-01 10:10:00"), 7L, "click", 1.0),
+        Streams.Event(3L, ts("2024-01-01 10:20:00"), 8L, "view", 1.0),
+        Streams.Event(4L, ts("2024-01-01 10:40:00"), 8L, "view", 1.0),
+        Streams.Event(5L, ts("2024-01-01 11:05:00"), 7L, "click", 1.0),
+        Streams.Event(6L, ts("2024-01-01 11:15:00"), 7L, "click", 1.0),
+        Streams.Event(7L, ts("2024-01-01 11:25:00"), 7L, "click", 1.0),
+        Streams.Event(8L, ts("2024-01-01 11:35:00"), 7L, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize both hours
+      input.addData(Streams.Event(9L, ts("2024-01-01 14:00:00"), 9L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/t")
+        .select("win_start", "n_events", "n_types", "entropy")
+        .as[(Timestamp, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got(ts("2024-01-01 10:00:00")) == ((4L, 2L, math.rint(math.log(2) * 1e6) / 1e6)))
+      assert(got(ts("2024-01-01 11:00:00")) == ((4L, 1L, 0.0)))
+      // emitted windows never re-emit; later batches leave them untouched
+      input.addData(Streams.Event(10L, ts("2024-01-01 15:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      val again = spark.read.parquet(s"$dir/t")
+        .filter(col("win_start") < lit(ts("2024-01-01 12:00:00"))).count()
+      assert(again == 2)
+    } finally q.stop()
+  }
+
   test("slidingCountsStream fans each event into width/slide windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streams.Event]
