@@ -1319,6 +1319,38 @@ object SparkEntry {
       Profiling.madOutliers(t(s, dir, "lineitem"), "l_returnflag",
         "l_extendedprice", 3.0)),
 
+    // ---- Cluster-balanced diversity sampling: equal per-cell budgets
+    // over the auto-fit quantizer cells, so rare embedding modes survive
+    // a subsample that uniform hashing would wash out; deterministic
+    // md5-order selection within cells. q156 witnesses exact budget
+    // adherence and assignment consistency.
+    "q155_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterSample(t(s, dir, "embeddings"), "vec_id", "embedding", 0.2)),
+
+    // q155 companion, empty by construction: a sampled row missing from
+    // the recomputed assignment (the quantizer is a pure function of the
+    // corpus, so both runs see identical cells), or a cell whose sampled
+    // count differs from min(budget, cell size), would prove the sampler
+    // wrong. WHERE FALSE oracle.
+    "q156_cluster_sample_check" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val sample = Similarity.clusterSample(e, "vec_id", "embedding", 0.2)
+      val assigned = Similarity.clusterAssign(e, "vec_id", "embedding")
+      val n = e.count()
+      val nlist = Similarity.autoNlist(n, 256, 4096)
+      val budget = math.max(1L, math.ceil(0.2 * n / nlist).toLong)
+      val orphan = sample.join(assigned, Seq("vec_id", "cell"), "left_anti")
+        .select(col("cell"), lit("orphan").as("violation"), lit(1L).as("n"))
+      val sc = sample.groupBy(col("cell")).agg(count(lit(1)).as("got"))
+      val ac = assigned.groupBy(col("cell")).agg(count(lit(1)).as("avail"))
+      val miscount = ac.join(sc, Seq("cell"), "left")
+        .withColumn("want", least(lit(budget), col("avail")))
+        .filter(coalesce(col("got"), lit(0L)) =!= col("want"))
+        .select(col("cell"), lit("count").as("violation"),
+          coalesce(col("got"), lit(0L)).as("n"))
+      orphan.unionByName(miscount)
+    }),
+
     // ---- Daily volume anomaly flags: day-over-day z-score of event counts
     // from integer-exact moments (n, Σx, Σx² are all integers, so the
     // derived doubles are bit-identical cross-engine) — the ingest-health
@@ -3064,6 +3096,10 @@ object SparkEntry {
           / sqrt(CAST(s2 AS DOUBLE) / nd
             - (CAST(s1 AS DOUBLE) / nd) * (CAST(s1 AS DOUBLE) / nd))) > 2.0""",
 
+    "q156_cluster_sample_check" -> """
+      SELECT CAST(0 AS BIGINT) AS cell, 'x' AS violation, CAST(0 AS BIGINT) AS n
+      FROM embeddings WHERE FALSE""",
+
     // same bins, same (p−q)·ln(p/q) tree, 6-dp decimal terms
     "q153_psi_drift" -> """
       WITH a0 AS (
@@ -3346,7 +3382,8 @@ object SparkEntry {
       "q111_semantic_dedup" -> "vec_id:bigint,cluster_rep:bigint,keep:boolean",
       "q118_incremental_dedup" -> "existing_id:bigint,incoming_id:bigint,jaccard:double",
       "q131_semantic_ingest" -> "vec_id:bigint,accept:boolean,blocked_by:bigint",
-      "q144_source_overlap_lsh" -> "source_a:string,source_b:string,n_pairs:bigint")
+      "q144_source_overlap_lsh" -> "source_a:string,source_b:string,n_pairs:bigint",
+      "q155_cluster_sample" -> "vec_id:bigint,cell:bigint")
     val rows = Map(
       "sf0.001" -> Map(
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
@@ -3355,7 +3392,8 @@ object SparkEntry {
         "q73_cosine_pairs_bucketed" -> 62L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10118L,
-        "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L),
+        "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
+        "q155_cluster_sample" -> 112L),
       "sf0.01" -> Map(
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -3363,7 +3401,8 @@ object SparkEntry {
         "q73_cosine_pairs_bucketed" -> 51L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10262L,
-        "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L),
+        "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
+        "q155_cluster_sample" -> 112L),
       "sf0.1" -> Map(
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -3371,7 +3410,8 @@ object SparkEntry {
         "q73_cosine_pairs_bucketed" -> 848L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q111_semantic_dedup" -> 2000L, "q118_incremental_dedup" -> 452469L,
-        "q131_semantic_ingest" -> 1600L, "q144_source_overlap_lsh" -> 210L))
+        "q131_semantic_ingest" -> 1600L, "q144_source_overlap_lsh" -> 210L,
+        "q155_cluster_sample" -> 400L))
     rows.map { case (sf, m) => sf -> m.map { case (q, r) => q -> (r, schemas(q)) } }
   }
 }

@@ -558,6 +558,54 @@ object Similarity {
     semanticDedup(df, idCol, vecCol, threshold, nlist, fitSample, kmeansIters)
   }
 
+  /** Deterministic cell assignment under the auto-sized, corpus-fit
+    * quantizer: (id, cell) for every vector — the shared substrate of
+    * [[clusterSample]] and its witness (both recompute the SAME
+    * centroids: the fit sample is hash-spread and ordered, k-means runs
+    * fixed iterations, so the quantizer is a pure function of the
+    * corpus). One codegen'd argmax per row riding the scan.
+    */
+  def clusterAssign(df: DataFrame, idCol: String, vecCol: String,
+      targetCellSize: Int = 256, fitSample: Int = 4096,
+      kmeansIters: Int = 3): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val nlist = autoNlist(df.count(), targetCellSize, fitSample)
+    val cents = fitCellCentroids(df, idCol, vecCol, nlist, fitSample, kmeansIters)
+    df.select(col(idCol), col(vecCol))
+      .withColumn("cell", cellOf(cents, col(vecCol), 0))
+      .select(col(idCol), col("cell"))
+  }
+
+  /** Cluster-balanced diversity sampling — the subset-selection policy a
+    * training-data pipeline uses when a uniform subsample would wash out
+    * rare modes: EQUAL per-cell budgets over the quantizer cells
+    * (budget = ⌈frac·n / nlist⌉ rows from every cell, small cells kept
+    * whole), so a cluster's survival does not depend on its popularity.
+    * Selection within a cell is keep-smallest by (md5(id), id) — the
+    * engine's standard deterministic sampling order (q77/q84), stable
+    * across runs, partitionings, and engines.
+    *
+    * Scale shape: assignment is the codegen argmax over the scan;
+    * the per-cell rank is a window whose partitions the auto-nlist rule
+    * keeps at ~targetCellSize rows regardless of corpus size — bounded
+    * memory per partition, no global sort, no driver data path beyond
+    * the model-parameter centroid fit.
+    */
+  def clusterSample(df: DataFrame, idCol: String, vecCol: String,
+      frac: Double, targetCellSize: Int = 256, fitSample: Int = 4096,
+      kmeansIters: Int = 3): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac in (0,1]")
+    val n = df.count()
+    val nlist = autoNlist(n, targetCellSize, fitSample)
+    val budget = math.max(1L, math.ceil(frac * n / nlist).toLong)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    clusterAssign(df, idCol, vecCol, targetCellSize, fitSample, kmeansIters)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= budget)
+      .select(col(idCol), col("cell"))
+  }
+
   /** Semantic-dedup INGEST: the accept-list for appending a new vector
     * batch to a semantically-deduplicated store — the embedding-side
     * analog of the MinHash incremental dedup (q118) and the content-hash

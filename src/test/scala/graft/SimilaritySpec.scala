@@ -245,4 +245,27 @@ class SimilaritySpec extends SparkTestBase {
     val explicit = Similarity.semanticDedup(emb, "vec_id", "embedding", 0.85)
     assert(rows(auto) == rows(explicit))
   }
+
+  test("clusterSample honors equal per-cell budgets and is deterministic") {
+    val frac = 0.2
+    val n = emb.count()
+    val nlist = Similarity.autoNlist(n, 256, 4096)
+    val budget = math.max(1L, math.ceil(frac * n / nlist).toLong)
+    val sample = Similarity.clusterSample(emb, "vec_id", "embedding", frac)
+    val assigned = Similarity.clusterAssign(emb, "vec_id", "embedding")
+    // every sampled row exists in the assignment with the same cell
+    assert(sample.join(assigned, Seq("vec_id", "cell"), "left_anti").count() == 0)
+    // per-cell counts are exactly min(budget, cell size)
+    val got = sample.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val avail = assigned.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    avail.foreach { case (cell, a) =>
+      assert(got.getOrElse(cell, 0L) == math.min(budget, a),
+        s"cell $cell: got ${got.getOrElse(cell, 0L)}, avail $a, budget $budget")
+    }
+    // deterministic: a second run selects the identical id set
+    val again = Similarity.clusterSample(emb, "vec_id", "embedding", frac)
+    assert(rows(sample.select("vec_id", "cell")) == rows(again.select("vec_id", "cell")))
+  }
 }
