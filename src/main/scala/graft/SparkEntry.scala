@@ -1351,6 +1351,44 @@ object SparkEntry {
       orphan.unionByName(miscount)
     }),
 
+    // ---- Incremental source-overlap: the q144 audit matrix in its
+    // per-batch production form — which sources is today's batch copying
+    // from? Directed (existing source, incoming source), cross-pairs
+    // only, counts factored through the per-side set quotient. Split
+    // mirrors q118/q129 (corpus < 400, batch >= 400).
+    "q157_incremental_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minhashSourceOverlapIncremental(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "doc_id", "text", "source", 1, 64, 16, 0.8)
+    }),
+
+    // q157 companion, empty by construction: the factored matrix must
+    // equal (cell by cell, both directions of the full join) the matrix
+    // counted from the EXPANDED incremental pairs — any difference proves
+    // the factorization wrong. Pair-level precision (banded ⊆ exact) is
+    // q119's witness; this one pins the aggregation. WHERE FALSE oracle.
+    "q158_incremental_overlap_check" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ex = d.filter(col("doc_id") < 400)
+      val inc = d.filter(col("doc_id") >= 400)
+      val factored = Dedup.minhashSourceOverlapIncremental(
+        ex, inc, "doc_id", "text", "source", 1, 64, 16, 0.8)
+      val src = d.select(col("doc_id"), col("source"))
+      val expanded = Dedup.minhashLshPairsIncremental(
+          ex, inc, "doc_id", "text", 1, 64, 16, 0.8)
+        .join(src.withColumnsRenamed(
+          Map("doc_id" -> "existing_id", "source" -> "source_existing")), Seq("existing_id"))
+        .join(src.withColumnsRenamed(
+          Map("doc_id" -> "incoming_id", "source" -> "source_incoming")), Seq("incoming_id"))
+        .groupBy(col("source_existing"), col("source_incoming"))
+        .agg(count(lit(1)).as("n_expanded"))
+      factored.join(expanded, Seq("source_existing", "source_incoming"), "full")
+        .filter(col("n_pairs").isNull || col("n_expanded").isNull ||
+          col("n_pairs") =!= col("n_expanded"))
+        .select(col("source_existing"), col("source_incoming"), col("n_pairs"))
+    }),
+
     // ---- Daily volume anomaly flags: day-over-day z-score of event counts
     // from integer-exact moments (n, Σx, Σx² are all integers, so the
     // derived doubles are bit-identical cross-engine) — the ingest-health
@@ -3100,6 +3138,10 @@ object SparkEntry {
       SELECT CAST(0 AS BIGINT) AS cell, 'x' AS violation, CAST(0 AS BIGINT) AS n
       FROM embeddings WHERE FALSE""",
 
+    "q158_incremental_overlap_check" -> """
+      SELECT source AS source_existing, source AS source_incoming,
+        CAST(0 AS BIGINT) AS n_pairs FROM documents WHERE FALSE""",
+
     // same bins, same (p−q)·ln(p/q) tree, 6-dp decimal terms
     "q153_psi_drift" -> """
       WITH a0 AS (
@@ -3383,7 +3425,9 @@ object SparkEntry {
       "q118_incremental_dedup" -> "existing_id:bigint,incoming_id:bigint,jaccard:double",
       "q131_semantic_ingest" -> "vec_id:bigint,accept:boolean,blocked_by:bigint",
       "q144_source_overlap_lsh" -> "source_a:string,source_b:string,n_pairs:bigint",
-      "q155_cluster_sample" -> "vec_id:bigint,cell:bigint")
+      "q155_cluster_sample" -> "vec_id:bigint,cell:bigint",
+      "q157_incremental_overlap" ->
+        "source_existing:string,source_incoming:string,n_pairs:bigint")
     val rows = Map(
       "sf0.001" -> Map(
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
@@ -3393,7 +3437,7 @@ object SparkEntry {
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10118L,
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
-        "q155_cluster_sample" -> 112L),
+        "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L),
       "sf0.01" -> Map(
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -3402,7 +3446,7 @@ object SparkEntry {
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10262L,
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
-        "q155_cluster_sample" -> 112L),
+        "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L),
       "sf0.1" -> Map(
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -3411,7 +3455,7 @@ object SparkEntry {
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q111_semantic_dedup" -> 2000L, "q118_incremental_dedup" -> 452469L,
         "q131_semantic_ingest" -> 1600L, "q144_source_overlap_lsh" -> 210L,
-        "q155_cluster_sample" -> 400L))
+        "q155_cluster_sample" -> 400L, "q157_incremental_overlap" -> 400L))
     rows.map { case (sf, m) => sf -> m.map { case (q, r) => q -> (r, schemas(q)) } }
   }
 }

@@ -581,6 +581,30 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       verifyThreshold: Double = 0.7): DataFrame = {
+    val (repPairs, memE, memI) = minhashRepPairsIncremental(
+      existing, incoming, idCol, textCol, n, numHashes, bands, verifyThreshold)
+    repPairs
+      .join(memE.select(col("skey").as("skey_e"), col("id").as("existing_id")),
+        Seq("skey_e"))
+      .join(memI.select(col("skey").as("skey_i"), col("id").as("incoming_id")),
+        Seq("skey_i"))
+      .select(col("existing_id"), col("incoming_id"), col("jaccard"))
+  }
+
+  /** Cross-frame banded rep-pair discovery: the shared core of
+    * [[minhashLshPairsIncremental]] (expands to document pairs) and
+    * [[minhashSourceOverlapIncremental]] (aggregates counts without
+    * expansion). Returns (repPairs(skey_e, skey_i, jaccard), memE, memI).
+    */
+  private def minhashRepPairsIncremental(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      verifyThreshold: Double): (DataFrame, DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(existing.sparkSession)
     val r = numHashes / bands
@@ -615,12 +639,43 @@ object Dedup {
       .filter(jac >= lit(verifyThreshold))
       .select(col("skey_e"), col("skey_i"), round(jac, 6).as("jaccard"))
       .distinct()
+    (repPairs, memE, memI)
+  }
+
+  /** Incremental source-overlap: near-dup pair counts between an incoming
+    * batch and the existing corpus, by DIRECTED (source_existing,
+    * source_incoming) — the per-batch form of [[minhashSourceOverlap]]'s
+    * audit matrix, and the observability a production (incremental) dedup
+    * pipeline actually runs: which sources is today's batch copying from?
+    * Same count factorization through the per-side distinct-set quotient —
+    * contribution(s, t) = cnt_E(k_e, s) · cnt_I(k_i, t) per verified
+    * cross rep pair — so nothing pair-sized ever shuffles; no intra term
+    * and no least/greatest normalization because the two frames are
+    * distinct and the matrix is directed (cross-pairs-only is the
+    * incremental contract).
+    */
+  def minhashSourceOverlapIncremental(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      verifyThreshold: Double = 0.7): DataFrame = {
+    val (repPairs, memE, memI) = minhashRepPairsIncremental(
+      existing, incoming, idCol, textCol, n, numHashes, bands, verifyThreshold)
+    def srcCnt(mem: DataFrame, frame: DataFrame, skeyOut: String,
+        srcOut: String, cntOut: String) = mem
+      .join(frame.select(col(idCol).as("id"), col(sourceCol).as("src")), Seq("id"))
+      .groupBy(col("skey").as(skeyOut), col("src").as(srcOut))
+      .agg(count(lit(1)).as(cntOut))
     repPairs
-      .join(memE.select(col("skey").as("skey_e"), col("id").as("existing_id")),
-        Seq("skey_e"))
-      .join(memI.select(col("skey").as("skey_i"), col("id").as("incoming_id")),
-        Seq("skey_i"))
-      .select(col("existing_id"), col("incoming_id"), col("jaccard"))
+      .join(srcCnt(memE, existing, "skey_e", "source_existing", "cnt_e"), Seq("skey_e"))
+      .join(srcCnt(memI, incoming, "skey_i", "source_incoming", "cnt_i"), Seq("skey_i"))
+      .groupBy(col("source_existing"), col("source_incoming"))
+      .agg(sum(col("cnt_e") * col("cnt_i")).as("n_pairs"))
   }
 
   /** Blocked edit-distance near-dup pairs: levenshtein(a, b) <= maxDist
