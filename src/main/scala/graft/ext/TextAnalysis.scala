@@ -227,10 +227,15 @@ object TextAnalysis {
     require(hot.length <= maxHotTokens,
       s"hot-token set ${hot.length} exceeds maxHotTokens=$maxHotTokens — " +
         "raise maxDocFrequency or the cap")
-    val hotArr = typedLit(hot.toSeq.sorted)
+    // hash-set probe per token (codegen'd StringArrayExcludeSet), not the
+    // builtin filter+array_contains linear scan of the literal — at the
+    // maxHotTokens ceiling the linear form is O(tokens·|hot|) over the
+    // corpus and stops being scan-bound
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol), tokens(col(textCol)).as("__ht_toks"))
       .select(col(idCol), size(col("__ht_toks")).as("n_tokens_before"),
-        filter(col("__ht_toks"), t => !array_contains(hotArr, t)).as("__ht_kept"))
+        graft.functions.GraftFunctions
+          .stringArrayExcludeSet(col("__ht_toks"), hot.toSeq.sorted).as("__ht_kept"))
       .select(col(idCol), col("n_tokens_before"),
         size(col("__ht_kept")).as("n_tokens_after"),
         array_join(col("__ht_kept"), " ").as("text_pruned"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{BloomMightContainLong, FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, NearestCellIds, NormalizeText, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, WordShingleHashes}
+import graft.functions.expressions.{BloomMightContainLong, FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, NearestCellIds, NormalizeText, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, StringArrayExcludeSet, WordShingleHashes}
 
 /** Registry for the engine's native Catalyst expressions.
   *
@@ -43,6 +43,17 @@ object GraftFunctions {
             org.apache.spark.sql.types.StringType).map(_.toString)
         case other => analysisError(
           s"graft_first_contains_index needles must be array<string>, got $other")
+      }
+    })),
+    // string_array_exclude_set(toks, array('hot1', ...)): second arg must
+    // be a foldable array<string> literal (the collected Zipf head)
+    "graft_string_array_exclude_set" -> (args => StringArrayExcludeSet(args(0), {
+      evalFolded(args(1), "graft_string_array_exclude_set exclude") match {
+        case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+          arr.toArray[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+        case other => analysisError(
+          s"graft_string_array_exclude_set exclude must be array<string>, got $other")
       }
     })),
     // nearest_cell_ids(vec, centroids, nprobe): centroids must be a foldable
@@ -163,6 +174,12 @@ object GraftFunctions {
     call_function("graft_nearest_cell_ids", vec,
       org.apache.spark.sql.functions.typedLit(cents.map(_.toSeq).toSeq),
       org.apache.spark.sql.functions.lit(nprobe))
+
+  /** Tokens of `toks` not in `exclude`, input order preserved (O(1) hash
+    * probe per token — the pruneHotTokens rewrite kernel). */
+  def stringArrayExcludeSet(toks: Column, exclude: Seq[String]): Column =
+    call_function("graft_string_array_exclude_set", toks,
+      org.apache.spark.sql.functions.typedLit(exclude))
 
   /** 0-based index of the first needle contained in lower(haystack). */
   def firstContainsIndex(haystack: Column, needlesLower: Seq[String]): Column =

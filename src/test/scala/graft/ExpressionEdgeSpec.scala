@@ -86,4 +86,26 @@ class ExpressionEdgeSpec extends SparkTestBase {
     assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text", 1, 0.5).count() == 0)
     assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text", 1, 0.95).count() == 0)
   }
+
+  test("stringArrayExcludeSet: empty set, empty array, order preserved, null row") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "c")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("b", "b"))
+    ).toDF("id", "ts")
+    def run(exclude: Seq[String]) =
+      df.select(col("id"), GraftFunctions.stringArrayExcludeSet(col("ts"), exclude))
+        .as[(Long, Seq[String])].collect().toMap
+    val none = run(Seq.empty)
+    assert(none(1L) == Seq("a", "b", "a", "c") && none(2L).isEmpty)
+    val got = run(Seq("b", "zz"))
+    assert(got(1L) == Seq("a", "a", "c"))   // order kept, duplicates kept
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+    // null array -> null out (nullSafeEval)
+    val withNull = Seq((1L, Some(Seq("a"))), (2L, None))
+      .toDF("id", "ts")
+      .select(GraftFunctions.stringArrayExcludeSet(col("ts"), Seq("a")))
+      .collect()
+    assert(withNull(0).getSeq[String](0).isEmpty && withNull(1).isNullAt(0))
+  }
 }
