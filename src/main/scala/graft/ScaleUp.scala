@@ -75,6 +75,22 @@ object ScaleUp {
         .withColumn("o_custkey", col("o_custkey") + c * Off)
     }.reduce(_ unionByName _)
 
+  /** Replicate the event stream as 10× TRAFFIC, not 10× history: copy c
+    * shifts event_id and user_id (distinct actors per copy — session and
+    * cohort structure per user is identical to the source) and leaves `ts`
+    * unchanged, so every day/window carries factor× events — the shape a
+    * stream actually takes at scale (more concurrent traffic in the same
+    * retention window). Day-grain aggregates keep their output cardinality
+    * while their inputs scale; sessionization scales in users.
+    */
+  def scaleEvents(ev: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { c =>
+      if (c == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + c * Off)
+        .withColumn("user_id", col("user_id") + c * Off)
+    }.reduce(_ unionByName _)
+
   /** Replicate a dim with its primary key shifted per copy, other columns
     * unchanged — keeps the replica's fact FKs RESOLVABLE (a fact row of
     * copy c joins its copy's dim row), so dim-join queries measure real
@@ -100,7 +116,7 @@ object ScaleUp {
     Seq("documents" -> "doc_id", "embeddings" -> "vec_id",
         "orders" -> "o_orderkey", "lineitem" -> "l_orderkey",
         "part" -> "p_partkey", "supplier" -> "s_suppkey",
-        "customer" -> "c_custkey").foreach { case (tbl, k) =>
+        "customer" -> "c_custkey", "events" -> "event_id").foreach { case (tbl, k) =>
       val mx = t(tbl).agg(max(col(k))).head().getLong(0)
       require(mx < Off, s"ScaleUp: max($tbl.$k)=$mx >= offset $Off — " +
         "scaling this input would collide key spaces across copies")
@@ -111,6 +127,7 @@ object ScaleUp {
     write(scaleEmbeddings(t("embeddings"), factor), "embeddings")
     write(scaleLineitem(t("lineitem"), factor), "lineitem")
     write(scaleOrders(t("orders"), factor), "orders")
+    write(scaleEvents(t("events"), factor), "events")
     // dims referenced by the scaled facts replicate with shifted keys so
     // every copy's FKs resolve; region/nation are genuinely global dims
     // (nationkeys unchanged in customer/supplier copies) and pass through
