@@ -1351,6 +1351,44 @@ object SparkEntry {
       orphan.unionByName(miscount)
     }),
 
+    // ---- Near-dup degree distribution: how CLUSTERED is the corpus —
+    // n_docs per near-dup degree (0 = unique docs), the audit that
+    // decides whether pairwise dedup output will be dominated by a few
+    // mega-cliques (quadratic pair blowup) or spread thin. Derived from
+    // the exact pair set; degree 0 from one anti-count against the
+    // corpus total.
+    "q159_degree_distribution" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 1, 0.8)
+      // localCheckpoint: deg (one row per PAIRED doc — small) feeds both
+      // the histogram and the zero-degree anti-count; without it the
+      // exact pair job would run twice
+      val deg = pairs.select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+        .localCheckpoint()
+      val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      val zero = d.select(col("doc_id")).join(deg, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit(0L).as("degree"), col("n_docs"))
+      hist.unionByName(zero).filter(col("n_docs") > 0)
+    }),
+
+    // ---- Snapshot diff (dataset versioning): added / removed / changed /
+    // unchanged between two cuts of the corpus, classified on 16-byte
+    // payload hashes computed inside each side's scan — key+hash rows
+    // cross the shuffle, the corpus text does not. v2 simulates a release:
+    // drops ids < 50, adds >= 450, revises every 13th doc's text.
+    "q160_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val v1 = d.filter(col("doc_id") < 450)
+      val v2 = d.filter(col("doc_id") >= 50)
+        .withColumn("text", when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("text"), lit(" rev"))).otherwise(col("text")))
+      Relational.snapshotDiff(v1, v2, "doc_id", Seq("text", "source"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
+
     // ---- Incremental source-overlap: the q144 audit matrix in its
     // per-batch production form — which sources is today's batch copying
     // from? Directed (existing source, incoming source), cross-pairs
@@ -3141,6 +3179,50 @@ object SparkEntry {
     "q158_incremental_overlap_check" -> """
       SELECT source AS source_existing, source AS source_incoming,
         CAST(0 AS BIGINT) AS n_pairs FROM documents WHERE FALSE""",
+
+    // same per-side payload hashing + full-join classification; each
+    // engine compares only its OWN hashes, so md5 equality is internal
+    "q160_snapshot_diff" -> """
+      WITH v1 AS (
+        SELECT doc_id, md5(concat_ws(' ', CAST(text AS VARCHAR),
+          CAST(source AS VARCHAR))) AS h
+        FROM documents WHERE doc_id < 450),
+      v2 AS (
+        SELECT doc_id, md5(concat_ws(' ',
+          CAST(CASE WHEN doc_id % 13 = 0 THEN text || ' rev' ELSE text END AS VARCHAR),
+          CAST(source AS VARCHAR))) AS h
+        FROM documents WHERE doc_id >= 50),
+      d AS (
+        SELECT CASE WHEN v1.h IS NULL THEN 'added'
+                    WHEN v2.h IS NULL THEN 'removed'
+                    WHEN v1.h <> v2.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL JOIN v2 USING (doc_id))
+      SELECT status, COUNT(*) AS n FROM d GROUP BY 1""",
+
+    // q25's exact pairs + degree fold; degree 0 = docs in no pair
+    "q159_degree_distribution" -> s"""
+      WITH t AS (
+        SELECT doc_id AS id, list_distinct(${sqlTokens("lower(text)")}) AS sh FROM documents
+      ), inv AS (
+        SELECT id, len(sh) AS sz, unnest(sh) AS s FROM t WHERE len(sh) > 0
+      ), pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+        GROUP BY a.id, b.id, a.sz, b.sz
+        HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.8
+      ), deg AS (
+        SELECT id, COUNT(*) AS degree FROM (
+          SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+        GROUP BY 1
+      ), hist AS (
+        SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1
+        UNION ALL
+        SELECT CAST(0 AS BIGINT),
+          (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg)
+      )
+      SELECT degree, CAST(n_docs AS BIGINT) AS n_docs FROM hist
+      WHERE n_docs > 0""",
 
     // same bins, same (p−q)·ln(p/q) tree, 6-dp decimal terms
     "q153_psi_drift" -> """

@@ -173,4 +173,16 @@ class RelationalSpec extends SparkTestBase {
     val higher = got.filter(col("s") === "b").select("k").as[Long].collect().toSet
     assert(lower.subsetOf(higher))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged by payload hash") {
+    val v1 = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")).toDF("id", "t", "s")
+    val v2 = Seq((2L, "b", "x"), (3L, "CHANGED", "y"), (4L, "d", "z")).toDF("id", "t", "s")
+    val got = Relational.snapshotDiff(v1, v2, "id", Seq("t", "s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // payload column ORDER matters, id-only diff does not see payload moves
+    val swapped = Relational.snapshotDiff(v1, v1.select(col("id"), col("s").as("t"), col("t").as("s")),
+      "id", Seq("t", "s")).filter(col("status") === "changed").count()
+    assert(swapped == 3L)
+  }
 }
