@@ -898,8 +898,12 @@ object SparkEntry {
           (avg(col("recall")) >= 0.7).as("above_floor"))
     }),
 
-    // q87/q88 companion: SQ8 quantization loses no ordering on this corpus —
-    // per-query recall is exactly 1.0, so every query row must clear 0.999.
+    // q87/q88 companion: 1 B/dim quantization keeps every query's top-5
+    // recall >= 0.75 on these corpora — exactly 1.0 at sf0.001/sf0.01,
+    // and 0.8 worst-case at sf0.1, where 5000 candidates put near-ties at
+    // the k-boundary and the quantization grid flips one borderline
+    // neighbor for 2 of 10 queries (a "recall is exactly 1.0" floor was a
+    // small-corpus artifact, caught by the multi-sf differential sweep).
     "q96_sq8_recall_check" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
@@ -907,7 +911,7 @@ object SparkEntry {
           Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5),
           Similarity.sq8TopK(e, q, "vec_id", "embedding", 5))
         .select(col("query_id"), col("n_exact"),
-          (col("recall") >= 0.999).as("above_floor"))
+          (col("recall") >= 0.75).as("above_floor"))
     }),
 
     // q87 companion: structural contract — every query gets EXACTLY k=5
@@ -3048,7 +3052,7 @@ object SparkEntry {
               CAST(round(ln(CAST(nab AS DOUBLE) / na), 6) AS DECIMAL(18,6)) AS term
             FROM db JOIN bi USING (w1, w2) JOIN ug USING (w1)),
       scores AS (SELECT doc_id,
-              round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+              floor(CAST(SUM(term) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_logprob
             FROM j GROUP BY 1)
       SELECT d.source,
         COUNT(*) AS n_docs,
@@ -3390,7 +3394,7 @@ object SparkEntry {
               CAST(round(ln(CAST(nab AS DOUBLE) / na), 6) AS DECIMAL(18,6)) AS term
             FROM db JOIN bi USING (w1, w2) JOIN ug USING (w1))
       SELECT doc_id, COUNT(*) AS n_bigrams,
-        round(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        floor(CAST(SUM(term) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_logprob
       FROM j GROUP BY 1""",
 
     // windows generated on epoch-aligned 15-min boundaries DERIVED from the

@@ -348,8 +348,14 @@ object TextAnalysis {
         .cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("__lp"))
+      // final 6-dp rounding as floor(x·10⁶ + 0.5)/10⁶, NOT round(x, 6):
+      // the quotient of a decimal-exact sum can land exactly on a 5·10⁻⁷
+      // boundary, where engines' round() disagree on the tie (observed at
+      // sf0.1, doc 3093); floor over identical IEEE doubles is the same
+      // bit pattern everywhere
       .select(col(idCol), col("n_bigrams"),
-        round(col("__lp").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
+        (floor(col("__lp").cast("double") / col("n_bigrams") * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("avg_logprob"))
   }
 
   /** Corpus-curation keep-list — the standard pre-training quality gate:
