@@ -270,4 +270,34 @@ class DedupSpec extends SparkTestBase {
     val r = row.getDouble(1)
     assert(r >= 0.95, s"MinHash pair recall regressed: $r")
   }
+
+  test("minhashSourceOverlap equals the matrix counted from expanded pairs") {
+    // mixed regimes: identical sets in the SAME source (diagonal C(n,2)),
+    // identical sets ACROSS sources, a near-dup cross pair, a singleton
+    val d = Seq(
+      (1L, "the quick brown fox", "sA"),
+      (2L, "the quick brown fox", "sA"),   // same set, same source
+      (3L, "quick brown the fox", "sB"),   // same set, other source
+      (4L, "the quick brown wolf", "sB"),  // near-dup at 0.6: excluded at 0.8? jaccard 3/5
+      (5L, "the quick brown fox jumps", "sC"), // 4/5 = 0.8 vs set{1,2,3}
+      (6L, "unrelated words entirely", "sC")
+    ).toDF("doc_id", "text", "source")
+    val factored = Dedup.minhashSourceOverlap(d, "doc_id", "text", "source", 1, 64, 16, 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val src = d.select(col("doc_id"), col("source"))
+    val expanded = Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8)
+      .join(src.withColumnsRenamed(Map("doc_id" -> "id_a", "source" -> "src_a")), Seq("id_a"))
+      .join(src.withColumnsRenamed(Map("doc_id" -> "id_b", "source" -> "src_b")), Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("sa"),
+        greatest(col("src_a"), col("src_b")).as("sb"))
+      .groupBy("sa", "sb").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(factored == expanded, s"factored=$factored expanded=$expanded")
+    // the known cells: {1,2,3} mutual (sA-sA diag from 1-2, sA-sB cross 1-3
+    // and 2-3) plus 5 at cosine... jaccard 4/5 = 0.8 with each of 1,2,3
+    assert(factored(("sA", "sA")) == 1L)
+    assert(factored(("sA", "sB")) == 2L)
+    assert(factored(("sA", "sC")) == 2L && factored(("sB", "sC")) == 1L)
+    assert(!factored.contains(("sC", "sC")))
+  }
 }
