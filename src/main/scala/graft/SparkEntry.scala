@@ -1378,6 +1378,35 @@ object SparkEntry {
       hist.unionByName(zero).filter(col("n_docs") > 0)
     }),
 
+    // ---- Leakage-free train/val/test split: near-dup clusters (q61's
+    // components at 0.98 — identical word sets on this corpus, so the
+    // expected clusters are SQL-expressible) assigned WHOLE to one split
+    // by the md5 of their representative — a dedup-unaware random split
+    // leaks training near-dups into eval. Fully oracle-checked; q162
+    // witnesses the invariant directly.
+    "q161_leakage_free_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.98)
+      Dedup.leakageFreeSplit(docs, "doc_id", pairs,
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    }),
+
+    // q161 companion, empty by construction: a near-dup pair whose two
+    // docs landed in different splits would be the leak the operator
+    // exists to prevent. WHERE FALSE oracle.
+    "q162_split_leak_check" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.98)
+      val split = Dedup.leakageFreeSplit(docs, "doc_id", pairs,
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(split.withColumnsRenamed(Map("doc_id" -> "id_a", "split" -> "split_a")), Seq("id_a"))
+        .join(split.withColumnsRenamed(Map("doc_id" -> "id_b", "split" -> "split_b")), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+    }),
+
     // ---- Snapshot diff (dataset versioning): added / removed / changed /
     // unchanged between two cuts of the corpus, classified on 16-byte
     // payload hashes computed inside each side's scan — key+hash rows
@@ -3183,6 +3212,26 @@ object SparkEntry {
     "q158_incremental_overlap_check" -> """
       SELECT source AS source_existing, source AS source_incoming,
         CAST(0 AS BIGINT) AS n_pairs FROM documents WHERE FALSE""",
+
+    // q61's identical-set components + the engine's md5-prefix split
+    // decision (same hex thresholds the Scala side derives)
+    "q161_leakage_free_split" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(${sqlTokens("lower(text)")})), ' ')) AS fp
+        FROM documents),
+      c AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM t)
+      SELECT doc_id, rep,
+        CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+               < '${graft.operators.Relational.fractionToHex8(0.8)}' THEN 'train'
+             WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+               < '${graft.operators.Relational.fractionToHex8(0.9)}' THEN 'val'
+             ELSE 'test' END AS split
+      FROM c""",
+
+    "q162_split_leak_check" -> """
+      SELECT doc_id AS id_a, doc_id AS id_b, 'x' AS split_a, 'x' AS split_b
+      FROM documents WHERE FALSE""",
 
     // same per-side payload hashing + full-join classification; each
     // engine compares only its OWN hashes, so md5 equality is internal

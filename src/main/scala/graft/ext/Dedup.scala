@@ -294,6 +294,40 @@ object Dedup {
     labels.select(col("id").as(idCol), col("rep"))
   }
 
+  /** Leakage-free train/val/test split: near-duplicate documents must land
+    * in the SAME split, or evaluation leaks training data (the classic
+    * contamination bug dedup-unaware random splits ship). Documents are
+    * grouped into near-dup clusters ([[connectedComponents]] over the pair
+    * graph), and the WHOLE CLUSTER is assigned one split by the md5 of its
+    * representative id — the engine's deterministic hash-threshold
+    * selection (stable across runs, partitionings, engines), with
+    * cumulative-fraction thresholds over the given (name, fraction) order.
+    * Emits (id, rep, split).
+    *
+    * Scale shape: the pair graph is whatever generator the caller composed
+    * (banded MinHash at corpus scale; exact as the labeled baseline);
+    * components are the bounded-iteration min-label propagation; the
+    * assignment itself is one hash comparison riding the scan of the
+    * (id, rep) frame — no extra shuffle beyond the components' own.
+    */
+  def leakageFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val comps = connectedComponents(df, idCol, pairs)
+    // the engine's standard hash-threshold decision (deterministicSample):
+    // 8-hex-char md5 prefix against cumulative-fraction thresholds
+    val h = substring(md5(col("rep").cast("string").cast("binary")), 1, 8)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // last split takes the remainder — no boundary gap from hex rounding
+    val assign = splits.init.zip(cum.init).reverse.foldLeft(
+      lit(splits.last._1)) { case (els, ((name, _), c)) =>
+      when(h < lit(graft.operators.Relational.fractionToHex8(c)), lit(name))
+        .otherwise(els)
+    }
+    comps.select(col(idCol), col("rep"), assign.as("split"))
+  }
+
   /** Exact-dedup before near-dedup: group documents by IDENTICAL shingle
     * set and run pair discovery on one representative per set. In dup-heavy
     * corpora (the normal case for LLM training data) this collapses the

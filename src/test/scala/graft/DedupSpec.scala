@@ -300,4 +300,33 @@ class DedupSpec extends SparkTestBase {
     assert(factored(("sA", "sC")) == 2L && factored(("sB", "sC")) == 1L)
     assert(!factored.contains(("sC", "sC")))
   }
+
+  test("leakageFreeSplit keeps every near-dup cluster whole and is deterministic") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.8)
+    val split = Dedup.leakageFreeSplit(docs, "doc_id", pairs,
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val got = split.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.size == 5)
+    // docs 1-4 form one cluster at 0.8 (1-2-3 identical sets, 4 at 0.75?
+    // naive jaccard(1,4) = 3/5 = 0.6 -> 4 is its own cluster); same rep
+    // => same split, every id present exactly once
+    assert(got(1L)._1 == got(2L)._1 && got(2L)._1 == got(3L)._1)
+    assert(got(1L)._2 == got(2L)._2 && got(2L)._2 == got(3L)._2)
+    // no pair crosses splits (the invariant, checked directly)
+    val bySplit = split.select(col("doc_id"), col("split"))
+    val leaks = pairs
+      .join(bySplit.withColumnsRenamed(Map("doc_id" -> "id_a", "split" -> "sa")), Seq("id_a"))
+      .join(bySplit.withColumnsRenamed(Map("doc_id" -> "id_b", "split" -> "sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaks == 0)
+    // deterministic across runs
+    val again = Dedup.leakageFreeSplit(docs, "doc_id", pairs,
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == again)
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Dedup.leakageFreeSplit(docs, "doc_id", pairs, Seq(("a", 0.5), ("b", 0.3)))
+    }
+  }
 }
