@@ -1378,6 +1378,14 @@ object SparkEntry {
       hist.unionByName(zero).filter(col("n_docs") > 0)
     }),
 
+    // ---- Temperature-weighted domain sampling (α = 0.5, the multilingual
+    // rebalancing standard): big sources flatten toward sqrt-share, small
+    // sources keep proportionally more — budgets derived in exact integer
+    // arithmetic from IEEE sqrt micro-units, selection by the exact
+    // bucketed rank-threshold.
+    "q163_temperature_sample" -> ((s, dir) =>
+      Mixing.temperatureSample(t(s, dir, "documents"), "doc_id", "source", 300L)),
+
     // ---- Leakage-free train/val/test split: near-dup clusters (q61's
     // components at 0.98 — identical word sets on this corpus, so the
     // expected clusters are SQL-expressible) assigned WHOLE to one split
@@ -3212,6 +3220,23 @@ object SparkEntry {
     "q158_incremental_overlap_check" -> """
       SELECT source AS source_existing, source AS source_incoming,
         CAST(0 AS BIGINT) AS n_pairs FROM documents WHERE FALSE""",
+
+    // same integer budget form: wμ = floor(sqrt(n)·1e6 + 0.5),
+    // budget = min(n, (2·T·wμ + Wμ) // (2·Wμ)); selection by md5 rank
+    "q163_temperature_sample" -> """
+      WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      w AS (SELECT source, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS wu
+            FROM c),
+      tot AS (SELECT CAST(SUM(wu) AS BIGINT) AS wt FROM w),
+      b AS (SELECT source, least(n, (2 * 300 * wu + wt) // (2 * wt)) AS q
+            FROM w, tot),
+      h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents),
+      r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+            FROM h)
+      SELECT r.doc_id, r.source FROM r JOIN b USING (source) WHERE rk <= q""",
 
     // q61's identical-set components + the engine's md5-prefix split
     // decision (same hex thresholds the Scala side derives)

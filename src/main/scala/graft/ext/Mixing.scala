@@ -117,6 +117,42 @@ object Mixing {
       .select(col(idCol), col(domainCol))
   }
 
+  /** Temperature-weighted domain sampling at α = 0.5 — the multilingual
+    * rebalancing standard: domain d's share of a `totalBudget`-doc sample
+    * is ∝ count_d^α, flattening the head without capping it to uniform
+    * (α=1 is the natural distribution, α=0 uniform). α is FIXED at 0.5
+    * because sqrt is an exactly-rounded IEEE primitive (bit-identical in
+    * every engine) where a general pow is libm-dependent; with the weight
+    * micro-units wμ_d = floor(sqrt(n_d)·10⁶ + 0.5) the whole budget
+    * derivation is engine-exact INTEGER arithmetic:
+    *
+    *   budget_d = min(n_d, (2·T·wμ_d + Wμ) div (2·Wμ)),  Wμ = Σ wμ_d
+    *
+    * (the integer form of floor(T·w/W + 0.5) — no doubles past the sqrt,
+    * no rounding ties). Domain weights are |domains| driver scalars (the
+    * recipe-frame contract shared by the other mixtures); selection is
+    * the exact bucketed rank-threshold, so no domain ever sorts whole in
+    * one window partition. Emits the kept (id, domain) rows.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+      totalBudget: Long): DataFrame = {
+    require(totalBudget > 0 && totalBudget < (1L << 40),
+      "totalBudget must be positive (and fit the exact integer budget math)")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureSample: empty corpus")
+    val wu = counts.map { case (d, n) =>
+      d -> math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong }
+    val wt = wu.values.sum
+    val quotas = counts.map { case (d, n) =>
+      d -> math.min(n, (2 * totalBudget * wu(d) + wt) / (2 * wt)) }
+    val s = df.sparkSession
+    import s.implicits._
+    val qdf = quotas.toSeq.toDF(domainCol, "__q")
+    keepSmallestByHash(hashed(df, idCol, domainCol, counts.keys), idCol, domainCol, qdf)
+      .select(col(idCol), col(domainCol))
+  }
+
   /** Token-budget mixture: real recipes weight domains by TOKENS, not
     * docs. Each domain gets budget `floor(w_d · targetTokens)` and takes
     * its hash-ranked docs while tokens remain (the doc crossing the

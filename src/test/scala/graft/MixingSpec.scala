@@ -73,4 +73,26 @@ class MixingSpec extends SparkTestBase {
       Mixing.mixtureSample(corpus, "id", "dom", Map("a" -> 0.5, "zz" -> 0.5))
     }
   }
+
+  test("temperatureSample flattens toward sqrt shares, exact budgets, deterministic") {
+    // head domain 400 docs, tail domain 100: natural shares 0.8/0.2,
+    // sqrt shares 2:1 -> 2/3 vs 1/3 of the budget
+    val df = ((1 to 400).map(i => (i.toLong, "head")) ++
+      (401 to 500).map(i => (i.toLong, "tail"))).toDF("id", "dom")
+    val got = Mixing.temperatureSample(df, "id", "dom", 90L)
+    val byDom = got.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact integer budgets: wu = (20e6, 10e6), W = 30e6;
+    // head = floor(90*2/3 + .5) = 60, tail = floor(90/3 + .5) = 30
+    assert(byDom == Map("head" -> 60L, "tail" -> 30L))
+    // budget capped at the pool: tiny domain consumed whole, never inflated
+    val tiny = df.filter(col("dom") === "tail").limit(5)
+      .unionByName(df.filter(col("dom") === "head"))
+    val g2 = Mixing.temperatureSample(tiny, "id", "dom", 400L)
+      .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2("tail") <= 5L)
+    // deterministic id set across runs
+    val again = Mixing.temperatureSample(df, "id", "dom", 90L)
+    assert(got.collect().toSet == again.collect().toSet)
+  }
 }
