@@ -35,7 +35,8 @@ object Bench {
         "q113_approx_quantile_check", "q119_incremental_dedup_check",
         "q124_editdist_auto", "q132_semantic_ingest_check",
         "q145_source_overlap_check", "q156_cluster_sample_check",
-        "q158_incremental_overlap_check", "q162_split_leak_check")
+        "q158_incremental_overlap_check", "q162_split_leak_check",
+        "q165_degree_check")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

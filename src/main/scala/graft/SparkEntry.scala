@@ -899,19 +899,26 @@ object SparkEntry {
     }),
 
     // q87/q88 companion: 1 B/dim quantization keeps every query's top-5
-    // recall >= 0.75 on these corpora — exactly 1.0 at sf0.001/sf0.01,
-    // and 0.8 worst-case at sf0.1, where 5000 candidates put near-ties at
-    // the k-boundary and the quantization grid flips one borderline
-    // neighbor for 2 of 10 queries (a "recall is exactly 1.0" floor was a
-    // small-corpus artifact, caught by the multi-sf differential sweep).
+    // recall above a SCALE-AWARE floor — exactly 1.0 at sf0.001/sf0.01
+    // (small corpora leave no near-ties at the k-boundary, so anything
+    // under 1.0 there is a quantizer regression and must fail), 0.75 at
+    // sf0.1 and beyond, where 5000+ candidates put near-ties at the
+    // k-boundary and the quantization grid flips one borderline neighbor
+    // for 2 of 10 queries. Keyed off the sf-dir basename like
+    // partialExpectations — a single loosened-for-the-largest-SF floor
+    // would let small-sf regressions down to 0.75 pass silently.
     "q96_sq8_recall_check" -> ((s, dir) => {
+      val floor = new java.io.File(dir).getName match {
+        case "sf0.001" | "sf0.01" => 0.999 // i.e. exact 1.0 for 5-neighbor recall
+        case _ => 0.75
+      }
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
       Recall.topKRecall(
           Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5),
           Similarity.sq8TopK(e, q, "vec_id", "embedding", 5))
         .select(col("query_id"), col("n_exact"),
-          (col("recall") >= 0.75).as("above_floor"))
+          (col("recall") >= floor).as("above_floor"))
     }),
 
     // q87 companion: structural contract — every query gets EXACTLY k=5
@@ -1363,10 +1370,15 @@ object SparkEntry {
     // corpus total.
     "q159_degree_distribution" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 1, 0.8)
+      // BANDED pair generation (the q144/q145 pattern): a degree histogram
+      // is approximation-tolerant, so it rides minhashLshPairs (~5× at 10×)
+      // rather than the exact generator (n^1.26, 18× at 10× — the q136
+      // composition mistake). q165 witnesses banded ⊆ exact per doc with
+      // the exact form as the timing-excluded companion.
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8)
       // localCheckpoint: deg (one row per PAIRED doc — small) feeds both
       // the histogram and the zero-degree anti-count; without it the
-      // exact pair job would run twice
+      // pair job would run twice
       val deg = pairs.select(col("id_a").as("doc_id"))
         .unionAll(pairs.select(col("id_b").as("doc_id")))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
@@ -1378,6 +1390,28 @@ object SparkEntry {
       hist.unionByName(zero).filter(col("n_docs") > 0)
     }),
 
+    // q159 companion, empty by construction: every banded pair is exact-
+    // verified at the same threshold over the same shingles, so the banded
+    // pair set is a SUBSET of the exact generator's — a doc whose banded
+    // degree exceeds its exact degree (or pairs with no exact row at all)
+    // would prove the banding wrong. Re-executes both pipelines, so it is
+    // timing-excluded (measurementOnly). WHERE FALSE oracle.
+    "q165_degree_check" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def degrees(pairs: DataFrame, name: String) = pairs
+        .select(col("id_a").as("doc_id"))
+        .unionAll(pairs.select(col("id_b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as(name))
+      val banded = degrees(
+        Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8), "banded_degree")
+      val exact = degrees(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", 1, 0.8), "exact_degree")
+      banded.join(exact, Seq("doc_id"), "left")
+        .filter(col("exact_degree").isNull ||
+          col("banded_degree") > col("exact_degree"))
+        .select(col("doc_id"), col("banded_degree"), col("exact_degree"))
+    }),
+
     // ---- Temperature-weighted domain sampling (α = 0.5, the multilingual
     // rebalancing standard): big sources flatten toward sqrt-share, small
     // sources keep proportionally more — budgets derived in exact integer
@@ -1385,6 +1419,15 @@ object SparkEntry {
     // bucketed rank-threshold.
     "q163_temperature_sample" -> ((s, dir) =>
       Mixing.temperatureSample(t(s, dir, "documents"), "doc_id", "source", 300L)),
+
+    // Same operator at α = 0.75 (closer to the natural distribution —
+    // the "mild rebalance" end of the recipe sweep): n^0.75 factors as
+    // sqrt(n)·sqrt(sqrt(n)), so the micro-unit weights stay engine-exact
+    // (every sqrt correctly rounded, one once-rounded product) and the
+    // oracle reproduces them bit-for-bit.
+    "q164_temperature_sample_a75" -> ((s, dir) =>
+      Mixing.temperatureSample(t(s, dir, "documents"), "doc_id", "source", 300L,
+        alpha = 0.75)),
 
     // ---- Leakage-free train/val/test split: near-dup clusters (q61's
     // components at 0.98 — identical word sets on this corpus, so the
@@ -3238,6 +3281,25 @@ object SparkEntry {
             FROM h)
       SELECT r.doc_id, r.source FROM r JOIN b USING (source) WHERE rk <= q""",
 
+    // α = 0.75: wμ = floor(sqrt(n)·sqrt(sqrt(n))·1e6 + 0.5) — every sqrt
+    // exactly rounded, one once-rounded IEEE product, so both engines
+    // derive identical micro-units; budget math is pure integers after.
+    "q164_temperature_sample_a75" -> """
+      WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      w AS (SELECT source, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE)) * sqrt(sqrt(CAST(n AS DOUBLE)))
+                * 1e6 + 0.5) AS BIGINT) AS wu
+            FROM c),
+      tot AS (SELECT CAST(SUM(wu) AS BIGINT) AS wt FROM w),
+      b AS (SELECT source, least(n, (2 * 300 * wu + wt) // (2 * wt)) AS q
+            FROM w, tot),
+      h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents),
+      r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+            FROM h)
+      SELECT r.doc_id, r.source FROM r JOIN b USING (source) WHERE rk <= q""",
+
     // q61's identical-set components + the engine's md5-prefix split
     // decision (same hex thresholds the Scala side derives)
     "q161_leakage_free_split" -> s"""
@@ -3260,15 +3322,18 @@ object SparkEntry {
 
     // same per-side payload hashing + full-join classification; each
     // engine compares only its OWN hashes, so md5 equality is internal
+    // (the JSON struct form mirrors snapshotDiff's null-distinguishing
+    // payload hash — engines differ in JSON spelling, never in equality)
     "q160_snapshot_diff" -> """
       WITH v1 AS (
-        SELECT doc_id, md5(concat_ws(' ', CAST(text AS VARCHAR),
-          CAST(source AS VARCHAR))) AS h
+        SELECT doc_id, md5(CAST(to_json(struct_pack(
+          text := CAST(text AS VARCHAR),
+          source := CAST(source AS VARCHAR))) AS VARCHAR)) AS h
         FROM documents WHERE doc_id < 450),
       v2 AS (
-        SELECT doc_id, md5(concat_ws(' ',
-          CAST(CASE WHEN doc_id % 13 = 0 THEN text || ' rev' ELSE text END AS VARCHAR),
-          CAST(source AS VARCHAR))) AS h
+        SELECT doc_id, md5(CAST(to_json(struct_pack(
+          text := CAST(CASE WHEN doc_id % 13 = 0 THEN text || ' rev' ELSE text END AS VARCHAR),
+          source := CAST(source AS VARCHAR))) AS VARCHAR)) AS h
         FROM documents WHERE doc_id >= 50),
       d AS (
         SELECT CASE WHEN v1.h IS NULL THEN 'added'
@@ -3279,28 +3344,13 @@ object SparkEntry {
       SELECT status, COUNT(*) AS n FROM d GROUP BY 1""",
 
     // q25's exact pairs + degree fold; degree 0 = docs in no pair
-    "q159_degree_distribution" -> s"""
-      WITH t AS (
-        SELECT doc_id AS id, list_distinct(${sqlTokens("lower(text)")}) AS sh FROM documents
-      ), inv AS (
-        SELECT id, len(sh) AS sz, unnest(sh) AS s FROM t WHERE len(sh) > 0
-      ), pairs AS (
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
-        GROUP BY a.id, b.id, a.sz, b.sz
-        HAVING CAST(COUNT(*) AS DOUBLE) / (a.sz + b.sz - COUNT(*)) >= 0.8
-      ), deg AS (
-        SELECT id, COUNT(*) AS degree FROM (
-          SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
-        GROUP BY 1
-      ), hist AS (
-        SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1
-        UNION ALL
-        SELECT CAST(0 AS BIGINT),
-          (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg)
-      )
-      SELECT degree, CAST(n_docs AS BIGINT) AS n_docs FROM hist
-      WHERE n_docs > 0""",
+    // q159 rides the banded generator (band recall is corpus-dependent —
+    // not SQL-expressible), so its gate is the 3-SF row/schema pin plus
+    // the q165 subset witness, which IS oracle-checked (empty).
+    "q165_degree_check" -> """
+      SELECT doc_id, CAST(0 AS BIGINT) AS banded_degree,
+        CAST(0 AS BIGINT) AS exact_degree
+      FROM documents WHERE FALSE""",
 
     // same bins, same (p−q)·ln(p/q) tree, 6-dp decimal terms
     "q153_psi_drift" -> """
@@ -3587,7 +3637,8 @@ object SparkEntry {
       "q144_source_overlap_lsh" -> "source_a:string,source_b:string,n_pairs:bigint",
       "q155_cluster_sample" -> "vec_id:bigint,cell:bigint",
       "q157_incremental_overlap" ->
-        "source_existing:string,source_incoming:string,n_pairs:bigint")
+        "source_existing:string,source_incoming:string,n_pairs:bigint",
+      "q159_degree_distribution" -> "degree:bigint,n_docs:bigint")
     val rows = Map(
       "sf0.001" -> Map(
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
@@ -3597,7 +3648,8 @@ object SparkEntry {
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10118L,
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
-        "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L),
+        "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
+        "q159_degree_distribution" -> 104L),
       "sf0.01" -> Map(
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -3606,7 +3658,8 @@ object SparkEntry {
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10262L,
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
-        "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L),
+        "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
+        "q159_degree_distribution" -> 101L),
       "sf0.1" -> Map(
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -3615,7 +3668,8 @@ object SparkEntry {
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q111_semantic_dedup" -> 2000L, "q118_incremental_dedup" -> 452469L,
         "q131_semantic_ingest" -> 1600L, "q144_source_overlap_lsh" -> 210L,
-        "q155_cluster_sample" -> 400L, "q157_incremental_overlap" -> 400L))
+        "q155_cluster_sample" -> 400L, "q157_incremental_overlap" -> 400L,
+        "q159_degree_distribution" -> 487L))
     rows.map { case (sf, m) => sf -> m.map { case (q, r) => q -> (r, schemas(q)) } }
   }
 }

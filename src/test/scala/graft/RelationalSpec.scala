@@ -185,4 +185,24 @@ class RelationalSpec extends SparkTestBase {
       "id", Seq("t", "s")).filter(col("status") === "changed").count()
     assert(swapped == 3L)
   }
+
+  test("snapshotDiff distinguishes null payloads from values and from each other") {
+    // (t=null, s="v") vs (t="v", s=null): a separator concat that skips
+    // nulls would hash both sides to md5("v") and call a real change
+    // 'unchanged'; the JSON-struct hash must classify it 'changed'
+    val v1 = Seq((1L, Option.empty[String], Option("v")),
+                 (2L, Option("x"), Option.empty[String]),
+                 (3L, Option.empty[String], Option.empty[String])).toDF("id", "t", "s")
+    val v2 = Seq((1L, Option("v"), Option.empty[String]),
+                 (2L, Option("x"), Option.empty[String]),
+                 (3L, Option.empty[String], Option.empty[String])).toDF("id", "t", "s")
+    val got = Relational.snapshotDiff(v1, v2, "id", Seq("t", "s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "unchanged", 3L -> "unchanged"))
+    // null is also distinct from the string "null"
+    val v3 = Seq((1L, Option("null"), Option("v"))).toDF("id", "t", "s")
+    val lit1 = Relational.snapshotDiff(v1.filter(col("id") === 1L), v3, "id", Seq("t", "s"))
+      .collect().head.getString(1)
+    assert(lit1 == "changed")
+  }
 }
