@@ -398,10 +398,14 @@ object SparkEntry {
       Multimodal.byteStats(media)
     }),
 
-    // ---- Multimodal: stub decode + frame sampling (mapPartitions boundary) ------
+    // ---- Multimodal: frame sampling over typed metadata (the frame count
+    // arrives as store-side metadata here; the REAL decode boundary is
+    // exercised by q166's javax.imageio round-trip) --------------------------
     "q35_frame_sample" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text", "txt")
-      Multimodal.sampleFrames(Multimodal.decode(s, media), stride = 4)
+      val decoded = media.withColumn("decoded", struct(
+        (lit(1) + pmod(length(col("media")), lit(16))).cast("int").as("n_frames")))
+      Multimodal.sampleFrames(decoded, stride = 4)
     }),
 
     // ---- Imputation: mean over non-missing ("negative = missing") ---------------
@@ -1428,6 +1432,98 @@ object SparkEntry {
     "q164_temperature_sample_a75" -> ((s, dir) =>
       Mixing.temperatureSample(t(s, dir, "documents"), "doc_id", "source", 300L,
         alpha = 0.75)),
+
+    // ---- REAL image decode through the batched mapPartitions seam: every
+    // row synthesizes an actual PNG (dimensions and RGBA-vs-RGB chosen by
+    // a doc_id formula), javax.imageio parses the bytes back, and the
+    // row-level decoded properties are the output. The oracle computes the
+    // same properties straight from the formula — Spark only matches it by
+    // round-tripping a real encoder and a real decoder, so a broken codec
+    // (or a stub) cannot pass. Encode and decode both ride mapPartitions:
+    // payload bytes are born and die inside the partition, nothing
+    // pair-sized or byte-sized ever shuffles.
+    "q166_image_decode" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(16) + pmod(col("doc_id"), lit(32))).cast("int").as("width"),
+        (lit(16) + pmod(col("doc_id") * 7, lit(24))).cast("int").as("height"),
+        (pmod(col("doc_id"), lit(5)) === 0).as("alpha"))
+      Multimodal.decodeImages(Multimodal.synthesizePngs(spec))
+        .select(col("media_id").as("doc_id"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("decoded.n_channels").as("n_channels"),
+          col("decoded.ok").as("decode_ok"))
+    }),
+
+    // ---- The END-TO-END corpus-prep recipe — the one artifact an LLM data
+    // team ships, chaining every pipeline stage the catalog provides
+    // piecemeal: curation gate (q105) → exact dedup (q23) → near dedup at
+    // 0.98 (q102) → benchmark decontamination (q81) → leakage-free train
+    // split (q161) → temperature mixing at α=0.5 (q163) → sequence packing
+    // (q90). Emits the per-stage funnel; every stage count is
+    // SQL-expressible, so the WHOLE chain is oracle-checked — any
+    // cross-stage contract drift (id/schema mismatch between operators)
+    // breaks the hash. Scale shape: each stage materializes only its
+    // surviving ID SET (localCheckpoint'd so later stages don't recompute
+    // the whole prefix chain — at cluster scale these are the tiny frames
+    // you'd persist); the text payload stays in the documents scan and is
+    // re-joined per stage, never checkpointed or shuffled whole. The split
+    // stage runs the real leakageFreeSplit operator; after near-dedup its
+    // 0.98-clusters are singletons BY CONSTRUCTION — that is the invariant
+    // the dedup stage guarantees, and exactly why the split's hash decision
+    // is leakage-free here (q161 demonstrates the non-degenerate case).
+    "q167_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def ids(df: DataFrame): DataFrame = df.select(col("doc_id")).localCheckpoint()
+      def restrict(idFrame: DataFrame): DataFrame =
+        docs.join(idFrame, Seq("doc_id"), "left_semi")
+      // 1. curation: language/quality/length gate
+      val curatedIds = ids(TextAnalysis.curationGate(docs, "doc_id", "text",
+        langs = Seq("en"), minQuality = 0.5, minTokens = 5, maxTokens = 1000)
+        .filter(col("keep")))
+      val curated = restrict(curatedIds)
+      // 2. exact dedup: one survivor per identical text
+      val exactIds = ids(Dedup.exactDedupe(curated, "doc_id", "text"))
+      val exact = restrict(exactIds)
+      // 3. near dedup: one representative per 0.98-Jaccard component
+      val nearIds = ids(Dedup.connectedComponents(exact, "doc_id",
+          Dedup.ngramJaccardPairs(exact, "doc_id", "text", 1, 0.98))
+        .filter(col("doc_id") === col("rep")))
+      val near = restrict(nearIds)
+      // 4. decontamination: drop docs sharing >= 20% of 3-gram shingles
+      // with the benchmark slice (docs with no shingles carry no evidence
+      // of contamination and are kept — the anti-join's null semantics)
+      val contaminated = TextAnalysis.contaminationScores(near, "doc_id", "text",
+          docs.filter(col("doc_id") < 50), "text", 3)
+        .filter(col("contamination") >= 0.2).select(col("doc_id"))
+      val cleanIds = near.select(col("doc_id"))
+        .join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint()
+      val clean = restrict(cleanIds)
+      // 5. leakage-free split: whole near-dup clusters to one side
+      val trainIds = ids(Dedup.leakageFreeSplit(clean, "doc_id",
+          Dedup.ngramJaccardPairs(clean, "doc_id", "text", 1, 0.98),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .filter(col("split") === "train"))
+      val train = restrict(trainIds)
+      // 6. temperature mixing: flatten source skew at α = 0.5, 200-doc budget
+      val mixedIds = ids(Mixing.temperatureSample(train, "doc_id", "source", 200L))
+      val mixed = restrict(mixedIds)
+      // 7. pack into 200-token training sequences per source
+      val packed = TextAnalysis.sequencePack(mixed, "doc_id", "text", "source", 200)
+      def stage(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+      stage("0_input", docs)
+        .unionByName(stage("1_curated", curatedIds))
+        .unionByName(stage("2_exact_dedup", exactIds))
+        .unionByName(stage("3_near_dedup", nearIds))
+        .unionByName(stage("4_decontaminated", cleanIds))
+        .unionByName(stage("5_train", trainIds))
+        .unionByName(stage("6_mixed", mixedIds))
+        .unionByName(packed
+          .agg(countDistinct(concat_ws("#", col("source"), col("bin"))).as("n_docs"))
+          .select(lit("7_packed_bins").as("stage"), col("n_docs")))
+    }),
 
     // ---- Leakage-free train/val/test split: near-dup clusters (q61's
     // components at 0.98 — identical word sets on this corpus, so the
@@ -3280,6 +3376,90 @@ object SparkEntry {
               row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
             FROM h)
       SELECT r.doc_id, r.source FROM r JOIN b USING (source) WHERE rk <= q""",
+
+    // the whole 7-stage recipe re-derived in SQL from the stage oracles it
+    // composes (q105 gate CTEs, q23 md5 dedup, q161 fingerprint clusters +
+    // hex split thresholds, q81 3-gram contamination, q163 integer budget
+    // math, q90 packing window) — a count drift at ANY stage breaks the hash
+    "q167_corpus_pipeline" -> s"""
+      $curationSqlCtes,
+      cur AS (
+        SELECT d.doc_id, d.text, d.source FROM documents d
+        JOIN g USING (doc_id) WHERE g.reject_reason IS NULL),
+      ex AS (
+        SELECT * FROM cur WHERE doc_id IN (
+          SELECT MIN(doc_id) FROM cur GROUP BY md5(text))),
+      fp AS (
+        SELECT doc_id,
+          md5(array_to_string(list_sort(list_distinct(${sqlTokens("lower(text)")})), ' ')) AS f
+        FROM ex),
+      nr AS (
+        SELECT e.* FROM ex e WHERE e.doc_id IN (
+          SELECT MIN(doc_id) FROM fp GROUP BY f)),
+      tk3 AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS t FROM nr),
+      gr3 AS (SELECT doc_id,
+                CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                     ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                            i -> array_to_string(t[i:i+2], ' '))) END AS grams
+              FROM tk3),
+      bt3 AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS t
+              FROM documents WHERE doc_id < 50),
+      bn3 AS (SELECT DISTINCT unnest(
+                CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                     ELSE list_distinct(list_transform(generate_series(1, len(t) - 2),
+                            i -> array_to_string(t[i:i+2], ' '))) END) AS s
+              FROM bt3),
+      ct AS (
+        SELECT d.doc_id,
+          CAST(count(b.s) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+        FROM (SELECT doc_id, unnest(grams) AS s FROM gr3) d
+        LEFT JOIN bn3 b ON d.s = b.s GROUP BY d.doc_id),
+      cl AS (
+        SELECT * FROM nr WHERE doc_id NOT IN (
+          SELECT doc_id FROM ct WHERE contamination >= 0.2)),
+      tr AS (
+        SELECT * FROM cl
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < '${graft.operators.Relational.fractionToHex8(0.8)}'),
+      mc AS (SELECT source, COUNT(*) AS n FROM tr GROUP BY 1),
+      mw AS (SELECT source, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS wu
+             FROM mc),
+      mt AS (SELECT CAST(SUM(wu) AS BIGINT) AS wt FROM mw),
+      mb AS (SELECT source, least(n, (2 * 200 * wu + wt) // (2 * wt)) AS q
+             FROM mw, mt),
+      mr AS (SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             FROM tr),
+      mxd AS (
+        SELECT t.* FROM tr t JOIN mr USING (doc_id) JOIN mb ON mr.source = mb.source
+        WHERE mr.rk <= mb.q),
+      pk AS (SELECT doc_id, source, CAST(len(${sqlTokens("text")}) AS INT) AS n_tok
+             FROM mxd),
+      pb AS (SELECT source,
+               CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_tok) // 200 AS BIGINT) AS bin
+             FROM pk)
+      SELECT '0_input' AS stage, COUNT(*) AS n_docs FROM documents
+      UNION ALL SELECT '1_curated', COUNT(*) FROM cur
+      UNION ALL SELECT '2_exact_dedup', COUNT(*) FROM ex
+      UNION ALL SELECT '3_near_dedup', COUNT(*) FROM nr
+      UNION ALL SELECT '4_decontaminated', COUNT(*) FROM cl
+      UNION ALL SELECT '5_train', COUNT(*) FROM tr
+      UNION ALL SELECT '6_mixed', COUNT(*) FROM mxd
+      UNION ALL SELECT '7_packed_bins',
+        COUNT(DISTINCT source || '#' || CAST(bin AS VARCHAR)) FROM pb""",
+
+    // the decoded properties ARE the spec formula — DuckDB computes them
+    // directly; Spark must round-trip real PNG bytes to agree
+    "q166_image_decode" -> """
+      SELECT doc_id,
+        CAST(16 + doc_id % 32 AS INT) AS width,
+        CAST(16 + (doc_id * 7) % 24 AS INT) AS height,
+        CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END AS INT) AS n_channels,
+        TRUE AS decode_ok
+      FROM documents""",
 
     // α = 0.75: wμ = floor(sqrt(n)·sqrt(sqrt(n))·1e6 + 0.5) — every sqrt
     // exactly rounded, one once-rounded IEEE product, so both engines

@@ -38,30 +38,16 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         lit(null).cast("int").as("n_frames")).as("meta"))
 
-  /** ===== STUB ===== Deterministic fake decode: derives "dimensions" from
-    * the byte payload (length + first bytes). Replace with a real codec
-    * (e.g. via an image library in mapPartitions, batched) in production.
-    * Kept deterministic so tests and oracles are stable.
-    */
-  def stubDecode(bytes: Array[Byte]): (Int, Int, Int) = {
-    val n = if (bytes == null) 0 else bytes.length
-    val w = 64 + (n % 577)            // fake width
-    val h = 64 + ((n * 31) % 433)     // fake height
-    val f = 1 + (n % 16)              // fake frame count
-    (w, h, f)
-  }
-
   /** The vectorized codec contract: one call per BATCH of payloads (never
     * per row), returning one (width, height, n_frames) per input in order.
-    * This is the columnar seam a real decoder plugs into — a JNI image
+    * This is the columnar seam a decoder plugs into — a JNI video
     * library, a GPU decode kernel, or an inference session all want a
-    * batch of buffers per call, one session init per partition. The stub
-    * implementation applies [[stubDecode]] element-wise; swapping it is
-    * the ONLY production change, the Spark-side plumbing is final.
+    * batch of buffers per call, one session init per partition. The REAL
+    * still-image instance is [[decodeImages]] (javax.imageio, richer
+    * schema with channel count); tests exercise the generic seam with a
+    * deterministic fake codec.
     */
   type BatchCodec = Seq[Array[Byte]] => Seq[(Int, Int, Int)]
-
-  val stubBatchCodec: BatchCodec = batch => batch.map(stubDecode)
 
   /** Decode boundary: per-partition BATCHED decode via mapPartitions — the
     * one deliberate row boundary in main, kept because a heavyweight codec
@@ -95,9 +81,93 @@ object Multimodal {
     }(enc)
   }
 
-  /** [[decodeBatched]] with the deterministic stub codec. */
-  def decode(spark: SparkSession, media: DataFrame): DataFrame =
-    decodeBatched(media, stubBatchCodec)
+  /** Deterministic REAL PNG bytes: a `width`×`height` image whose pixels
+    * derive from `seed` (so payloads differ per row), encoded through the
+    * JDK's ImageIO PNG writer. `alpha` selects RGBA vs RGB — the decoded
+    * channel count round-trips it. Exact PNG bytes may differ across
+    * encoder versions; everything downstream depends only on the DECODED
+    * properties, which are pinned by the format.
+    */
+  def encodePng(width: Int, height: Int, alpha: Boolean, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, "image dimensions must be positive")
+    val t = if (alpha) java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
+            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(width, height, t)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (seed * 1099511628211L + y.toLong * width + x).toInt
+        img.setRGB(x, y, v | 0xff000000) // opaque; alpha is a FORMAT choice
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a media table of REAL PNG payloads from a spec frame with
+    * columns `(media_id long, width int, height int, alpha boolean)` —
+    * the fixture path for exercising the real decoder at any scale: the
+    * encode runs batched in mapPartitions (payload bytes are BORN in the
+    * executor partition — nothing shuffles, nothing hops the driver),
+    * mirroring an object-store fetch that materializes bytes next to the
+    * rows that reference them.
+    */
+  def synthesizePngs(spec: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val (idI, wI, hI, aI) = (spec.schema.fieldIndex("media_id"),
+      spec.schema.fieldIndex("width"), spec.schema.fieldIndex("height"),
+      spec.schema.fieldIndex("alpha"))
+    spec.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = encodePng(r.getInt(wI), r.getInt(hI), r.getBoolean(aI), r.getLong(idI))
+        Row(r.getLong(idI), bytes, Row("png", null, null, null))
+      }
+    }(enc)
+  }
+
+  /** REAL image decode through the batched mapPartitions boundary:
+    * javax.imageio parses each payload (PNG/JPEG/GIF/BMP — whatever the
+    * JDK's registered readers handle) and emits
+    * `decoded: (width, height, n_channels, ok)`. Undecodable or null
+    * payloads survive as `ok = false` rows (a corpus-scale decode job
+    * must quarantine bad bytes, not die on them). Same seam discipline as
+    * [[decodeBatched]]: batched iterator, partitioning preserved, payload
+    * never shuffles; the codec work happens exactly once per row at the
+    * one deliberate non-codegen boundary.
+    */
+  def decodeImages(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val outSchema = StructType(media.schema.fields :+
+      StructField("decoded", StructType(Seq(
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("n_channels", IntegerType, nullable = false),
+        StructField("ok", BooleanType, nullable = false))), nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      // ImageIO scans its reader registry per call; disabling the on-disk
+      // cache once per partition keeps decode in-memory
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          val dec =
+            if (bytes == null) Row(0, 0, 0, false)
+            else try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) Row(0, 0, 0, false)
+              else Row(img.getWidth, img.getHeight, img.getRaster.getNumBands, true)
+            } catch { case _: java.io.IOException => Row(0, 0, 0, false) }
+          Row.fromSeq(r.toSeq :+ dec)
+        }
+      }
+    }(enc)
+  }
 
   /** Frame sampling: explode a media row into every `stride`-th frame index
     * up to the decoded frame count — pure relational explode, no codec.

@@ -30,11 +30,14 @@ class RelationalSpec extends SparkTestBase {
     assert(got == Seq((1, 10.0), (2, 10.0)))
   }
 
-  test("multimodal: decode stub is deterministic and sampleFrames strides") {
+  import RelationalSpec.fakeDecode
+
+  test("multimodal: decodeBatched seam is deterministic and sampleFrames strides") {
     val media = Multimodal.asMediaTable(Seq((1L, "abcdef")).toDF("id", "payload"), "id", "payload", "txt")
-    val decoded = Multimodal.decode(spark, media)
+    val codec: Multimodal.BatchCodec = _.map(fakeDecode)
+    val decoded = Multimodal.decodeBatched(media, codec)
     val d1 = decoded.select("decoded.n_frames").as[Int].head()
-    val d2 = Multimodal.decode(spark, media).select("decoded.n_frames").as[Int].head()
+    val d2 = Multimodal.decodeBatched(media, codec).select("decoded.n_frames").as[Int].head()
     assert(d1 == d2 && d1 == 1 + (6 % 16))
     val frames = Multimodal.sampleFrames(decoded, stride = 4)
       .select("frame_idx").as[Int].collect().toSeq
@@ -51,16 +54,45 @@ class RelationalSpec extends SparkTestBase {
     val codec: Multimodal.BatchCodec = { batch =>
       require(batch.nonEmpty && batch.size <= 4, s"bad batch size ${batch.size}")
       calls.add(1)
-      batch.map(Multimodal.stubDecode)
+      batch.map(fakeDecode)
     }
     val got = Multimodal.decodeBatched(media, codec, batchSize = 4)
       .select("media_id", "decoded.width", "decoded.n_frames")
       .as[(Long, Int, Int)].collect().toSet
-    val rowWise = Multimodal.decode(spark, media)
+    val rowWise = Multimodal.decodeBatched(media, _.map(fakeDecode), batchSize = 1)
       .select("media_id", "decoded.width", "decoded.n_frames")
       .as[(Long, Int, Int)].collect().toSet
     assert(got == rowWise)
     assert(calls.value >= 6 && calls.value < 20, s"codec called ${calls.value} times")
+  }
+
+  test("multimodal: real PNG encode/decode round-trips dimensions and channels") {
+    // RGB and RGBA payloads with known dimensions, plus garbage bytes and a
+    // null payload — the decoder must report real properties for the real
+    // images and quarantine (ok=false) the rest, never throw
+    val spec = Seq(
+      (1L, 20, 30, false), (2L, 7, 5, true), (3L, 256, 1, false)
+    ).toDF("media_id", "width", "height", "alpha")
+    val media = Multimodal.synthesizePngs(spec)
+      .unionByName(Seq((4L, Array[Byte](1, 2, 3))).toDF("media_id", "media")
+        .withColumn("meta", struct(lit("png").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("n_frames"))))
+      .unionByName(Seq(Tuple1(5L)).toDF("media_id")
+        .withColumn("media", lit(null).cast("binary"))
+        .withColumn("meta", struct(lit("png").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("n_frames"))))
+    val got = Multimodal.decodeImages(media, batchSize = 2)
+      .select("media_id", "decoded.width", "decoded.height", "decoded.n_channels", "decoded.ok")
+      .as[(Long, Int, Int, Int, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 20, 30, 3, true), (2L, 7, 5, 4, true), (3L, 256, 1, 3, true),
+      (4L, 0, 0, 0, false), (5L, 0, 0, 0, false)))
+    // the payload is REAL png: a magic-number check on the raw bytes
+    val magic = media.filter(col("media_id") === 1L)
+      .select(col("media")).as[Array[Byte]].head().take(4)
+    assert(magic.sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
   }
 
   test("multimodal: extractFeaturesBatched is deterministic and feeds similarity ops") {
@@ -81,7 +113,8 @@ class RelationalSpec extends SparkTestBase {
   test("multimodal: resize rewrites metadata, extractFeatures feeds similarity ops") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("id", "p"), "id", "p", "img")
-    val resized = Multimodal.resize(Multimodal.decode(spark, media), 224, 224)
+    val resized = Multimodal.resize(
+      Multimodal.decodeBatched(media, _.map(fakeDecode)), 224, 224)
     assert(resized.select("decoded.width").as[Int].collect().toSet == Set(224))
     val feats = Multimodal.extractFeatures(media, dim = 16)
     assert(feats.select(size(col("embedding"))).as[Int].head() == 16)
@@ -204,5 +237,18 @@ class RelationalSpec extends SparkTestBase {
     val lit1 = Relational.snapshotDiff(v1.filter(col("id") === 1L), v3, "id", Seq("t", "s"))
       .collect().head.getString(1)
     assert(lit1 == "changed")
+  }
+}
+
+/** Executor-serializable test fixtures (a spec-class method would drag the
+  * non-serializable scalatest engine into the task closure).
+  */
+object RelationalSpec {
+  // test-only fake codec for exercising the GENERIC decode seam (the real
+  // still-image instance is decodeImages): deterministic dimensions
+  // derived from payload length
+  def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
+    val n = if (bytes == null) 0 else bytes.length
+    (64 + (n % 577), 64 + ((n * 31) % 433), 1 + (n % 16))
   }
 }
