@@ -1372,27 +1372,16 @@ object SparkEntry {
     // mega-cliques (quadratic pair blowup) or spread thin. Derived from
     // the exact pair set; degree 0 from one anti-count against the
     // corpus total.
-    "q159_degree_distribution" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      // BANDED pair generation (the q144/q145 pattern): a degree histogram
-      // is approximation-tolerant, so it rides minhashLshPairs (~5× at 10×)
-      // rather than the exact generator (n^1.26, 18× at 10× — the q136
-      // composition mistake). q165 witnesses banded ⊆ exact per doc with
-      // the exact form as the timing-excluded companion.
-      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8)
-      // localCheckpoint: deg (one row per PAIRED doc — small) feeds both
-      // the histogram and the zero-degree anti-count; without it the
-      // pair job would run twice
-      val deg = pairs.select(col("id_a").as("doc_id"))
-        .unionAll(pairs.select(col("id_b").as("doc_id")))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-        .localCheckpoint()
-      val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
-      val zero = d.select(col("doc_id")).join(deg, Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_docs"))
-        .select(lit(0L).as("degree"), col("n_docs"))
-      hist.unionByName(zero).filter(col("n_docs") > 0)
-    }),
+    "q159_degree_distribution" -> ((s, dir) =>
+      // BANDED candidates folded in the distinct-set QUOTIENT (the
+      // q144/q145 pattern end to end): a degree histogram is both
+      // approximation-tolerant — so it rides the banded generator, not the
+      // exact one (n^1.26, the q136 composition mistake) — and a pure
+      // count, so no document pair is ever materialized. q165 witnesses
+      // banded ⊆ exact per doc with the expanded exact form as the
+      // timing-excluded companion; DedupSpec asserts factored == expanded.
+      Dedup.minhashDegreeHistogram(t(s, dir, "documents"), "doc_id", "text",
+        1, 64, 16, 0.8)),
 
     // q159 companion, empty by construction: every banded pair is exact-
     // verified at the same threshold over the same shingles, so the banded

@@ -590,6 +590,58 @@ object Dedup {
       .filter(col("n_pairs") > 0)
   }
 
+  /** Near-dup degree histogram at corpus scale: how many documents have
+    * exactly d near-duplicates — the connectivity profile a dedup run
+    * reports before choosing a keep policy. Like the source-overlap
+    * matrix ([[minhashSourceOverlap]]), this is a pure COUNT over the
+    * pair graph, so it folds in the distinct-set QUOTIENT without ever
+    * materializing a document pair: degree is CONSTANT across the members
+    * of one identical-shingle-set —
+    *
+    *   degree(doc ∈ k) = (cnt(k) − 1) + Σ_{(k,k2) verified} cnt(k2)
+    *
+    * (identical-set partners plus every member of every banded-verified
+    * neighbor set). The fold is: set sizes (one hash agg), rep-pair
+    * neighbor sums (16-byte keys through one join + one agg), then the
+    * histogram weights each set's degree by cnt(k). Docs with no shingles
+    * and singleton sets with no neighbors land in the degree-0 row via
+    * the corpus-total complement. Output is row-identical to counting
+    * over the expanded [[minhashLshPairs]] (DedupSpec asserts it); on a
+    * dup-dense corpus the expanded form shuffles the pair set three
+    * times — this form's largest object is |distinct sets| rows.
+    */
+  def minhashDegreeHistogram(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      verifyThreshold: Double = 0.7): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val (reps, members) = setRepresentatives(df, idCol, textCol, n)
+    val repPairs =
+      minhashRepPairs(df, textCol, n, reps, members, numHashes, bands, verifyThreshold)
+    val setCnt = members.groupBy(col("skey")).agg(count(lit(1)).as("cnt"))
+    val nbr = repPairs.select(col("skey_a").as("skey"), col("skey_b").as("nb"))
+      .unionByName(repPairs.select(col("skey_b").as("skey"), col("skey_a").as("nb")))
+    val crossDeg = nbr
+      .join(setCnt.select(col("skey").as("nb"), col("cnt").as("nb_cnt")), Seq("nb"))
+      .groupBy(col("skey")).agg(sum(col("nb_cnt")).as("xdeg"))
+    val deg = setCnt.join(crossDeg, Seq("skey"), "left")
+      .select((coalesce(col("xdeg"), lit(0L)) + col("cnt") - 1).as("degree"),
+        col("cnt"))
+    val hist = deg.filter(col("degree") > 0)
+      .groupBy(col("degree")).agg(sum(col("cnt")).as("n_docs"))
+    // degree-0 complement: corpus total minus paired docs — covers both
+    // neighborless singleton sets and docs with no shingles at all
+    val paired = deg.filter(col("degree") > 0)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n"))
+    val zero = df.agg(count(lit(1)).as("t")).crossJoin(paired)
+      .select(lit(0L).as("degree"), (col("t") - col("n")).as("n_docs"))
+    hist.unionByName(zero).filter(col("n_docs") > 0)
+  }
+
   /** Incremental near-dup check — the PRODUCTION dedup shape: pairs
     * (existing_id, incoming_id) with exact n-gram Jaccard >= threshold,
     * candidates from shared MinHash band buckets ACROSS the two frames

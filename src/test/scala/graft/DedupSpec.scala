@@ -329,4 +329,33 @@ class DedupSpec extends SparkTestBase {
       Dedup.leakageFreeSplit(docs, "doc_id", pairs, Seq(("a", 0.5), ("b", 0.3)))
     }
   }
+
+  test("minhashDegreeHistogram equals the histogram counted from expanded pairs") {
+    // mixed regimes: a 3-member identical set spanning sources, a cross
+    // near-dup to it, a neighborless singleton (degree 0), and an
+    // empty-shingle doc (also degree 0)
+    val d = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),        // identical set with 1
+      (3L, "quick brown the fox"),        // identical set with 1, 2
+      (4L, "the quick brown fox jumps"),  // jaccard 4/5 = 0.8 vs {1,2,3}
+      (5L, "unrelated words entirely"),   // degree 0
+      (6L, "   ")                         // no shingles -> degree 0
+    ).toDF("doc_id", "text")
+    val factored = Dedup.minhashDegreeHistogram(d, "doc_id", "text", 1, 64, 16, 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 1, 64, 16, 0.8)
+    val deg = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val expanded = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .unionByName(d.join(deg, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs")).select(lit(0L).as("degree"), col("n_docs")))
+      .filter(col("n_docs") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(factored == expanded, s"factored=$factored expanded=$expanded")
+    // known degrees: docs 1-4 mutually near-dup -> degree 3 each; 5 and 6
+    // have none
+    assert(factored == Map(3L -> 4L, 0L -> 2L))
+  }
 }
