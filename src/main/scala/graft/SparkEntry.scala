@@ -3784,6 +3784,18 @@ object SparkEntry {
     * to the driver's dump, and PartialChecksSpec enforces the sf0.001 and
     * sf0.01 pins in `sbt test` (sf0.1 is checked by the driver's own
     * verify — re-measure all three when an operator legitimately changes).
+    *
+    * The `sf1` key pins the 10x ScaleUp replica (basename `sf1`, built by
+    * `ScaleUp /root/testdata/sf0.1 /tmp/sf1 10`) so scaling runs are
+    * row-checked too, not just timed. ScaleUp is deterministic
+    * (token-salted documents, sign-flipped embeddings, key-shifted
+    * lineitem/orders), so these are exact constants like the driver SFs.
+    * Replica caveats, scoped per query: q118 and q157 split the corpus on
+    * an ABSOLUTE doc_id boundary (400), and the replica's id-shifted
+    * copies land entirely on the "incoming" side — the pinned counts are
+    * valid determinism gates at this dir, but their sf0.1 -> sf1 ratios
+    * measure a different batch/corpus mix than a true 10x of the same
+    * split (BASELINE.md records them with that caveat, not as exponents).
     */
   def partialExpectations: Map[String, Map[String, (Long, String)]] = {
     // schemas are scale-invariant; only the row pins vary per sf
@@ -3838,7 +3850,17 @@ object SparkEntry {
         "q111_semantic_dedup" -> 2000L, "q118_incremental_dedup" -> 452469L,
         "q131_semantic_ingest" -> 1600L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 400L, "q157_incremental_overlap" -> 400L,
-        "q159_degree_distribution" -> 487L))
+        "q159_degree_distribution" -> 487L),
+      "sf1" -> Map(
+        "q27_minhash_lsh" -> 29682497L, "q28_simhash" -> 6190L, "q30_lsh_topk" -> 50L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
+        "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
+        "q73_cosine_pairs_bucketed" -> 89697L, "q87_sq8_topk" -> 50L,
+        "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
+        "q111_semantic_dedup" -> 20000L, "q118_incremental_dedup" -> 452469L,
+        "q131_semantic_ingest" -> 19600L, "q144_source_overlap_lsh" -> 210L,
+        "q155_cluster_sample" -> 4029L, "q157_incremental_overlap" -> 400L,
+        "q159_degree_distribution" -> 528L))
     rows.map { case (sf, m) => sf -> m.map { case (q, r) => q -> (r, schemas(q)) } }
   }
 }

@@ -241,15 +241,25 @@ object Dedup {
   }
 
   /** Connected components over a near-duplicate pair graph by min-label
-    * propagation: every node ends with `rep` = the smallest id reachable
-    * from it. The canonical post-processing of pairwise dedup — collapse
-    * the pair graph into clusters, keep one representative per cluster.
+    * propagation with pointer doubling: every node ends with `rep` = the
+    * smallest id reachable from it. The canonical post-processing of
+    * pairwise dedup — collapse the pair graph into clusters, keep one
+    * representative per cluster.
     *
-    * Each iteration is one shuffle (groupBy node, min over neighbor
-    * labels); iteration count is bounded by the graph diameter, which for
-    * near-dup graphs (dense cliques + short bridges) is small. Convergence
-    * is detected by an exact changed-label count. `nodes` supplies isolated
-    * documents (components of size 1).
+    * Each round takes the min over the node's own label, its label's label
+    * (pointer doubling — labels are node ids, and every node's label is
+    * <= its id, so composing is a monotone improvement), and its
+    * neighbors' labels. Plain neighbor-min needs one round per unit of
+    * graph DIAMETER — a 1000-node chain of borderline near-dups takes
+    * 1000 shuffles; with doubling, label paths halve every round, so
+    * rounds are O(log diameter) (the path-contraction idea behind
+    * pointer-jumping PRAM CC and the large-star/small-star MapReduce
+    * algorithm). Convergence is detected by an exact changed-label count,
+    * and a changed-count of zero is a fixpoint of the PLAIN neighbor-min
+    * step too, where labels are provably constant per component (along any
+    * edge, stability forces rep(u) <= rep(v) and rep(v) <= rep(u)) — the
+    * accelerator changes the round count, never the converged output.
+    * `nodes` supplies isolated documents (components of size 1).
     */
   def connectedComponents(
       nodes: DataFrame,
@@ -277,9 +287,17 @@ object Dedup {
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "rep" -> "nrep")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("minNeighborRep"))
+      // rep(rep): the label of the node this node currently points at —
+      // read from the same checkpointed frame as the neighbor join, so
+      // doubling costs one extra join per round, not an extra checkpoint
+      val repOfRep = labels
+        .select(col("id").as("rep"), col("rep").as("repOfRep"))
       val updated = labels.join(neighborReps, Seq("id"), "left")
+        .join(repOfRep, Seq("rep"), "left")
         .select(col("id"),
-          least(col("rep"), coalesce(col("minNeighborRep"), col("rep"))).as("rep"),
+          least(col("rep"),
+            coalesce(col("repOfRep"), col("rep")),
+            coalesce(col("minNeighborRep"), col("rep"))).as("rep"),
           col("rep").as("prevRep"))
         .localCheckpoint()
       val changed = updated.filter(col("rep") =!= col("prevRep")).count()

@@ -160,6 +160,21 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("connectedComponents converges on a chain far longer than maxIter") {
+    // a 60-node path has diameter 59: plain neighbor-min propagation moves
+    // the min label one hop per round and would still be intermediate at
+    // maxIter=20; pointer doubling contracts label paths exponentially, so
+    // the exact fixpoint (every rep == 1) must be reached well inside the
+    // default budget. Worst case for a path: labels at round r reach
+    // distance ~2^r, so 60 nodes need ~7 rounds.
+    val n = 60L
+    val nodes = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to n).map(_ -> 1L).toMap)
+  }
+
   test("hashedShingles is sorted and distinct") {
     val arr = docs.select(Dedup.hashedShingles(col("text"), 1).as("h"))
       .as[Seq[Long]].collect()
