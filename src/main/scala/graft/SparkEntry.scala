@@ -1514,6 +1514,22 @@ object SparkEntry {
           .select(lit("7_packed_bins").as("stage"), col("n_docs")))
     }),
 
+    // ---- Substring-level duplication (ExactSubstr diagnostics): a
+    // position is duplicated iff its 20-char substring occurs >= 2 times
+    // corpus-wide — the duplication token-set dedup cannot see (a copied
+    // paragraph inside an otherwise novel document). Exact, linear
+    // hash-agg shape; the sampled scale path is winnowing (q75).
+    "q168_duplicated_text" -> ((s, dir) =>
+      TextAnalysis.duplicatedTextFraction(
+        t(s, dir, "documents"), "doc_id", "text", 20)),
+
+    // Corpus-side companion: the most repeated 20-char substrings with
+    // occurrence and distinct-document counts — names the boilerplate an
+    // ExactSubstr pass would strip. Bounded TakeOrderedAndProject tail.
+    "q169_top_dup_grams" -> ((s, dir) =>
+      TextAnalysis.topDuplicatedGrams(
+        t(s, dir, "documents"), "doc_id", "text", 20, 50)),
+
     // ---- Leakage-free train/val/test split: near-dup clusters (q61's
     // components at 0.98 — identical word sets on this corpus, so the
     // expected clusters are SQL-expressible) assigned WHOLE to one split
@@ -3439,6 +3455,39 @@ object SparkEntry {
       UNION ALL SELECT '6_mixed', COUNT(*) FROM mxd
       UNION ALL SELECT '7_packed_bins',
         COUNT(DISTINCT source || '#' || CAST(bin AS VARCHAR)) FROM pb""",
+
+    // char-20-gram explode with a CONSTANT series bound (4096 — documents
+    // top out at 577 chars at every SF; DuckDB's generate_series cannot
+    // take a correlated bound) filtered to real positions; then the same
+    // per-(doc, gram) / corpus-total / verdict-join chain as the operator
+    "q168_duplicated_text" -> """
+      WITH grams AS (
+        SELECT doc_id, substring(text, i, 20) AS g
+        FROM documents, generate_series(1, 4096) AS t(i)
+        WHERE i <= length(text) - 19),
+      per_doc AS (
+        SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+      tot AS (SELECT g, sum(c) AS n FROM per_doc GROUP BY g),
+      scored AS (
+        SELECT p.doc_id, sum(p.c) AS n_grams,
+               sum(CASE WHEN t.n >= 2 THEN p.c ELSE 0 END) AS n_dup
+        FROM per_doc p JOIN tot t USING (g) GROUP BY p.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+        CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup,
+        CASE WHEN coalesce(s.n_grams, 0) = 0 THEN 0.0
+             ELSE CAST(s.n_dup AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+        END AS dup_fraction
+      FROM documents d LEFT JOIN scored s USING (doc_id)""",
+
+    "q169_top_dup_grams" -> """
+      SELECT g, n, n_docs FROM (
+        SELECT substring(text, i, 20) AS g, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM documents, generate_series(1, 4096) AS t(i)
+        WHERE i <= length(text) - 19
+        GROUP BY 1)
+      WHERE n >= 2 ORDER BY n DESC, g LIMIT 50""",
 
     // the decoded properties ARE the spec formula — DuckDB computes them
     // directly; Spark must round-trip real PNG bytes to agree

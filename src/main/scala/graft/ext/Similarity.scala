@@ -366,9 +366,26 @@ object Similarity {
       else math.ceil(math.log(1.0 - recallTarget) / math.log1p(-s)).toInt.max(1)
     }
     // back off planes until the recall target is feasible within maxTables
-    val planes = Iterator.iterate(occupancyPlanes(n, targetOccupancy, minPlanes, maxPlanes))(_ - 1)
+    val occPlanes = occupancyPlanes(n, targetOccupancy, minPlanes, maxPlanes)
+    val planes = Iterator.iterate(occPlanes)(_ - 1)
       .dropWhile(p => p > minPlanes && tablesFor(p) > maxTables)
       .next()
+    if (planes < occPlanes)
+      // the documented infeasibility boundary, made LOUD: recall forced the
+      // buckets coarser than the occupancy cap, so expected occupancy is
+      // n/2^planes (grows with the corpus) and the within-bucket candidate
+      // term is back to ~n²/2^planes — the plan is now super-linear no
+      // matter how the caller tunes it (sign-LSH's theory floor for low
+      // thresholds). Measured on the 10× replica at θ=0.4: ~41× wall per
+      // decade. At these thresholds route pair discovery through cell
+      // pruning (semanticDedupAuto) instead of banding.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lshPlan: recall target $recallTarget at threshold $threshold is " +
+        s"infeasible within maxTables=$maxTables at occupancy planes " +
+        s"$occPlanes; backed off to $planes planes (expected occupancy " +
+        s"${n / (1L << planes)}) — candidate generation is super-linear in " +
+        "the corpus here; prefer semanticDedupAuto cell pruning at low " +
+        "thresholds")
     (planes, tablesFor(planes).min(maxTables))
   }
 

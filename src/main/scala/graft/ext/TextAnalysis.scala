@@ -541,4 +541,76 @@ object TextAnalysis {
         ((col("__sp_cum") - col("n_tok")) / lit(budget.toLong))
           .cast("long").as("bin"))
   }
+
+  /** Character L-grams of a text column as an array, empty when the text is
+    * shorter than L. The short-text guard matters: `sequence(1, n)` with
+    * n < 1 would generate a DESCENDING sequence (Spark fills in step −1),
+    * not an empty one.
+    */
+  private def charGrams(text: Column, gramLen: Int): Column =
+    when(length(text) < gramLen, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - lit(gramLen - 1)),
+        i => text.substr(i, lit(gramLen))))
+
+  /** Per-document duplicated-text fraction at character-L-gram granularity —
+    * the ExactSubstr diagnostic of substring-level corpus duplication
+    * (token-set dedup is blind to a copied paragraph inside an otherwise
+    * novel document): a POSITION of a document is duplicated iff its L-char
+    * substring occurs at least twice corpus-wide — in another document or
+    * at another position of the same one. Output: (idCol, n_grams, n_dup,
+    * dup_fraction); a document shorter than L carries zero grams and
+    * fraction 0.0.
+    *
+    * Shape at scale: the gram explode is |corpus chars| rows — the honest
+    * price of EXACT substring accounting — and everything after is linear
+    * hash-agg work. Per-(gram, doc) counts collapse within-document repeats
+    * before anything global; corpus totals per gram aggregate those; the
+    * verdict comes back by an equi-join on the gram key (a streaming
+    * shuffle join — NOT a per-gram window, whose unbounded frame would
+    * buffer a stop-gram's whole document list in one task, the q154
+    * per-group-buffering cliff in another costume).
+    * Nothing wider than (gram, id, count) moves between stages. When even
+    * |chars| rows are too many, the sampled scale path is
+    * [[winnowingFingerprints]] (density ~2/(w+1) of positions, with the
+    * shared-run guarantee).
+    */
+  def duplicatedTextFraction(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    val grams = df.select(col(idCol),
+      explode(charGrams(col(textCol), gramLen)).as("g"))
+    val perDoc = grams.groupBy(col("g"), col(idCol)).agg(count(lit(1)).as("c"))
+    val totals = perDoc.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val scored = perDoc.join(totals, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("n") >= 2, col("c")).otherwise(lit(0L))).as("n_dup"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .as("dup_fraction"))
+  }
+
+  /** The corpus-side companion of [[duplicatedTextFraction]]: the most
+    * repeated L-char substrings, with corpus occurrence count and the
+    * number of distinct documents carrying each — the report that names
+    * the boilerplate (headers, license blurbs, navigation chrome) that
+    * substring-level dedup would remove. Deterministic order: count desc,
+    * then the gram itself; bounded output (`topK`), TakeOrderedAndProject
+    * tail — the full gram frame never reaches the driver.
+    */
+  def topDuplicatedGrams(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int, topK: Int): DataFrame = {
+    require(gramLen >= 2 && topK >= 1, "need gramLen >= 2 and topK >= 1")
+    df.select(col(idCol), explode(charGrams(col(textCol), gramLen)).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n") >= 2)
+      .orderBy(col("n").desc, col("g"))
+      .limit(topK)
+  }
 }

@@ -268,6 +268,63 @@ object Streams {
       }
       .start()
 
+  /** Streaming NEAR-dup-preserving ingest: each micro-batch appends only
+    * the rows that are neither exact duplicates (content hash new to the
+    * store and unique in the batch — [[dedupIngestSink]]'s contract) nor
+    * near-duplicates of any STORED document: no banded-minhash pair at
+    * `threshold` word-shingle Jaccard against the store, every candidate
+    * verified by exact set intersection ([[graft.ext.Dedup
+    * .minhashLshPairsIncremental]] — the batch pays |batch| signature
+    * passes plus one equi-join against the store's band index, never a
+    * batch × store comparison).
+    *
+    * Idempotence (replay after a restart): an accepted row is an EXACT
+    * duplicate of itself in the store when the replay arrives, so the
+    * exact stage drops it; a rejected row stays rejected (its exact or
+    * near blocker is still stored). Within-batch NEAR-dups (distinct
+    * texts) are both accepted — cross-pairs-only is the incremental
+    * operator's documented contract, matching [[semanticIngestSink]];
+    * run [[graft.ext.Dedup.minhashLshPairs]] + connectedComponents on the
+    * batch first where intra-batch near-dedup matters.
+    */
+  def nearDedupIngestSink(
+      df: DataFrame,
+      targetPath: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val existing =
+          try spark.read.parquet(targetPath)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), b.schema) }
+        // stage 1 — exact: (id, content-hash) join so duplicate ids from an
+        // at-least-once source cannot fan the accept-list out (the
+        // dedupIngestSink rule)
+        val exactAccepted = graft.ext.Dedup.dedupIngest(existing, b, idCol, textCol)
+          .select(col(idCol), col("content_hash").as("__ch"))
+        val exactKept = b.withColumn("__ch", md5(col(textCol).cast("binary")))
+          .join(exactAccepted, Seq(idCol, "__ch"))
+          .dropDuplicates(idCol, "__ch")
+          .drop("__ch")
+        // stage 2 — near: drop survivors with a verified stored partner
+        val nearBlocked = graft.ext.Dedup.minhashLshPairsIncremental(
+            existing, exactKept, idCol, textCol, n, numHashes, bands, threshold)
+          .select(col("incoming_id").as(idCol)).distinct()
+        exactKept.join(nearBlocked, Seq(idCol), "left_anti")
+          .write.mode("append").parquet(targetPath): Unit
+      }
+      .start()
+
   /** Streaming semantic-dedup ingest: the embedding-side member of the
     * ingest-sink triple (business-key [[upsertSink]], content-hash
     * [[dedupIngestSink]], semantic — this). Each micro-batch appends only

@@ -191,6 +191,39 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("nearDedupIngestSink drops exact and stored-near dups; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_neardup_cp").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.nearDedupIngestSink(
+      input.toDS().toDF("doc_id", "text"), s"$dir/t", "doc_id", "text", cp,
+      n = 1, threshold = 0.7)
+    val doc1 = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val near1 = doc1 + " kappa" // word-set Jaccard 9/10 vs doc1
+    val doc5 = "p q r s t u v w x y"
+    val near5 = doc5 + " z"
+    try {
+      // batch 1 bootstraps the empty store
+      input.addData((1L, doc1), (2L, "one two three"))
+      q.processAllAvailable()
+      // batch 2: 3 is an exact dup of stored 1 (exact stage), 4 a 0.9-near
+      // dup of stored 1 (near stage); 5 is novel; 6 is a near-dup of 5
+      // WITHIN the batch -> cross-pairs-only contract keeps both
+      input.addData((3L, doc1), (4L, near1), (5L, doc5), (6L, near5))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/t")
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L, 6L))
+      // batch 3: REPLAY of batch 2 — 5/6 are now exact dups of their stored
+      // selves, 3 still exact-blocked, 4 still near-blocked by stored 1
+      input.addData((3L, doc1), (4L, near1), (5L, doc5), (6L, near5))
+      q.processAllAvailable()
+      val store = spark.read.parquet(s"$dir/t")
+      assert(store.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L, 6L))
+      assert(store.count() == 4) // the replay appended nothing
+    } finally q.stop()
+  }
+
   test("semanticIngestSink blocks near-dup vectors; a replayed micro-batch is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_semingest").toString

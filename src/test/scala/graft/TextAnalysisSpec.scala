@@ -274,4 +274,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(got("s")._3 - hs) < 1e-5)
     assert(got("s")._3 > 0.0 && got("s")._3 < got("u")._3)
   }
+
+  test("duplicatedTextFraction: corpus-wide >=2 marks positions; short/null docs 0") {
+    val df = Seq(
+      (1L, "abcdefgh"),   // grams: abcd bcde cdef defg efgh
+      (2L, "xxabcdef"),   // grams: xxab xabc abcd bcde cdef — 3 shared with doc 1
+      (3L, "zz"),         // shorter than L -> zero grams
+      (4L, "ppppp"),      // pppp twice WITHIN one doc -> still duplicated
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedTextFraction(df, "doc_id", "text", 4)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 3L, 3.0 / 5.0),
+      (2L, 5L, 3L, 3.0 / 5.0),
+      (3L, 0L, 0L, 0.0),
+      (4L, 2L, 2L, 1.0),
+      (5L, 0L, 0L, 0.0)))
+  }
+
+  test("topDuplicatedGrams: occurrence + distinct-doc counts, count-then-gram order") {
+    val df = Seq((1L, "abcdefgh"), (2L, "xxabcdef"), (4L, "ppppp"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topDuplicatedGrams(df, "doc_id", "text", 4, 10)
+      .as[(String, Long, Long)].collect().toSeq
+    // all counts tie at 2 -> gram lexicographic order; pppp is 2 occurrences
+    // in ONE doc (n_docs = 1); singletons are absent entirely
+    assert(got == Seq(("abcd", 2L, 2L), ("bcde", 2L, 2L),
+      ("cdef", 2L, 2L), ("pppp", 2L, 1L)))
+    val top2 = TextAnalysis.topDuplicatedGrams(df, "doc_id", "text", 4, 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top2 == Seq(("abcd", 2L, 2L), ("bcde", 2L, 2L)))
+  }
 }
