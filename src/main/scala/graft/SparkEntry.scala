@@ -1530,6 +1530,15 @@ object SparkEntry {
       TextAnalysis.topDuplicatedGrams(
         t(s, dir, "documents"), "doc_id", "text", 20, 50)),
 
+    // Char-coverage member: union of the duplicated-gram intervals per
+    // document (position counts double-count overlap; this is the text an
+    // ExactSubstr cut would actually remove). Interval merge is a per-doc
+    // codegen'd sorted fold — bounded by document length, no corpus-sized
+    // group state.
+    "q170_duplicated_coverage" -> ((s, dir) =>
+      TextAnalysis.duplicatedCharCoverage(
+        t(s, dir, "documents"), "doc_id", "text", 20)),
+
     // ---- Leakage-free train/val/test split: near-dup clusters (q61's
     // components at 0.98 — identical word sets on this corpus, so the
     // expected clusters are SQL-expressible) assigned WHOLE to one split
@@ -3488,6 +3497,45 @@ object SparkEntry {
         WHERE i <= length(text) - 19
         GROUP BY 1)
       WHERE n >= 2 ORDER BY n DESC, g LIMIT 50""",
+
+    // interval union as gaps-and-islands: a position starts a new island
+    // iff it clears the previous maximum interval end (i > prev_max + 20);
+    // each island covers max(i) - min(i) + 20 chars — identical to the
+    // engine's sorted fold (covered += max(0, i+20 - max(i, prevEnd)))
+    "q170_duplicated_coverage" -> """
+      WITH grams AS (
+        SELECT doc_id, i, substring(text, i, 20) AS g
+        FROM documents, generate_series(1, 4096) AS t(i)
+        WHERE i <= length(text) - 19),
+      per_doc AS (
+        SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+      tot AS (SELECT g, sum(c) AS n FROM per_doc GROUP BY g),
+      dup_pos AS (
+        SELECT gr.doc_id, gr.i
+        FROM grams gr JOIN tot t ON gr.g = t.g WHERE t.n >= 2),
+      isl AS (
+        SELECT doc_id, i,
+          CASE WHEN i > coalesce(max(i) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -100000) + 20
+               THEN 1 ELSE 0 END AS brk
+        FROM dup_pos),
+      grp AS (
+        SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS gid
+        FROM isl),
+      seg AS (
+        SELECT doc_id, gid, max(i) - min(i) + 20 AS seg_len
+        FROM grp GROUP BY doc_id, gid),
+      cov AS (
+        SELECT doc_id, CAST(sum(seg_len) AS BIGINT) AS covered_chars
+        FROM seg GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(length(d.text), 0) AS BIGINT) AS n_chars,
+        CAST(coalesce(c.covered_chars, 0) AS BIGINT) AS covered_chars,
+        CASE WHEN coalesce(length(d.text), 0) = 0 THEN 0.0
+             ELSE CAST(coalesce(c.covered_chars, 0) AS DOUBLE)
+                  / CAST(length(d.text) AS DOUBLE)
+        END AS coverage
+      FROM documents d LEFT JOIN cov c USING (doc_id)""",
 
     // the decoded properties ARE the spec formula — DuckDB computes them
     // directly; Spark must round-trip real PNG bytes to agree

@@ -595,6 +595,53 @@ object TextAnalysis {
           .as("dup_fraction"))
   }
 
+  /** The char-COVERAGE member of the ExactSubstr family: per document, the
+    * number of characters covered by at least one duplicated L-gram (the
+    * union of the intervals `[i, i+L)` over duplicated positions `i`) and
+    * its fraction of the document — exactly the text an ExactSubstr
+    * dedup pass would cut, where [[duplicatedTextFraction]] counts
+    * positions and double-counts overlap. Output: (idCol, n_chars,
+    * covered_chars, coverage); documents with no duplicated grams (or
+    * shorter than L, or null) carry 0 and 0.0.
+    *
+    * Same global stages as [[duplicatedTextFraction]] (per-(gram, doc)
+    * collapse, corpus totals, verdict equi-join). The interval union is
+    * then PER-DOCUMENT work: duplicated positions collect into one array
+    * per document — bounded by document length, not by any corpus
+    * dimension (pre-chunk pathological documents with [[chunkTokens]]) —
+    * and a single codegen'd sorted fold merges overlapping intervals:
+    * `covered += max(0, i+L − max(i, prevEnd))`.
+    */
+  def duplicatedCharCoverage(df: DataFrame, idCol: String, textCol: String,
+      gramLen: Int): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    val grams = df.select(col(idCol),
+      posexplode(charGrams(col(textCol), gramLen)).as(Seq("p", "g")))
+      .select(col(idCol), (col("p") + 1).as("i"), col("g"))
+    val perDoc = grams.groupBy(col("g"), col(idCol)).agg(count(lit(1)).as("c"))
+    val dupGrams = perDoc.groupBy(col("g")).agg(sum(col("c")).as("n"))
+      .filter(col("n") >= 2).select(col("g"))
+    val L = lit(gramLen.toLong)
+    val covered = grams.join(dupGrams, Seq("g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("i").cast("long"))).as("ps"))
+      .select(col(idCol), aggregate(
+        col("ps"),
+        struct(lit(0L).as("cov"), lit(Long.MinValue / 2).as("end")),
+        (acc, p) => struct(
+          (acc("cov") + greatest(lit(0L), p + L - greatest(p, acc("end")))).as("cov"),
+          greatest(acc("end"), p + L).as("end")),
+        acc => acc("cov")).as("covered_chars"))
+    df.select(col(idCol), coalesce(length(col(textCol)).cast("long"), lit(0L)).as("n_chars"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(coalesce(col("covered_chars"), lit(0L)).cast("double") /
+            col("n_chars").cast("double"))
+          .as("coverage"))
+  }
+
   /** The corpus-side companion of [[duplicatedTextFraction]]: the most
     * repeated L-char substrings, with corpus occurrence count and the
     * number of distinct documents carrying each — the report that names

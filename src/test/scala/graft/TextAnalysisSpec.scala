@@ -293,6 +293,25 @@ class TextAnalysisSpec extends SparkTestBase {
       (5L, 0L, 0L, 0.0)))
   }
 
+  test("duplicatedCharCoverage merges overlapping intervals; within-doc repeats count") {
+    val df = Seq(
+      // abcd/bcde repeat at positions 1,2 and 8,9 -> union [1,5]+[8,12] = 10
+      (1L, "abcdexxabcde"),
+      (2L, "zzz"),                 // shorter than L
+      (3L, "qqqqq"),               // qqqq at 1,2 WITHIN one doc -> [1,5] = all 5
+      (4L, "mnopqrstuv"),          // no duplicated grams
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedCharCoverage(df, "doc_id", "text", 4)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 12L, 10L, 10.0 / 12.0),
+      (2L, 3L, 0L, 0.0),
+      (3L, 5L, 5L, 1.0),
+      (4L, 10L, 0L, 0.0),
+      (5L, 0L, 0L, 0.0)))
+  }
+
   test("topDuplicatedGrams: occurrence + distinct-doc counts, count-then-gram order") {
     val df = Seq((1L, "abcdefgh"), (2L, "xxabcdef"), (4L, "ppppp"))
       .toDF("doc_id", "text")
