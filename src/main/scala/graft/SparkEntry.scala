@@ -2136,6 +2136,26 @@ object SparkEntry {
       Joins.saltedJoin(l, o, Seq("l_orderkey"), salts = 8)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), Fns.dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- Key-skew profile (the q58 planning input): heaviest keys of a
+    // prospective shuffle with exact counts, ppm shares, and the integer
+    // salt factor that evens each key across `parts` reducers. One hash
+    // agg + 1-row total frame + bounded top-k — the measurement costs one
+    // payload-free pass of the shuffle it is sizing.
+    "q171_skew_profile" -> ((s, dir) =>
+      Profiling.skewProfile(t(s, dir, "documents"), "lang", 32, 25)),
+
+    // ---- Top-p (nucleus) corpus selection: per source, the best docs by
+    // q57's quality score until 80% of the source's character budget is
+    // spent — the quality-tail trim a curation recipe runs after the
+    // mixtures set domain proportions. Exact integer prefix rule; the
+    // two-phase score-bucketed selection never sorts a whole domain in
+    // one window (only the boundary bucket windows row-level).
+    "q172_top_p_select" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+      Mixing.topPByWeight(scored, "doc_id", "source", "quality_score",
+        "n_chars", 80)
     })
   )
 
@@ -2659,6 +2679,49 @@ object SparkEntry {
       SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority""",
+
+    // exact integer arithmetic end to end: // is DuckDB's integer
+    // division, div is Spark's — both truncate toward zero on these
+    // non-negative counts
+    "q171_skew_profile" -> """
+      WITH c AS (SELECT CAST(lang AS VARCHAR) AS key, COUNT(*) AS cnt
+                 FROM documents GROUP BY 1),
+           tot AS (SELECT SUM(cnt) AS total FROM c)
+      SELECT key, cnt,
+        CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt
+      FROM c, tot
+      ORDER BY cnt DESC, key ASC LIMIT 25""",
+
+    // the NAIVE global-window form of the top-p rule — the two-phase
+    // bucketed selection must reproduce it bit-for-bit. Quality score is
+    // q57's expression verbatim (hash-proven identical doubles); weight
+    // is the table's n_chars column, the punct denominator is length(text)
+    // (q57's convention) — two different quantities by design.
+    "q172_top_p_select" -> s"""
+      WITH f AS (
+        SELECT doc_id, source, n_chars,
+          len(${sqlTokens("text")}) AS n_tokens,
+          length(text) AS n_chars_r,
+          length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+          len(list_filter(${sqlTokens("lower(text)")},
+            w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop
+        FROM documents),
+      q AS (
+        SELECT doc_id, source, n_chars,
+          least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) * 0.5
+            + least(1.0, (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1)) * 4.0) * 0.25
+            + (1.0 - least(1.0, (CAST(n_punct AS DOUBLE) / greatest(n_chars_r, 1)) * 10.0)) * 0.25
+            AS qs
+        FROM f WHERE n_chars > 0),
+      r AS (
+        SELECT doc_id, source, n_chars, qs,
+          COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY qs DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+          SUM(n_chars) OVER (PARTITION BY source) AS tot
+        FROM q)
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
+      FROM r WHERE 100 * cb < 80 * tot""",
 
     "q59_stats_moments" -> """
       WITH s AS (

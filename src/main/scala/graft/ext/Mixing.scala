@@ -224,6 +224,68 @@ object Mixing {
     whole.unionByName(boundary)
   }
 
+  /** Top-p (nucleus) corpus selection per domain: rank each domain's rows
+    * by `(scoreCol DESC, idCol ASC)` and keep the SHORTEST prefix whose
+    * cumulative `weightCol` reaches `pPct` percent of the domain's total
+    * weight — "the best documents that make up 80% of the tokens", the
+    * quality-ordered cousin of the hash-ordered mixtures above (those
+    * flatten domain SKEW; this trims each domain's quality TAIL). A row is
+    * kept iff `100·(weight before it) < pPct·(domain total)` — the
+    * crossing row is included, so every non-empty domain keeps at least
+    * one row, and the rule is exact integer arithmetic (no share doubles,
+    * no ties).
+    *
+    * Scale shape — same two-phase selection as [[mixtureTokenSample]], but
+    * bucketed by the SCORE (scores live in [0,1] by the quality-score
+    * contract; `floor(score·256)` clamped to 255 is order-consistent with
+    * the score sort because equal scores share a bucket): per-(domain,
+    * bucket) weight sums cumulate top-down in a ≤256-rows-per-domain
+    * window, buckets wholly inside the budget are kept without ranking,
+    * buckets wholly past it are dropped without ranking, and ONLY the one
+    * boundary bucket runs a row-level running-sum window. No domain ever
+    * sorts whole in one window partition. Output is bit-identical to the
+    * naive global-window form, which is what the DuckDB oracle asserts.
+    *
+    * Rows with NULL or non-positive weight are excluded: they cannot
+    * spend budget, and zero-weight rows would turn the strict-< prefix
+    * rule's whole-bucket shortcut into an off-by-one. Rows with a NULL
+    * score are excluded for the same reason (no rank, no budget).
+    * Callers wanting to keep them coalesce/clamp before the call.
+    * Emits `(id, domain, weight)` of the kept rows.
+    */
+  def topPByWeight(df: DataFrame, idCol: String, domainCol: String,
+      scoreCol: String, weightCol: String, pPct: Int): DataFrame = {
+    require(pPct >= 1 && pPct <= 100, s"pPct must be in [1, 100], got $pPct")
+    val rows = df
+      .select(col(idCol), col(domainCol),
+        col(scoreCol).cast("double").as("__s"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0 && col("__s").isNotNull)
+      .withColumn("__b", least(lit(255), floor(col("__s") * 256)).cast("int"))
+    val bcum = rows.groupBy(col(domainCol), col("__b"))
+      .agg(sum(col("__w")).as("__bw"))
+      .withColumn("__cumw", sum(col("__bw")).over(
+        Window.partitionBy(col(domainCol)).orderBy(col("__b").desc)))
+    val tot = rows.groupBy(col(domainCol)).agg(sum(col("__w")).as("__tot"))
+    val b2 = bcum.join(broadcast(tot), Seq(domainCol))
+    val j = rows.join(broadcast(b2), Seq(domainCol, "__b"))
+    // whole-kept: even the bucket's LAST row (weight ≥ 1, so its
+    // cum-before ≤ __cumw − 1) satisfies the strict rule
+    val whole = j.filter(lit(100) * col("__cumw") <= col("__tot") * pPct)
+      .select(col(idCol), col(domainCol), col("__w").as("weight"))
+    val boundary = j
+      .filter(lit(100) * col("__cumw") > col("__tot") * pPct &&
+        lit(100) * (col("__cumw") - col("__bw")) < col("__tot") * pPct)
+      .withColumn("__wb", coalesce(sum(col("__w")).over(
+        Window.partitionBy(col(domainCol), col("__b"))
+          .orderBy(col("__s").desc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(lit(100) * (col("__cumw") - col("__bw") + col("__wb")) <
+        col("__tot") * pPct)
+      .select(col(idCol), col(domainCol), col("__w").as("weight"))
+    whole.unionByName(boundary)
+  }
+
   /** Epoch-style repeat factors toward `targetTotal` rows at the target
     * mixture: domain quota `floor(w_d · targetTotal)` spread as
     * `quota / n_d` repeats for every doc plus one extra for the

@@ -169,4 +169,35 @@ object Profiling {
       when(dx > lit(0.0), (sy / n - (num / dx) * (sx / n)) / lit(100.0)).as("intercept"),
       r2.as("r2"))
   }
+
+  /** Key-skew diagnostics for planning a shuffle — the measurement that
+    * decides BETWEEN the engine's three skew tools before the expensive
+    * job runs: broadcast the other side (key domain tiny), salt the key
+    * ([[graft.operators.Joins.saltedJoin]], q58), or trust AQE's runtime
+    * skew split. For each of the `topK` heaviest keys: the exact count,
+    * its corpus share in ppm, and the minimal salt factor that spreads
+    * the key across reducers no heavier than the even share —
+    * `ceil(cnt·parts/total)` — all EXACT integer arithmetic (`div`, no
+    * share doubles), so the recommendation is engine-reproducible.
+    *
+    * Shape at 100 TB: ONE hash aggregate on the profiled key (map-side
+    * partials — the same shuffle the production job would pay, minus the
+    * payload), a 1-row total frame broadcast back, and a bounded
+    * top-k tail (`TakeOrderedAndProject`) ordered by `(cnt DESC, key
+    * ASC)` — a total order, so the cut is deterministic. Nothing
+    * key-domain-sized ever reaches the driver.
+    */
+  def skewProfile(df: DataFrame, keyCol: String, parts: Int, topK: Int): DataFrame = {
+    require(parts > 0, s"parts must be positive, got $parts")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        expr("cnt * 1000000 div __total").as("share_ppm"),
+        expr(s"(cnt * $parts + __total - 1) div __total").as("salt"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+  }
 }

@@ -127,4 +127,52 @@ class MixingSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 40L, "b" -> 10L))
   }
+
+  test("topPByWeight: strict prefix rule, crossing row included") {
+    val df = Seq(
+      (1L, "a", 0.9, 50L), (2L, "a", 0.8, 30L),
+      (3L, "a", 0.7, 15L), (4L, "a", 0.6, 5L)).toDF("id", "dom", "s", "wt")
+    // p=80: cum-before 0, 50, 80, 95 — keep while 100·cb < 80·100
+    val got80 = Mixing.topPByWeight(df, "id", "dom", "s", "wt", 80)
+      .select("id").as[Long].collect().toSet
+    assert(got80 == Set(1L, 2L))
+    // p=60: id 2's cum-before is 50 < 60 — the crossing row is KEPT,
+    // so the kept weight (80) overshoots the 60% budget by design
+    val got60 = Mixing.topPByWeight(df, "id", "dom", "s", "wt", 60)
+      .select("id").as[Long].collect().toSet
+    assert(got60 == Set(1L, 2L))
+    // p=1: the best row always survives (cum-before 0)
+    val got1 = Mixing.topPByWeight(df, "id", "dom", "s", "wt", 1)
+      .select("id").as[Long].collect().toSet
+    assert(got1 == Set(1L))
+  }
+
+  test("topPByWeight: bit-identical to the naive global window, ties and clamp") {
+    import org.apache.spark.sql.expressions.Window
+    // scores quantized to 2dp (many ties), include exact 0.0 and 1.0
+    // (bucket clamp), three domains, weights 1..7, some excluded rows
+    val base = (1 to 300).map { i =>
+      (i.toLong, s"d${i % 3}", ((i * 37) % 101) / 100.0, (1 + i % 7).toLong)
+    }.toDF("id", "dom", "s", "wt")
+    val df = base.unionByName(Seq(
+      (1001L, "d0", 0.5, 0L),                      // zero weight: excluded
+      (1002L, "d1", 0.5, -3L),                     // negative: excluded
+      (1003L, "d2", Double.NaN, 5L)).toDF("id", "dom", "s", "wt")
+      .withColumn("s", when(col("id") === 1003L, lit(null).cast("double"))
+        .otherwise(col("s"))))                     // null score: excluded
+    val p = 55
+    val w = Window.partitionBy(col("dom")).orderBy(col("s").desc, col("id").asc)
+    val naive = df.filter(col("wt") > 0 && col("s").isNotNull)
+      .withColumn("cb", coalesce(sum(col("wt")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("wt")).over(Window.partitionBy(col("dom"))))
+      .filter(lit(100) * col("cb") < col("tot") * p)
+      .select(col("id"), col("dom"), col("wt").as("weight"))
+    val got = Mixing.topPByWeight(df, "id", "dom", "s", "wt", p)
+    assert(rows(got) == rows(naive))
+    assert(got.filter(col("id") >= 1000L).count() == 0)
+    // p=100 keeps every includable row
+    val all = Mixing.topPByWeight(df, "id", "dom", "s", "wt", 100)
+    assert(all.count() == 300)
+  }
 }

@@ -78,4 +78,21 @@ class ProfilingSpec extends SparkTestBase {
     val c = got("c")
     assert(c.getDouble(2) == 0.0 && c.isNullAt(4))
   }
+
+  test("skewProfile: exact counts, ppm shares, ceil salt, deterministic top-k cut") {
+    val df = (Seq.fill(6)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("k")
+    val got = Profiling.skewProfile(df, "k", parts = 4, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // total 10: x 6/10 -> 600000 ppm, salt ceil(6·4/10)=3; y: 300000, salt 2
+    assert(got.toSeq == Seq(("x", 6L, 600000L, 3L), ("y", 3L, 300000L, 2L)))
+    // count ties broken by key ascending, so the top-k cut is stable
+    val tied = (Seq.fill(2)("b") ++ Seq.fill(2)("a") ++ Seq.fill(2)("c")).toDF("k")
+    val t2 = Profiling.skewProfile(tied, "k", parts = 2, topK = 2).collect()
+      .map(_.getString(0)).toSeq
+    assert(t2 == Seq("a", "b"))
+    // a uniform key needs no salt: every salt is 1
+    val uni = (1 to 8).map(_.toString).toDF("k")
+    assert(Profiling.skewProfile(uni, "k", 4, 8).collect()
+      .forall(_.getLong(3) == 1L))
+  }
 }
