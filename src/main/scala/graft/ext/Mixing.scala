@@ -267,8 +267,12 @@ object Mixing {
       .withColumn("__cumw", sum(col("__bw")).over(
         Window.partitionBy(col(domainCol)).orderBy(col("__b").desc)))
     val tot = rows.groupBy(col(domainCol)).agg(sum(col("__w")).as("__tot"))
+    // tot is |domains| rows — broadcast like the mixtures' recipe frames.
+    // b2 is |domains|·≤256 rows: small here, but it SCALES with the domain
+    // count (a web corpus keyed by site has millions), so the bucket-level
+    // join carries no hint — AQE picks broadcast when it actually fits.
     val b2 = bcum.join(broadcast(tot), Seq(domainCol))
-    val j = rows.join(broadcast(b2), Seq(domainCol, "__b"))
+    val j = rows.join(b2, Seq(domainCol, "__b"))
     // whole-kept: even the bucket's LAST row (weight ≥ 1, so its
     // cum-before ≤ __cumw − 1) satisfies the strict rule
     val whole = j.filter(lit(100) * col("__cumw") <= col("__tot") * pPct)
