@@ -2156,6 +2156,32 @@ object SparkEntry {
       val scored = TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
       Mixing.topPByWeight(scored, "doc_id", "source", "quality_score",
         "n_chars", 80)
+    }),
+
+    // ---- REAL pixel resize: synthesize PNGs (q166's spec), resample to
+    // 8×6 with the nearest-neighbor raster pass, re-encode, then DECODE
+    // THE RESIZED BYTES and probe pixel (0,0). The oracle reproduces the
+    // probed pixel from the synthesis formula by modular arithmetic —
+    // nearest-neighbor maps target (0,0) to source (0,0), whose RGB is
+    // (doc_id·FNV64prime) mod 2²⁴ — so a resample, transcode, or channel
+    // bug anywhere in decode→resize→encode→decode changes the answer.
+    // All three codec passes ride batched mapPartitions; pixels never
+    // shuffle.
+    "q173_image_resize" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(16) + pmod(col("doc_id"), lit(32))).cast("int").as("width"),
+        (lit(16) + pmod(col("doc_id") * 7, lit(24))).cast("int").as("height"),
+        (pmod(col("doc_id"), lit(5)) === 0).as("alpha"))
+      val resized = Multimodal.resizeImages(Multimodal.synthesizePngs(spec), 8, 6)
+      val dims = Multimodal.decodeImages(resized).select(
+        col("media_id"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.n_channels").as("n_channels"))
+      dims.join(Multimodal.pixelProbe(resized, 0, 0), Seq("media_id"))
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("n_channels"), col("rgb24"))
     })
   )
 
@@ -2722,6 +2748,17 @@ object SparkEntry {
         FROM q)
       SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
       FROM r WHERE 100 * cb < 80 * tot""",
+
+    // the pixel formula in SQL: corner RGB = (doc_id · 1099511628211)
+    // mod 2²⁴, computed as ((doc_id mod 2²⁴)·(prime mod 2²⁴)) mod 2²⁴ =
+    // ((doc_id mod 16777216)·435) mod 16777216 so the product never
+    // overflows a BIGINT (DuckDB raises on overflow rather than wrapping)
+    "q173_image_resize" -> """
+      SELECT doc_id,
+        CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END AS INT) AS n_channels,
+        CAST(((doc_id % 16777216) * 435) % 16777216 AS INT) AS rgb24
+      FROM documents""",
 
     "q59_stats_moments" -> """
       WITH s AS (

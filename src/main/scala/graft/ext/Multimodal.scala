@@ -186,15 +186,103 @@ object Multimodal {
       length(col("media")).cast("int").as("n_bytes"),
       md5(col("media")).as("payload_md5"))
 
-  /** ===== STUB codec ===== Resize: in production this re-encodes pixels in
-    * the same mapPartitions batch as decode; here only the typed metadata
-    * transform is real. Plumbing (schema evolution, partition preservation)
-    * is the tested part.
+  /** Metadata-level resize for the FRAME-table shape (video metadata
+    * carries no payload to resample); the still-image pixel path is
+    * [[resizeImages]], which does the real raster work.
     */
   def resize(decoded: DataFrame, w: Int, h: Int): DataFrame =
     decoded.withColumn("decoded",
       struct(lit(w).as("width"), lit(h).as("height"),
         col("decoded.n_frames").as("n_frames")))
+
+  /** REAL image resize through the same batched mapPartitions seam as
+    * [[decodeImages]]: javax.imageio decodes the payload, a manual
+    * nearest-neighbor resample (source pixel `(⌊tx·W/w⌋, ⌊ty·H/h⌋)` —
+    * deterministic integer arithmetic, no platform-dependent rendering
+    * pipeline) fills a `w×h` raster preserving the channel count
+    * (RGBA stays 4-band, RGB stays 3-band), and the JDK PNG writer
+    * re-encodes. Payload bytes are decoded, resampled, and re-encoded
+    * inside one partition — nothing pixel-sized ever shuffles, exactly
+    * the thumbnail/tile job a multimodal corpus prep runs. Undecodable
+    * or null payloads pass through with a NULL payload (the quarantine
+    * convention of [[decodeImages]]); non-media columns ride along
+    * unchanged.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int, batchSize: Int = 256): DataFrame = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val enc = org.apache.spark.sql.Encoders.row(media.schema)
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          val resized: Array[Byte] =
+            if (bytes == null) null
+            else try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) null
+              else {
+                val t = if (img.getRaster.getNumBands >= 4)
+                  java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
+                else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+                val out = new java.awt.image.BufferedImage(w, h, t)
+                val (sw, sh) = (img.getWidth, img.getHeight)
+                var ty = 0
+                while (ty < h) {
+                  val sy = (ty.toLong * sh / h).toInt
+                  var tx = 0
+                  while (tx < w) {
+                    out.setRGB(tx, ty, img.getRGB((tx.toLong * sw / w).toInt, sy))
+                    tx += 1
+                  }
+                  ty += 1
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                bos.toByteArray
+              }
+            } catch { case _: java.io.IOException => null }
+          Row.fromSeq(r.toSeq.updated(mediaIdx, resized))
+        }
+      }
+    }(enc)
+  }
+
+  /** Pixel probe for pipeline verification: decode the payload and emit
+    * the 24-bit RGB of pixel `(x, y)` (NULL when the payload is
+    * undecodable or the coordinate is out of bounds). The cheapest REAL
+    * whole-pipeline check a pixel job has: a resample/transcode bug
+    * anywhere upstream changes the probed value, while dimensions alone
+    * would still look right.
+    */
+  def pixelProbe(media: DataFrame, x: Int, y: Int, batchSize: Int = 256): DataFrame = {
+    require(x >= 0 && y >= 0, "probe coordinates must be non-negative")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("rgb24", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          val v: Integer =
+            if (bytes == null) null
+            else try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null || x >= img.getWidth || y >= img.getHeight) null
+              else Integer.valueOf(img.getRGB(x, y) & 0xffffff)
+            } catch { case _: java.io.IOException => null }
+          Row(r.getLong(idIdx), v)
+        }
+      }
+    }(enc)
+  }
 
   /** The batched inference contract for payload → embedding extraction —
     * the production shape of a model forward pass: one call per batch of

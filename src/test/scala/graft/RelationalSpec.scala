@@ -95,6 +95,35 @@ class RelationalSpec extends SparkTestBase {
     assert(magic.sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
   }
 
+  test("multimodal: resizeImages does real raster work, pixelProbe proves it") {
+    val spec = Seq((1L, 20, 30, false), (2L, 8, 4, true))
+      .toDF("media_id", "width", "height", "alpha")
+    val resized = Multimodal.resizeImages(Multimodal.synthesizePngs(spec), 5, 3, batchSize = 1)
+    val dims = Multimodal.decodeImages(resized)
+      .select("media_id", "decoded.width", "decoded.height", "decoded.n_channels", "decoded.ok")
+      .as[(Long, Int, Int, Int, Boolean)].collect().toSet
+    // target size enforced, channel count preserved (RGB stays 3, RGBA stays 4)
+    assert(dims == Set((1L, 5, 3, 3, true), (2L, 5, 3, 4, true)))
+    // nearest-neighbor maps target (0,0) to source (0,0): RGB = low 24
+    // bits of seed·FNV64prime (the synthesis formula)
+    def px(seed: Long, idx: Long) = ((seed * 1099511628211L + idx).toInt) & 0xffffff
+    val corner = Multimodal.pixelProbe(resized, 0, 0)
+      .as[(Long, Option[Int])].collect().toMap
+    assert(corner(1L).contains(px(1L, 0)) && corner(2L).contains(px(2L, 0)))
+    // a non-corner probe: target (1,1) of the 20×30 image maps to source
+    // (⌊1·20/5⌋, ⌊1·30/3⌋) = (4, 10) → pixel index 10·20 + 4
+    val inner = Multimodal.pixelProbe(resized, 1, 1)
+      .as[(Long, Option[Int])].collect().toMap
+    assert(inner(1L).contains(px(1L, 10 * 20 + 4)))
+    // quarantine: undecodable bytes resize to a NULL payload, probe NULL
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "media")
+      .withColumn("meta", struct(lit("png").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("n_frames")))
+    assert(Multimodal.resizeImages(bad, 2, 2).select("media").head().isNullAt(0))
+    assert(Multimodal.pixelProbe(bad, 0, 0).as[(Long, Option[Int])].head()._2.isEmpty)
+  }
+
   test("multimodal: extractFeaturesBatched is deterministic and feeds similarity ops") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("id", "p"), "id", "p", "img")
