@@ -211,8 +211,13 @@ object Multimodal {
   def resizeImages(media: DataFrame, w: Int, h: Int, batchSize: Int = 256): DataFrame = {
     require(w > 0 && h > 0, "target dimensions must be positive")
     require(batchSize >= 1, "batchSize must be >= 1")
-    val enc = org.apache.spark.sql.Encoders.row(media.schema)
     val mediaIdx = media.schema.fieldIndex("media")
+    // the quarantine convention writes NULL payloads for undecodable
+    // bytes, so the output media field must be nullable even when the
+    // input's was not
+    val outSchema = StructType(media.schema.fields.zipWithIndex.map {
+      case (f, i) => if (i == mediaIdx) f.copy(nullable = true) else f })
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.grouped(batchSize).flatMap { batch =>
