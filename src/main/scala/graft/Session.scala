@@ -16,9 +16,26 @@ import org.apache.spark.sql.SparkSession
   *
   * Cluster-size knobs (master, shuffle partitions) stay caller-owned: on a
   * real cluster you want shuffle partitions sized to executors × cores (or
-  * left to AQE coalescing), not a library default.
+  * left to AQE coalescing), not a library default. What the builder DOES
+  * own is the AQE partition-sizing posture: shuffles START at a high
+  * initial partition count and AQE coalesces them down to the advisory
+  * size at runtime — so a small shuffle still collapses to a handful of
+  * tasks, while a corpus-scale gram/pair shuffle keeps enough partitions
+  * to stay under the external-sort spill threshold. (The fixed-32 floor
+  * this replaces put ~30 M rows per task on the 100× replica; re-running
+  * the pair/gram family at 256 initial partitions measured −24 % to −62 %
+  * wall — the BASELINE.md round-9 partition-sizing experiment, now the
+  * default instead of an env override.)
   */
 object Session {
+  /** Initial (pre-coalesce) shuffle partition count: max(256, 8×cores) —
+    * 256 is the measured sf10 sweet spot on 32 cores; a bigger machine
+    * scales it linearly. AQE's coalescing makes over-provisioning cheap
+    * (small shuffles merge back to a few tasks); under-provisioning is
+    * the expensive direction (spill).
+    */
+  def initialShufflePartitions(cores: Int): Int = math.max(256, cores * 8)
+
   def builder(
       appName: String = "graft",
       master: Option[String] = None,
@@ -28,19 +45,30 @@ object Session {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     val withMaster = master.fold(b)(b.master)
     shufflePartitions.fold(withMaster)(n =>
-      withMaster.config("spark.sql.shuffle.partitions", n.toString))
+      withMaster
+        // n is the non-AQE fallback AND the coalesce parallelism floor;
+        // the initial count is where AQE starts before coalescing
+        .config("spark.sql.shuffle.partitions", n.toString)
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          initialShufflePartitions(n).toString))
   }
 
-  /** Local session for tests/tools: `local[cpus]` with matching shuffle
-    * parallelism and no UI.
+  /** Local session for tests/tools: `local[cpus]` with the AQE
+    * initial-count/coalesce posture above (fallback parallelism = cpus)
+    * and no UI. `SPARK_GRAFT_SHUFFLE` still overrides the INITIAL count
+    * for experiments; the default is the measured 256.
     */
-  def local(cpus: Int, appName: String = "graft"): SparkSession =
-    builder(appName, Some(s"local[$cpus]"), Some(cpus))
+  def local(cpus: Int, appName: String = "graft"): SparkSession = {
+    val b = builder(appName, Some(s"local[$cpus]"), Some(cpus))
       .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_SHUFFLE").fold(b)(n =>
+      b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
       .getOrCreate()
+  }
 }

@@ -729,9 +729,16 @@ object SparkEntry {
     // keep candidates ~linear in the corpus (the fixed-(4,8) form measured
     // 28× wall-time at 10× rows on the sf1 replica), tables solved for the
     // 0.9 recall target.
+    // GOVERNED since round 10: the auto plan now runs behind the
+    // candidate-volume pre-flight (q174's arithmetic) — under the 2·10⁹
+    // budget the plan and pairs are IDENTICAL to the ungoverned auto form
+    // (the ×4-SF pins are unchanged); over it (the sf10/θ=0.4 regime that
+    // once filled the sandbox disk) the operator refuses with the estimate
+    // in seconds instead of spilling for an hour.
     "q73_cosine_pairs_bucketed" -> ((s, dir) => {
-      Similarity.cosineNearDupPairsAuto(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      Similarity.cosineNearDupPairsGoverned(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
+        budgetPairs = 2000000000L)
         .select(col("id_a"), col("id_b"))
     }),
 
@@ -2182,6 +2189,56 @@ object SparkEntry {
       dims.join(Multimodal.pixelProbe(resized, 0, 0), Seq("media_id"))
         .select(col("media_id").as("doc_id"), col("width"), col("height"),
           col("n_channels"), col("rgb24"))
+    }),
+
+    // ---- Pair-enumeration output governance: the pre-flight every
+    // exhaustive pair job must pass. One count probe + one count-only
+    // bucket aggregate — the exact candidate volume the q73 plan would
+    // shuffle, computed WITHOUT materializing a pair. within_budget flips
+    // false exactly where the ungoverned job once filled the disk (the
+    // 100× replica at θ=0.4); at the driver SFs it documents the margin.
+    "q174_pair_budget" -> ((s, dir) => {
+      Similarity.pairBudgetReport(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
+        budgetPairs = 2000000000L)
+    }),
+
+    // q174 companion: the estimate is EXACT, not heuristic — re-deriving
+    // the candidate volume by actually running the generator's join
+    // (pre-distinct, id_a < id_b; ids unique here) must give the same
+    // number. Emits only disagreement rows — empty, WHERE FALSE oracle.
+    "q175_pair_budget_check" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (planes, tables) = Similarity.lshPlan(e.count(), 0.4)
+      val est = Similarity.estimateBucketedCandidates(e, "vec_id", "embedding", planes, tables)
+      val actual = Similarity.actualBucketedCandidates(e, "vec_id", "embedding", planes, tables)
+      import s.implicits._
+      Seq((est, actual)).toDF("est_candidates", "actual_candidates")
+        .filter(col("est_candidates") =!= col("actual_candidates"))
+    }),
+
+    // ---- Mixed-format media: PNG and JPEG payloads in ONE table, decoded
+    // through the ONE decodeImages seam — javax.imageio dispatches the
+    // reader plugin from each payload's magic bytes, so this proves format
+    // DISPATCH, not just the PNG path. Per-format lossless decode
+    // properties (dimensions sum, channel counts, ok count) are
+    // oracle-derivable from the spec formulas; JPEG pixel tolerance lives
+    // in the spec (lossy codec — exact pixels are quantizer-dependent).
+    "q176_mixed_media" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(16) + pmod(col("doc_id"), lit(32))).cast("int").as("width"),
+        (lit(16) + pmod(col("doc_id") * 7, lit(24))).cast("int").as("height"),
+        (pmod(col("doc_id"), lit(10)) === 0).as("alpha"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "png").otherwise("jpeg").as("format"))
+      Multimodal.decodeImages(Multimodal.synthesizeMedia(spec))
+        .groupBy(col("meta.format").as("format"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("decoded.ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(col("decoded.width").cast("long")).as("sum_width"),
+          sum(col("decoded.height").cast("long")).as("sum_height"),
+          min(col("decoded.n_channels")).as("min_channels"),
+          max(col("decoded.n_channels")).as("max_channels"))
     })
   )
 
@@ -2710,7 +2767,8 @@ object SparkEntry {
     // division, div is Spark's — both truncate toward zero on these
     // non-negative counts
     "q171_skew_profile" -> """
-      WITH c AS (SELECT CAST(lang AS VARCHAR) AS key, COUNT(*) AS cnt
+      WITH c AS (SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS key,
+                        COUNT(*) AS cnt
                  FROM documents GROUP BY 1),
            tot AS (SELECT SUM(cnt) AS total FROM c)
       SELECT key, cnt,
@@ -3959,7 +4017,29 @@ object SparkEntry {
         CAST(t1.nd AS DOUBLE) / t1.n_tok AS distinct_ratio,
         CASE WHEN g2.n2 = 0 THEN 0.0
              ELSE 1.0 - CAST(g2.d2 AS DOUBLE) / g2.n2 END AS dup_2gram_ratio
-      FROM t1 JOIN g2 USING (doc_id)"""
+      FROM t1 JOIN g2 USING (doc_id)""",
+
+    // q175: the estimate-vs-actual disagreement frame is empty by the
+    // counting identity Σ c·(c−1)/2 = |{(a,b): a<b, same bucket}| for
+    // unique ids — WHERE FALSE oracle
+    "q175_pair_budget_check" -> """
+      SELECT CAST(vec_id AS BIGINT) AS est_candidates,
+             CAST(vec_id AS BIGINT) AS actual_candidates
+      FROM embeddings WHERE FALSE""",
+
+    // q176: every lossless decode property derives from the synthesis
+    // formulas — dims from the spec arithmetic, channels from the
+    // format/alpha rule (JPEG always 3-band; PNG 4-band iff alpha, i.e.
+    // doc_id ≡ 0 (mod 10)), all payloads decodable
+    "q176_mixed_media" -> """
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        COUNT(*) AS n_media,
+        COUNT(*) AS n_ok,
+        CAST(SUM(16 + doc_id % 32) AS BIGINT) AS sum_width,
+        CAST(SUM(16 + (doc_id * 7) % 24) AS BIGINT) AS sum_height,
+        CAST(MIN(CASE WHEN doc_id % 2 = 0 AND doc_id % 10 = 0 THEN 4 ELSE 3 END) AS INT) AS min_channels,
+        CAST(MAX(CASE WHEN doc_id % 2 = 0 AND doc_id % 10 = 0 THEN 4 ELSE 3 END) AS INT) AS max_channels
+      FROM documents GROUP BY 1"""
   )
 
   // ===========================================================================
@@ -4016,7 +4096,9 @@ object SparkEntry {
       "q155_cluster_sample" -> "vec_id:bigint,cell:bigint",
       "q157_incremental_overlap" ->
         "source_existing:string,source_incoming:string,n_pairs:bigint",
-      "q159_degree_distribution" -> "degree:bigint,n_docs:bigint")
+      "q159_degree_distribution" -> "degree:bigint,n_docs:bigint",
+      "q174_pair_budget" ->
+        "n_vectors:bigint,planes:int,tables:int,est_candidates:bigint,budget_pairs:bigint,within_budget:boolean")
     val rows = Map(
       "sf0.001" -> Map(
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
@@ -4027,7 +4109,7 @@ object SparkEntry {
         "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10118L,
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
-        "q159_degree_distribution" -> 104L),
+        "q159_degree_distribution" -> 104L, "q174_pair_budget" -> 1L),
       "sf0.01" -> Map(
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4037,7 +4119,7 @@ object SparkEntry {
         "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10262L,
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
-        "q159_degree_distribution" -> 101L),
+        "q159_degree_distribution" -> 101L, "q174_pair_budget" -> 1L),
       "sf0.1" -> Map(
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4047,7 +4129,7 @@ object SparkEntry {
         "q111_semantic_dedup" -> 2000L, "q118_incremental_dedup" -> 452469L,
         "q131_semantic_ingest" -> 1600L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 400L, "q157_incremental_overlap" -> 400L,
-        "q159_degree_distribution" -> 487L),
+        "q159_degree_distribution" -> 487L, "q174_pair_budget" -> 1L),
       "sf1" -> Map(
         "q27_minhash_lsh" -> 29682497L, "q28_simhash" -> 6190L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4057,7 +4139,20 @@ object SparkEntry {
         "q111_semantic_dedup" -> 20000L, "q118_incremental_dedup" -> 452469L,
         "q131_semantic_ingest" -> 19600L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 4029L, "q157_incremental_overlap" -> 400L,
-        "q159_degree_distribution" -> 528L))
+        "q159_degree_distribution" -> 528L, "q174_pair_budget" -> 1L),
+      // 100× replica (basename `sf10`, ScaleUp factor 100): the
+      // SCALE-INVARIANT heads only — 10 fixed queries × k=5 top-k (50
+      // rows), 10-row recall frames, the 3-group HLL check, and the
+      // 1-row budget report (which flips within_budget=false here — the
+      // governed regime). Corpus-sized outputs (pair sets, dedup frames)
+      // are pinned through sf1; at sf10 they are timed by ScaleBench, and
+      // q73's governed path refuses by design.
+      "sf10" -> Map(
+        "q30_lsh_topk" -> 50L, "q53_approx_distinct" -> 3L,
+        "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
+        "q71_ivf_recall" -> 10L, "q87_sq8_topk" -> 50L,
+        "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
+        "q174_pair_budget" -> 1L))
     rows.map { case (sf, m) => sf -> m.map { case (q, r) => q -> (r, schemas(q)) } }
   }
 }

@@ -18,8 +18,10 @@ object Verify {
     // two dimensions that ARE deterministic — row count and schema — against
     // the pins in SparkEntry.partialExpectations, and emit the result as
     // partial_checks.json next to the dump.
+    // replica dirs are named graft_sf1 / graft_sf10 — same pin keys as a
+    // bare sf1 / sf10 basename
     val pins = SparkEntry.partialExpectations
-      .getOrElse(new java.io.File(sfDir).getName, Map.empty)
+      .getOrElse(new java.io.File(sfDir).getName.stripPrefix("graft_"), Map.empty)
     val partial = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

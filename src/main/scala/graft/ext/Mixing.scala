@@ -249,9 +249,27 @@ object Mixing {
     * Rows with NULL or non-positive weight are excluded: they cannot
     * spend budget, and zero-weight rows would turn the strict-< prefix
     * rule's whole-bucket shortcut into an off-by-one. Rows with a NULL
-    * score are excluded for the same reason (no rank, no budget).
-    * Callers wanting to keep them coalesce/clamp before the call.
-    * Emits `(id, domain, weight)` of the kept rows.
+    * or NaN score are excluded for the same reason (no rank, no budget —
+    * NaN would also rank inconsistently across the sort and the
+    * `floor(score·256)` bucket cast, which sends NaN to bucket 0 while
+    * the sort puts it above every double). Callers wanting to keep them
+    * coalesce/clamp before the call. Emits `(id, domain, weight)` of the
+    * kept rows.
+    *
+    * Degenerate score distributions (constant or heavily quantized
+    * scores — e.g. every row scoring 1.0 after a boolean gate) collapse a
+    * whole domain into ONE score bucket, so the boundary bucket gets the
+    * SAME two-phase treatment again instead of one row-level window:
+    * sub-chunks keyed by `(exact score, integer-id range chunk)` — both
+    * components order-consistent with the `(score DESC, id ASC)` row
+    * order, the id chunk by truncating division of the id by a range-
+    * derived width (monotone for positive widths, ≤ ~512 chunks) —
+    * cumulate at chunk level, and only the ONE crossing chunk (~1/256th
+    * of the tie group) runs a row-level running-sum window. For
+    * non-integral id types the id chunk degenerates to one chunk per
+    * exact score: quantized scores still chunk, but a CONSTANT-score
+    * domain with string ids falls back to the row-level window
+    * (documented limitation; integral ids — the norm — stay bounded).
     */
   def topPByWeight(df: DataFrame, idCol: String, domainCol: String,
       scoreCol: String, weightCol: String, pPct: Int): DataFrame = {
@@ -260,7 +278,7 @@ object Mixing {
       .select(col(idCol), col(domainCol),
         col(scoreCol).cast("double").as("__s"),
         col(weightCol).cast("long").as("__w"))
-      .filter(col("__w") > 0 && col("__s").isNotNull)
+      .filter(col("__w") > 0 && col("__s").isNotNull && !isnan(col("__s")))
       .withColumn("__b", least(lit(255), floor(col("__s") * 256)).cast("int"))
     val bcum = rows.groupBy(col(domainCol), col("__b"))
       .agg(sum(col("__w")).as("__bw"))
@@ -277,17 +295,59 @@ object Mixing {
     // cum-before ≤ __cumw − 1) satisfies the strict rule
     val whole = j.filter(lit(100) * col("__cumw") <= col("__tot") * pPct)
       .select(col(idCol), col(domainCol), col("__w").as("weight"))
-    val boundary = j
+    // ---- boundary bucket: recurse the two-phase selection (see scaladoc).
+    // Exactly ONE bucket per domain crosses the budget (weights positive,
+    // cum strictly increasing), so per-domain offsets below are constants.
+    val boundary0 = j
       .filter(lit(100) * col("__cumw") > col("__tot") * pPct &&
         lit(100) * (col("__cumw") - col("__bw")) < col("__tot") * pPct)
+    val idIsIntegral = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val withChunk =
+      if (idIsIntegral) {
+        // id range chunks: width from div-by-256 endpoints (overflow-safe
+        // for any long range); truncating `div` is monotone for positive
+        // widths, so chunks are contiguous intervals of the id order
+        val stats = boundary0.groupBy(col(domainCol))
+          .agg(min(col(idCol).cast("long")).as("__idmin"),
+            max(col(idCol).cast("long")).as("__idmax"))
+        boundary0.join(broadcast(stats), Seq(domainCol))
+          .withColumn("__idl", col(idCol).cast("long"))
+          .withColumn("__wd", expr("(__idmax div 256) - (__idmin div 256) + 1"))
+          .withColumn("__c", expr("(__idl div __wd) - (__idmin div __wd)"))
+      } else boundary0.withColumn("__c", lit(0L))
+    // chunk-level cumulate over (score DESC, chunk ASC) — the coarsened
+    // row order; __off (weight in the buckets before this one) is constant
+    // per domain, min() just carries it through the agg
+    val ccum = withChunk.groupBy(col(domainCol), col("__s"), col("__c"))
+      .agg(sum(col("__w")).as("__cw"),
+        min(col("__cumw") - col("__bw")).as("__off"))
+      .withColumn("__cumc", sum(col("__cw")).over(
+        Window.partitionBy(col(domainCol)).orderBy(col("__s").desc, col("__c").asc)))
+    val j2 = withChunk.select(col(idCol), col(domainCol), col("__s"),
+        col("__w"), col("__c"), col("__tot"))
+      .join(ccum, Seq(domainCol, "__s", "__c"))
+    // whole-kept chunks: same ≥1-weight argument as whole-kept buckets
+    val wholeChunks = j2
+      .filter(lit(100) * (col("__off") + col("__cumc")) <= col("__tot") * pPct)
+      .select(col(idCol), col(domainCol), col("__w").as("weight"))
+    // the ONE crossing chunk: row-level running sum, ordered id ASC (all
+    // rows in a chunk share the exact score, so id is the full residual
+    // order) — partition size ≈ tie-group/256, never a whole domain
+    val boundary = j2
+      .filter(lit(100) * (col("__off") + col("__cumc")) > col("__tot") * pPct &&
+        lit(100) * (col("__off") + col("__cumc") - col("__cw")) < col("__tot") * pPct)
       .withColumn("__wb", coalesce(sum(col("__w")).over(
-        Window.partitionBy(col(domainCol), col("__b"))
-          .orderBy(col("__s").desc, col(idCol).asc)
+        Window.partitionBy(col(domainCol), col("__s"), col("__c"))
+          .orderBy(col(idCol).asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(lit(100) * (col("__cumw") - col("__bw") + col("__wb")) <
+      .filter(lit(100) * (col("__off") + col("__cumc") - col("__cw") + col("__wb")) <
         col("__tot") * pPct)
       .select(col(idCol), col(domainCol), col("__w").as("weight"))
-    whole.unionByName(boundary)
+    whole.unionByName(wholeChunks).unionByName(boundary)
   }
 
   /** Epoch-style repeat factors toward `targetTotal` rows at the target

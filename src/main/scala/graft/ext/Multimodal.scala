@@ -129,6 +129,66 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic REAL JPEG bytes through the JDK's ImageIO JPEG writer —
+    * the second format behind the same codec seam. JPEG is 3-band only
+    * (no alpha) and LOSSY: byte payloads and decoded pixel values are
+    * encoder/quantizer-dependent, so downstream checks pin the LOSSLESS
+    * decode properties (dimensions, channel count, format dispatch) and
+    * bound pixel error with a tolerance, never exact JPEG pixels. Pixels
+    * are a `seed`-derived flat-ish gradient (smooth content keeps the
+    * round-trip error within a few quantization steps).
+    */
+  def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, "image dimensions must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val base = (seed * 1099511628211L).toInt & 0xffffff
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        // smooth gradient around a seed-derived base color: JPEG-friendly
+        val r = ((base >> 16) & 0xff) / 2 + 64 + (x * 2 % 32)
+        val g = ((base >> 8) & 0xff) / 2 + 64 + (y * 2 % 32)
+        val b = (base & 0xff) / 2 + 64
+        img.setRGB(x, y, 0xff000000 | (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Mixed-format media synthesis from a spec frame with columns
+    * `(media_id long, width int, height int, alpha boolean,
+    * format string)` where format ∈ {"png", "jpeg"} — the fixture that
+    * makes format DISPATCH real: downstream decode goes through the one
+    * [[decodeImages]] seam, and javax.imageio selects the reader plugin
+    * from the payload's magic bytes, not from metadata. JPEG ignores the
+    * alpha flag (the format has no alpha channel). Same mapPartitions
+    * discipline as [[synthesizePngs]].
+    */
+  def synthesizeMedia(spec: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val (idI, wI, hI, aI, fI) = (spec.schema.fieldIndex("media_id"),
+      spec.schema.fieldIndex("width"), spec.schema.fieldIndex("height"),
+      spec.schema.fieldIndex("alpha"), spec.schema.fieldIndex("format"))
+    spec.mapPartitions { rows =>
+      rows.map { r =>
+        val fmt = r.getString(fI)
+        val bytes = fmt match {
+          case "png" => encodePng(r.getInt(wI), r.getInt(hI), r.getBoolean(aI), r.getLong(idI))
+          case "jpeg" => encodeJpeg(r.getInt(wI), r.getInt(hI), r.getLong(idI))
+          case other => throw new IllegalArgumentException(
+            s"synthesizeMedia: unsupported format '$other' (png|jpeg)")
+        }
+        Row(r.getLong(idI), bytes, Row(fmt, null, null, null))
+      }
+    }(enc)
+  }
+
   /** REAL image decode through the batched mapPartitions boundary:
     * javax.imageio parses each payload (PNG/JPEG/GIF/BMP — whatever the
     * JDK's registered readers handle) and emits
@@ -162,7 +222,10 @@ object Multimodal {
               val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
               if (img == null) Row(0, 0, 0, false)
               else Row(img.getWidth, img.getHeight, img.getRaster.getNumBands, true)
-            } catch { case _: java.io.IOException => Row(0, 0, 0, false) }
+              // NonFatal, not IOException: imageio readers throw RuntimeException
+              // subclasses (IllegalArgument, ArrayIndexOutOfBounds, …) on some
+              // malformed payloads — the quarantine contract covers those too
+            } catch { case scala.util.control.NonFatal(_) => Row(0, 0, 0, false) }
           Row.fromSeq(r.toSeq :+ dec)
         }
       }
@@ -248,7 +311,9 @@ object Multimodal {
                 javax.imageio.ImageIO.write(out, "png", bos)
                 bos.toByteArray
               }
-            } catch { case _: java.io.IOException => null }
+              // NonFatal (see decodeImages): malformed bytes must quarantine,
+              // whatever exception type the reader throws
+            } catch { case scala.util.control.NonFatal(_) => null }
           Row.fromSeq(r.toSeq.updated(mediaIdx, resized))
         }
       }
@@ -282,7 +347,8 @@ object Multimodal {
               val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
               if (img == null || x >= img.getWidth || y >= img.getHeight) null
               else Integer.valueOf(img.getRGB(x, y) & 0xffffff)
-            } catch { case _: java.io.IOException => null }
+              // NonFatal (see decodeImages): quarantine any reader exception
+            } catch { case scala.util.control.NonFatal(_) => null }
           Row(r.getLong(idIdx), v)
         }
       }

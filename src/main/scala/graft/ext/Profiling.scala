@@ -190,7 +190,13 @@ object Profiling {
   def skewProfile(df: DataFrame, keyCol: String, parts: Int, topK: Int): DataFrame = {
     require(parts > 0, s"parts must be positive, got $parts")
     require(topK > 0, s"topK must be positive, got $topK")
-    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+    // NULL keys fold into one labeled sentinel group: a NULL shuffle key is
+    // itself a (often THE) skew hotspot, so it must appear in the profile —
+    // and a string sentinel keeps the (cnt DESC, key ASC) cut a total order
+    // with identical NULL placement in every engine (Spark sorts NULL first
+    // ASC, DuckDB last — the sentinel removes the divergence).
+    val counts = df.groupBy(
+        coalesce(col(keyCol).cast("string"), lit("<null>")).as("key"))
       .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("__total"))
     counts.crossJoin(broadcast(total))

@@ -404,6 +404,104 @@ object Similarity {
     cosineNearDupPairsBucketed(df, idCol, vecCol, threshold, planes, tables)
   }
 
+  /** Refusal signal of the governed pair enumeration: carries the
+    * pre-flight estimate so the caller (or the operator's log line) can
+    * size a re-plan instead of discovering the volume at spill time.
+    */
+  final class PairBudgetExceededException(
+      val estimatedCandidates: Long, val budgetPairs: Long,
+      val planes: Int, val tables: Int)
+    extends IllegalStateException(
+      s"pair enumeration refused: estimated $estimatedCandidates candidate " +
+      s"pairs (planes=$planes, tables=$tables) exceed budgetPairs=" +
+      s"$budgetPairs — raise the budget, raise the threshold, or route " +
+      "through cell-pruned discovery (semanticDedupAuto) / top-k " +
+      "(lshSq8TopK) instead of exhaustive pair materialization")
+
+  /** EXACT candidate-pair volume of the bucketed generator at
+    * `(numPlanes, tables)` — Σ over (table, bucket) of c·(c−1)/2, one
+    * count-only aggregate over the bucket memberships (the factored-count
+    * pattern of [[Dedup.minhashSourceOverlap]]: the number the join WOULD
+    * produce, computed without materializing a single pair). This is the
+    * pre-distinct candidate row count — the quantity that actually hits
+    * the shuffle/spill — so it upper-bounds every downstream stage.
+    */
+  def estimateBucketedCandidates(df: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, tables: Int): Long = {
+    GraftFunctions.register(df.sparkSession)
+    val r = lshBucketed(df, idCol, vecCol, numPlanes, tables, "id", "v")
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).cast("long").as("est"))
+      .collect()
+    if (r.isEmpty || r.head.isNullAt(0)) 0L else r.head.getLong(0)
+  }
+
+  /** The [[cosineNearDupPairsAuto]] plan WITH an output-budget pre-flight:
+    * before any pair materializes, the candidate volume at the chosen
+    * (planes, tables) is counted exactly from per-bucket occupancies (one
+    * cheap agg — see [[estimateBucketedCandidates]]) and the operator
+    * REFUSES with the estimate ([[PairBudgetExceededException]]) when it
+    * exceeds `budgetPairs`. A 100-TB pair job must be told its output
+    * volume up front, not discover it at spill time: the ungoverned form
+    * at θ=0.4 on the 100× replica produced an estimated ~10¹⁰ candidate
+    * rows and filled the sandbox disk before being stopped — under the
+    * guard the same call returns this exception, estimate attached, in
+    * seconds. Under budget, the output is IDENTICAL to
+    * [[cosineNearDupPairsAuto]] (same plan, same pairs — q73 pins it).
+    */
+  def cosineNearDupPairsGoverned(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, budgetPairs: Long, targetOccupancy: Int = 32,
+      recallTarget: Double = 0.9, maxTables: Int = 32): DataFrame = {
+    require(budgetPairs > 0, "budgetPairs must be positive")
+    val (planes, tables) = lshPlan(df.count(), threshold,
+      targetOccupancy = targetOccupancy, recallTarget = recallTarget,
+      maxTables = maxTables)
+    val est = estimateBucketedCandidates(df, idCol, vecCol, planes, tables)
+    if (est > budgetPairs)
+      throw new PairBudgetExceededException(est, budgetPairs, planes, tables)
+    cosineNearDupPairsBucketed(df, idCol, vecCol, threshold, planes, tables)
+  }
+
+  /** Non-throwing surface of the budget guard — the planning artifact an
+    * orchestrator inspects before launching the pair job: one row of
+    * `(n_vectors, planes, tables, est_candidates, budget_pairs,
+    * within_budget)`. Same arithmetic as [[cosineNearDupPairsGoverned]]'s
+    * pre-flight; the whole report costs one count probe plus one
+    * count-only bucket aggregate, at ANY corpus size.
+    */
+  def pairBudgetReport(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, budgetPairs: Long, targetOccupancy: Int = 32,
+      recallTarget: Double = 0.9, maxTables: Int = 32): DataFrame = {
+    val n = df.count()
+    val (planes, tables) = lshPlan(n, threshold,
+      targetOccupancy = targetOccupancy, recallTarget = recallTarget,
+      maxTables = maxTables)
+    val est = estimateBucketedCandidates(df, idCol, vecCol, planes, tables)
+    val s = df.sparkSession
+    import s.implicits._
+    Seq((n, planes, tables, est, budgetPairs, est <= budgetPairs))
+      .toDF("n_vectors", "planes", "tables", "est_candidates", "budget_pairs",
+        "within_budget")
+  }
+
+  /** Witness substrate for [[estimateBucketedCandidates]]: the ACTUAL
+    * candidate row count, materialized through the same join the pair
+    * generator runs (pre-distinct, id_a < id_b). Quadratic — for the
+    * witness query at oracle scale only, never the planning path.
+    */
+  private[graft] def actualBucketedCandidates(df: DataFrame, idCol: String,
+      vecCol: String, numPlanes: Int, tables: Int): Long = {
+    GraftFunctions.register(df.sparkSession)
+    val b = lshBucketed(df, idCol, vecCol, numPlanes, tables, "id", "v")
+      .select(col("tbl"), col("bucket"), col("id"))
+    b.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(b.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .count()
+  }
+
   /** Per-dimension SQ8 grid (mins, scales) fitted on the corpus: one
     * posexplode + groupBy(dim) min/max pass, then a `dims`-row collect —
     * like IVF centroids, a model parameter, not a data collect (64 rows for

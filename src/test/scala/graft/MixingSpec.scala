@@ -175,4 +175,83 @@ class MixingSpec extends SparkTestBase {
     val all = Mixing.topPByWeight(df, "id", "dom", "s", "wt", 100)
     assert(all.count() == 300)
   }
+
+  test("topPByWeight: NaN scores are excluded like NULLs") {
+    // NaN sorts ABOVE every double in (s DESC) but floor(NaN·256) casts to
+    // bucket 0 — the two-phase path and a naive window would disagree on
+    // where it lands, so the contract excludes it outright (ADVICE r9)
+    val df = Seq(
+      (1L, "a", 0.9, 10L), (2L, "a", 0.5, 10L), (3L, "a", 0.1, 10L),
+      (4L, "a", Double.NaN, 100L)).toDF("id", "dom", "s", "wt")
+    val got = Mixing.topPByWeight(df, "id", "dom", "s", "wt", 50)
+      .select("id").as[Long].collect().toSet
+    // NaN row neither appears nor spends budget: tot=30, keep cb<15 -> ids 1,2
+    assert(got == Set(1L, 2L))
+  }
+
+  test("topPByWeight: constant-score domain stays bounded (degenerate distribution)") {
+    // 100k rows, ONE domain, every score identical — the shape that
+    // collapsed the whole domain into one boundary-bucket window before
+    // the two-level cumulate. Selection must stay exact AND the row-level
+    // window must partition by the id-range chunk, never the whole domain.
+    val n = 100000
+    val df = spark.range(1, n + 1).select(
+      col("id"), lit("web").as("dom"), lit(1.0).as("s"), lit(1L).as("wt"))
+    val got = Mixing.topPByWeight(df, "id", "dom", "s", "wt", 50)
+    // all scores tie -> order is id ASC; keep iff 100·(i−1) < 50·n
+    assert(got.count() == n / 2)
+    val ids = got.select(max(col("id")).as("m"), min(col("id")).as("l"))
+      .as[(Long, Long)].head()
+    assert(ids == ((n / 2).toLong, 1L))
+    // structural: the boundary row-level window partitions by the chunk
+    // column __c (id-range sub-chunks), so no window partition is ever a
+    // whole constant-score domain
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("__c"))
+    // chunk width for ids 1..100k: (100000 div 256) - 0 + 1 = 391 ->
+    // every chunk ≤ 391 rows; recompute the operator's chunk key and
+    // assert the bound holds over the whole domain
+    val maxChunk = df.select((col("id") / lit(391)).cast("long").as("c"))
+      .groupBy("c").count().agg(max("count")).as[Long].head()
+    assert(maxChunk <= 391L)
+  }
+
+  test("topPByWeight: quantized scores + string ids fall back per exact score, still exact") {
+    // non-integral id type: the id-range chunk degenerates to one chunk
+    // per exact score — quantized (few-distinct) scores still avoid the
+    // whole-domain window, and the output stays bit-identical to naive
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map { i =>
+      (f"doc$i%04d", "a", (i % 4) / 4.0, (1 + i % 5).toLong)
+    }.toDF("id", "dom", "s", "wt")
+    val p = 40
+    val w = Window.partitionBy(col("dom")).orderBy(col("s").desc, col("id").asc)
+    val naive = df
+      .withColumn("cb", coalesce(sum(col("wt")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("wt")).over(Window.partitionBy(col("dom"))))
+      .filter(lit(100) * col("cb") < col("tot") * p)
+      .select(col("id"), col("dom"), col("wt").as("weight"))
+    val got = Mixing.topPByWeight(df, "id", "dom", "s", "wt", p)
+    assert(rows(got) == rows(naive))
+  }
+
+  test("topPByWeight: negative and extreme long ids chunk monotonically") {
+    // truncating `div` must stay order-consistent across the sign
+    // boundary; exactness is the witness
+    import org.apache.spark.sql.expressions.Window
+    val df = ((-250 to 249).map { i =>
+      (i.toLong * 1000003L, "a", 0.5, (1 + math.abs(i) % 3).toLong)
+    }).toDF("id", "dom", "s", "wt")
+    val p = 30
+    val w = Window.partitionBy(col("dom")).orderBy(col("s").desc, col("id").asc)
+    val naive = df
+      .withColumn("cb", coalesce(sum(col("wt")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("wt")).over(Window.partitionBy(col("dom"))))
+      .filter(lit(100) * col("cb") < col("tot") * p)
+      .select(col("id"), col("dom"), col("wt").as("weight"))
+    val got = Mixing.topPByWeight(df, "id", "dom", "s", "wt", p)
+    assert(rows(got) == rows(naive))
+  }
 }

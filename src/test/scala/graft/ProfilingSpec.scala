@@ -95,4 +95,15 @@ class ProfilingSpec extends SparkTestBase {
     assert(Profiling.skewProfile(uni, "k", 4, 8).collect()
       .forall(_.getLong(3) == 1L))
   }
+
+  test("skewProfile: NULL keys fold into the '<null>' sentinel group") {
+    // a NULL shuffle key is often THE hotspot — it must appear in the
+    // profile, with engine-neutral ordering (Spark sorts NULL first ASC,
+    // DuckDB last; the sentinel removes the divergence — ADVICE r9)
+    val df = (Seq.fill(5)(Option.empty[String]) ++
+      Seq.fill(3)(Some("en")) ++ Seq.fill(2)(Some("fr"))).toDF("k")
+    val got = Profiling.skewProfile(df, "k", parts = 2, topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("<null>", 5L), ("en", 3L), ("fr", 2L)))
+  }
 }

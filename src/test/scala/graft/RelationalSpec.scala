@@ -124,6 +124,75 @@ class RelationalSpec extends SparkTestBase {
     assert(Multimodal.pixelProbe(bad, 0, 0).as[(Long, Option[Int])].head()._2.isEmpty)
   }
 
+  test("multimodal: JPEG encodes real JFIF bytes; mixed table dispatches by magic bytes") {
+    // one table, two formats: decode goes through the ONE decodeImages
+    // seam and javax.imageio picks the reader from payload magic, not
+    // metadata — format dispatch, not just the PNG plugin
+    val spec = Seq(
+      (1L, 20, 12, false, "png"), (2L, 9, 7, true, "png"),
+      (3L, 20, 12, false, "jpeg"), (4L, 9, 7, false, "jpeg")
+    ).toDF("media_id", "width", "height", "alpha", "format")
+    val media = Multimodal.synthesizeMedia(spec)
+    // real container bytes: PNG magic on png rows, JFIF SOI on jpeg rows
+    val magics = media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(magics(1L).take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    assert((magics(3L)(0) & 0xff) == 0xff && (magics(3L)(1) & 0xff) == 0xd8)
+    val got = Multimodal.decodeImages(media, batchSize = 2)
+      .select("media_id", "decoded.width", "decoded.height", "decoded.n_channels", "decoded.ok")
+      .as[(Long, Int, Int, Int, Boolean)].collect().toSet
+    // lossless properties are exact for BOTH formats: dimensions, channel
+    // count (JPEG is always 3-band; PNG carries alpha), decodability
+    assert(got == Set(
+      (1L, 20, 12, 3, true), (2L, 9, 7, 4, true),
+      (3L, 20, 12, 3, true), (4L, 9, 7, 3, true)))
+    // JPEG is lossy: pixels are bounded, not exact — the (0,0) pixel of
+    // the smooth gradient must land within a few quantization steps of
+    // the encoded color (measured ≤5/channel on the JDK encoder; 16 is
+    // the contract)
+    def expected(seed: Long): (Int, Int, Int) = {
+      val base = (seed * 1099511628211L).toInt & 0xffffff
+      (((base >> 16) & 0xff) / 2 + 64, ((base >> 8) & 0xff) / 2 + 64, (base & 0xff) / 2 + 64)
+    }
+    val probes = Multimodal.pixelProbe(media.filter(col("media_id") >= 3L), 0, 0)
+      .as[(Long, Option[Int])].collect().toMap
+    for (id <- Seq(3L, 4L)) {
+      val (er, eg, eb) = expected(id)
+      val v = probes(id).get
+      assert(math.abs(((v >> 16) & 0xff) - er) <= 16
+        && math.abs(((v >> 8) & 0xff) - eg) <= 16
+        && math.abs((v & 0xff) - eb) <= 16,
+        s"jpeg pixel off: id=$id got=${v.toHexString} expected≈($er,$eg,$eb)")
+    }
+    // unsupported format is a loud error, not silent bytes
+    val badSpec = Seq((9L, 4, 4, false, "tiff"))
+      .toDF("media_id", "width", "height", "alpha", "format")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.synthesizeMedia(badSpec).collect()
+    }
+  }
+
+  test("multimodal: quarantine survives malformed container headers of several formats") {
+    // truncated BMP (EOFException), truncated JPEG and malformed GIF
+    // (IIOException) — plus whatever RuntimeException a hostile payload
+    // provokes: the catch is NonFatal, so decode/resize/probe quarantine
+    // rather than die (ADVICE r9)
+    val payloads = Seq(
+      (1L, Array[Byte](0x42, 0x4d, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)),
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 0, 0, 0, 0)),
+      (3L, Array[Byte](0x47, 0x49, 0x46, 0x38, 0x39, 0x61, 1, 0, 1, 0, 0x80.toByte, 0, 0, 1, 2, 3)))
+    val media = payloads.toDF("media_id", "media")
+      .withColumn("meta", struct(lit("png").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("n_frames")))
+    val dec = Multimodal.decodeImages(media).select("decoded.ok").as[Boolean].collect()
+    assert(dec.length == 3 && dec.forall(!_))
+    assert(Multimodal.resizeImages(media, 2, 2).select("media")
+      .collect().forall(_.isNullAt(0)))
+    assert(Multimodal.pixelProbe(media, 0, 0).as[(Long, Option[Int])]
+      .collect().forall(_._2.isEmpty))
+  }
+
   test("multimodal: extractFeaturesBatched is deterministic and feeds similarity ops") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("id", "p"), "id", "p", "img")

@@ -268,4 +268,52 @@ class SimilaritySpec extends SparkTestBase {
     val again = Similarity.clusterSample(emb, "vec_id", "embedding", frac)
     assert(rows(sample.select("vec_id", "cell")) == rows(again.select("vec_id", "cell")))
   }
+
+  test("pair budget guard: refusal triggers on a low-θ clustered corpus, estimate attached") {
+    // 200 IDENTICAL vectors: every row lands in the same bucket in every
+    // table, so the candidate volume is exactly tables · C(200,2) — the
+    // synthetic version of the θ=0.4 regime that once filled the disk
+    val clustered = spark.range(1, 201)
+      .select(col("id").as("vec_id"),
+        typedLit(Array(1.0f, 0.0f, 0.0f)).as("embedding"))
+    val ex = intercept[Similarity.PairBudgetExceededException] {
+      Similarity.cosineNearDupPairsGoverned(
+        clustered, "vec_id", "embedding", 0.4, budgetPairs = 1000L)
+    }
+    assert(ex.budgetPairs == 1000L)
+    assert(ex.estimatedCandidates == ex.tables.toLong * (200L * 199L / 2))
+    // the refusal is a pre-flight: raise the budget above the estimate and
+    // the SAME call proceeds
+    val pairs = Similarity.cosineNearDupPairsGoverned(
+      clustered, "vec_id", "embedding", 0.4,
+      budgetPairs = ex.estimatedCandidates)
+    assert(pairs.count() == 200L * 199L / 2) // all-identical: every pair passes
+  }
+
+  test("pair budget guard: under budget the governed plan is IDENTICAL to the auto plan") {
+    val governed = Similarity.cosineNearDupPairsGoverned(
+      emb, "vec_id", "embedding", 0.4, budgetPairs = 100000000L)
+    val auto = Similarity.cosineNearDupPairsAuto(emb, "vec_id", "embedding", 0.4)
+    assert(rows(governed) == rows(auto))
+  }
+
+  test("estimateBucketedCandidates equals the materialized candidate count") {
+    // the counting identity Σ C(c,2) = |{(a,b): a<b, same (tbl,bucket)}|
+    // for unique ids — the q175 witness, here at spec scale and at
+    // explicit non-auto parameters
+    for ((planes, tables) <- Seq((2, 3), (4, 8))) {
+      val est = Similarity.estimateBucketedCandidates(emb, "vec_id", "embedding", planes, tables)
+      val actual = Similarity.actualBucketedCandidates(emb, "vec_id", "embedding", planes, tables)
+      assert(est == actual, s"planes=$planes tables=$tables: est $est vs actual $actual")
+    }
+  }
+
+  test("pairBudgetReport carries the decision without throwing") {
+    val over = Similarity.pairBudgetReport(emb, "vec_id", "embedding", 0.4, budgetPairs = 1L)
+      .select("within_budget").as[Boolean].head()
+    assert(!over)
+    val under = Similarity.pairBudgetReport(emb, "vec_id", "embedding", 0.4,
+      budgetPairs = Long.MaxValue).select("within_budget").as[Boolean].head()
+    assert(under)
+  }
 }
