@@ -29,9 +29,18 @@ class PartialChecksSpec extends SparkTestBase {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     for (sfName <- SparkEntry.partialExpectations.keys.toSeq.sorted) {
       val pinned = SparkEntry.partialExpectations(sfName).keySet
-      assert(noOracle == pinned,
-        s"$sfName: unpinned no-oracle queries: ${(noOracle -- pinned).toSeq.sorted.mkString(", ")}; " +
-          s"stale pins: ${(pinned -- noOracle).toSeq.sorted.mkString(", ")}")
+      if (sfName == "sf10") {
+        // The 100× replica deliberately pins only the scale-invariant heads
+        // (fixed-k top-k, recall frames, the budget report); corpus-sized
+        // outputs are pinned through sf1 and timed by ScaleBench at sf10.
+        // Enforce no STALE pins, not full coverage.
+        assert((pinned -- noOracle).isEmpty,
+          s"$sfName: stale pins: ${(pinned -- noOracle).toSeq.sorted.mkString(", ")}")
+      } else {
+        assert(noOracle == pinned,
+          s"$sfName: unpinned no-oracle queries: ${(noOracle -- pinned).toSeq.sorted.mkString(", ")}; " +
+            s"stale pins: ${(pinned -- noOracle).toSeq.sorted.mkString(", ")}")
+      }
     }
   }
 }
