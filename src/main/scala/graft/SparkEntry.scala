@@ -2239,6 +2239,52 @@ object SparkEntry {
           sum(col("decoded.height").cast("long")).as("sum_height"),
           min(col("decoded.n_channels")).as("min_channels"),
           max(col("decoded.n_channels")).as("max_channels"))
+    }),
+
+    // ---- REAL audio decode through the same batched seam: every row
+    // synthesizes an actual 16-bit PCM WAV (frame count / rate / channel
+    // layout from doc_id formulas, samples from Multimodal.wavSample's
+    // all-integer recurrence with deterministic silent blocks), the JDK's
+    // javax.sound.sampled parses the RIFF container back, and the decoded
+    // header fields PLUS sample-level integer aggregates (sum |s|, peak)
+    // are the output. 16-bit PCM is lossless and the sample formula is
+    // pure integer arithmetic, so DuckDB re-derives every column exactly
+    // from generate_series — the audio twin of q166's image proof: a
+    // broken container parser, byte-order slip, or stubbed decoder cannot
+    // match the oracle. Encode and decode both ride mapPartitions;
+    // payload bytes never shuffle.
+    "q177_audio_decode" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(200) + pmod(col("doc_id"), lit(512))).cast("int").as("n_frames"),
+        (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000).cast("int").as("sample_rate"),
+        when(pmod(col("doc_id"), lit(5)) === 0, 2).otherwise(1).cast("int").as("channels"))
+      Multimodal.decodeAudio(Multimodal.synthesizeWavs(spec))
+        .select(col("media_id").as("doc_id"),
+          col("decoded.sample_rate").as("sample_rate"),
+          col("decoded.channels").as("channels"),
+          col("decoded.n_frames").as("n_frames"),
+          col("decoded.sum_abs").as("sum_abs"),
+          col("decoded.peak").as("peak"),
+          col("decoded.ok").as("decode_ok"))
+    }),
+
+    // ---- Windowed audio energy / silence detection — the VAD-prefilter
+    // stage of audio corpus prep, run over the mono subset of q177's
+    // corpus: per-256-frame |sample| energy aggregated INSIDE the decode
+    // partition (window-grain output, ~256× smaller than the samples —
+    // sample-sized data never becomes rows or shuffles), with the quiet
+    // verdict catching exactly the formula's silent blocks. All-integer,
+    // fully oracle-checked.
+    "q178_audio_energy" -> ((s, dir) => {
+      val spec = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(
+          col("doc_id").as("media_id"),
+          (lit(200) + pmod(col("doc_id"), lit(512))).cast("int").as("n_frames"),
+          lit(16000).as("sample_rate"),
+          lit(1).as("channels"))
+      Multimodal.audioWindowEnergy(Multimodal.synthesizeWavs(spec), 256)
     })
   )
 
@@ -4039,7 +4085,49 @@ object SparkEntry {
         CAST(SUM(16 + (doc_id * 7) % 24) AS BIGINT) AS sum_height,
         CAST(MIN(CASE WHEN doc_id % 2 = 0 AND doc_id % 10 = 0 THEN 4 ELSE 3 END) AS INT) AS min_channels,
         CAST(MAX(CASE WHEN doc_id % 2 = 0 AND doc_id % 10 = 0 THEN 4 ELSE 3 END) AS INT) AS max_channels
-      FROM documents GROUP BY 1"""
+      FROM documents GROUP BY 1""",
+
+    // q177/q178: the WAV payload is 16-bit PCM (lossless) of the shared
+    // integer sample recurrence (Multimodal.wavSample), so the oracle
+    // re-derives the DECODED sample aggregates exactly from
+    // generate_series — header fields from the spec formulas, energy from
+    // the recurrence. DuckDB's % on non-negative operands matches Scala's
+    // floorMod here; // is integer floor division on non-negative k.
+    "q177_audio_decode" -> """
+      WITH spec AS (
+        SELECT doc_id, 200 + doc_id % 512 AS n_frames,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT) AS channels
+        FROM documents),
+      s AS (
+        SELECT doc_id, n_frames, sample_rate, channels,
+               unnest(generate_series(0, n_frames * channels - 1)) AS k
+        FROM spec),
+      v AS (
+        SELECT doc_id, n_frames, sample_rate, channels,
+               CASE WHEN (doc_id + k // 256) % 4 = 0 THEN 0
+                    ELSE ((doc_id * 7919 + k * 104729) % 65536) - 32768 END AS smp
+        FROM s)
+      SELECT doc_id, sample_rate, channels, CAST(n_frames AS BIGINT) AS n_frames,
+             CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+             CAST(MAX(ABS(smp)) AS INT) AS peak,
+             TRUE AS decode_ok
+      FROM v GROUP BY doc_id, sample_rate, channels, n_frames""",
+
+    "q178_audio_energy" -> """
+      WITH spec AS (
+        SELECT doc_id AS media_id, 200 + doc_id % 512 AS n
+        FROM documents WHERE doc_id % 5 <> 0),
+      s AS (SELECT media_id, unnest(generate_series(0, n - 1)) AS k FROM spec),
+      v AS (
+        SELECT media_id, CAST(k // 256 AS INT) AS window_idx,
+               CASE WHEN (media_id + k // 256) % 4 = 0 THEN 0
+                    ELSE ((media_id * 7919 + k * 104729) % 65536) - 32768 END AS smp
+        FROM s)
+      SELECT media_id, window_idx, CAST(COUNT(*) AS INT) AS n_frames_w,
+             CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
+             SUM(ABS(smp)) < COUNT(*) * 328 AS quiet
+      FROM v GROUP BY media_id, window_idx"""
   )
 
   // ===========================================================================

@@ -355,6 +355,189 @@ object Multimodal {
     }(enc)
   }
 
+  // =========================================================================
+  // Audio: REAL WAV codec behind the same batched mapPartitions seam
+  // =========================================================================
+
+  /** 16-bit PCM sample formula shared by the WAV synthesis and its DuckDB
+    * oracle: for global sample index `k` of media `id`,
+    *
+    * {{{ s(k) = 0                                       if (id + k/256) % 4 == 0
+    *     s(k) = ((id*7919 + k*104729) % 65536) - 32768  otherwise }}}
+    *
+    * — pseudo-noise with every 4th 256-sample block exactly silent (the
+    * deterministic analog of speech pauses, so windowed-energy/silence
+    * operators have real structure to find). Pure non-negative integer
+    * arithmetic, so DuckDB reproduces it bit-for-bit with `%` and `//`;
+    * 16-bit PCM in a WAV container is lossless, so the DECODED samples
+    * equal the formula exactly — integer aggregates over them
+    * (sum |s|, peak, counts) are exact cross-engine oracles, unlike any
+    * float-DSP property.
+    */
+  def wavSample(mediaId: Long, k: Long): Int =
+    if ((mediaId + k / 256) % 4 == 0) 0
+    else (Math.floorMod(mediaId * 7919 + k * 104729, 65536L) - 32768L).toInt
+
+  /** Deterministic REAL WAV bytes: `nFrames` frames of `channels`-channel
+    * 16-bit little-endian PCM from [[wavSample]] (global sample index
+    * `k = frame*channels + ch`), written through the JDK's
+    * `javax.sound.sampled` WAVE writer — a real RIFF container a real
+    * parser must walk, not hand-rolled bytes a hand-rolled reader happens
+    * to accept.
+    */
+  def encodeWav(nFrames: Int, sampleRate: Int, channels: Int, mediaId: Long): Array[Byte] = {
+    require(nFrames > 0 && sampleRate > 0 && channels > 0, "positive WAV geometry")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, channels * 2, sampleRate.toFloat,
+      /* bigEndian = */ false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var k = 0L
+    val total = nFrames.toLong * channels
+    while (k < total) {
+      val s = wavSample(mediaId, k)
+      val off = (k * 2).toInt
+      pcm(off) = (s & 0xff).toByte
+      pcm(off + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a media table of REAL WAV payloads from a spec frame with
+    * columns `(media_id long, n_frames int, sample_rate int, channels
+    * int)` — same mapPartitions discipline as [[synthesizePngs]]: payload
+    * bytes are born in the executor partition and never shuffle.
+    */
+  def synthesizeWavs(spec: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val (idI, nI, srI, chI) = (spec.schema.fieldIndex("media_id"),
+      spec.schema.fieldIndex("n_frames"), spec.schema.fieldIndex("sample_rate"),
+      spec.schema.fieldIndex("channels"))
+    spec.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = encodeWav(r.getInt(nI), r.getInt(srI), r.getInt(chI), r.getLong(idI))
+        Row(r.getLong(idI), bytes, Row("wav", null, null, Integer.valueOf(r.getInt(nI))))
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode through the batched mapPartitions seam:
+    * `javax.sound.sampled` parses the container (format header: rate,
+    * channels, bits) and the PCM payload is fully read — per-media frame
+    * count, sum of |sample| over every channel, and peak |sample| come
+    * from the decoded samples themselves, so a broken (or stubbed)
+    * decoder cannot fake them. All-integer outputs keep the oracle
+    * exact. Undecodable / null payloads quarantine as `ok = false`
+    * ([[decodeImages]] convention); payloads never shuffle.
+    */
+  def decodeAudio(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val outSchema = StructType(media.schema.fields :+
+      StructField("decoded", StructType(Seq(
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("channels", IntegerType, nullable = false),
+        StructField("bits", IntegerType, nullable = false),
+        StructField("n_frames", LongType, nullable = false),
+        StructField("sum_abs", LongType, nullable = false),
+        StructField("peak", IntegerType, nullable = false),
+        StructField("ok", BooleanType, nullable = false))), nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val mediaIdx = media.schema.fieldIndex("media")
+    val bad = Row(0, 0, 0, 0L, 0L, 0, false)
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          val dec =
+            if (bytes == null) bad
+            else try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) bad
+              else {
+                val pcm = ais.readAllBytes()
+                var sumAbs = 0L; var peak = 0; var off = 0
+                while (off + 1 < pcm.length) {
+                  val s = ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort.toInt
+                  val a = math.abs(s)
+                  sumAbs += a; if (a > peak) peak = a
+                  off += 2
+                }
+                Row(fmt.getSampleRate.toInt, fmt.getChannels, 16,
+                  pcm.length.toLong / fmt.getFrameSize, sumAbs, peak, true)
+              }
+            } catch { case scala.util.control.NonFatal(_) => bad }
+          Row.fromSeq(r.toSeq :+ dec)
+        }
+      }
+    }(enc)
+  }
+
+  /** Windowed audio energy — the silence-detection / VAD-prefilter shape of
+    * audio corpus prep: decode MONO 16-bit PCM and aggregate |sample| per
+    * `windowFrames`-frame window INSIDE the partition (the audio analog of
+    * [[resizeImages]]' in-partition pixel work: output is window-grain,
+    * ~windowFrames× smaller than the samples — sample-sized data never
+    * becomes rows, never shuffles). Emits one row per (media, window) with
+    * exact integer energy and the quiet verdict; non-mono or undecodable
+    * payloads contribute no windows (mono restriction keeps frame index ==
+    * [[wavSample]]'s global sample index, so the silent-block structure
+    * aligns with windows and the oracle stays a pure integer recurrence).
+    */
+  def audioWindowEnergy(media: DataFrame, windowFrames: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(windowFrames >= 1, "windowFrames must be >= 1")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("window_idx", IntegerType, nullable = false),
+      StructField("n_frames_w", IntegerType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false),
+      StructField("quiet", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          val id = r.getLong(idIdx)
+          val windows: Seq[Row] =
+            if (bytes == null) Nil
+            else try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian || fmt.getChannels != 1) Nil
+              else {
+                val pcm = ais.readAllBytes()
+                val nFrames = pcm.length / 2
+                (0 until nFrames by windowFrames).map { w0 =>
+                  val wEnd = math.min(w0 + windowFrames, nFrames)
+                  var sumAbs = 0L; var i = w0
+                  while (i < wEnd) {
+                    sumAbs += math.abs(((pcm(i * 2) & 0xff) | (pcm(i * 2 + 1) << 8)).toShort.toInt)
+                    i += 1
+                  }
+                  // quiet = mean |sample| under 1% of full scale
+                  Row(id, w0 / windowFrames, wEnd - w0, sumAbs,
+                    sumAbs < (wEnd - w0).toLong * 328)
+                }
+              }
+            } catch { case scala.util.control.NonFatal(_) => Nil }
+          windows
+        }
+      }
+    }(enc)
+  }
+
   /** The batched inference contract for payload → embedding extraction —
     * the production shape of a model forward pass: one call per batch of
     * payloads (a GPU/ONNX session wants batches, one session init per

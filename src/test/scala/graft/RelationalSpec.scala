@@ -193,6 +193,60 @@ class RelationalSpec extends SparkTestBase {
       .collect().forall(_._2.isEmpty))
   }
 
+  test("multimodal: real WAV encode/decode round-trips header and exact sample aggregates") {
+    // mono and stereo, different rates; decoded sum|s|/peak must equal a
+    // direct recomputation from the shared wavSample recurrence — 16-bit
+    // PCM is lossless, so any container/byte-order/channel-interleave slip
+    // in encode OR decode breaks the integer equality
+    val spec = Seq((3L, 300, 8000, 1), (5L, 700, 16000, 2), (8L, 256, 12000, 1))
+      .toDF("media_id", "n_frames", "sample_rate", "channels")
+    val got = Multimodal.decodeAudio(Multimodal.synthesizeWavs(spec), batchSize = 2)
+      .select($"media_id", $"decoded.sample_rate", $"decoded.channels",
+        $"decoded.n_frames", $"decoded.sum_abs", $"decoded.peak", $"decoded.ok")
+      .as[(Long, Int, Int, Long, Long, Int, Boolean)].collect().sortBy(_._1)
+    val expected = Seq((3L, 300, 8000, 1), (5L, 700, 16000, 2), (8L, 256, 12000, 1))
+      .map { case (id, n, sr, ch) =>
+        val samples = (0L until n.toLong * ch).map(k => Multimodal.wavSample(id, k))
+        (id, sr, ch, n.toLong, samples.map(s => math.abs(s).toLong).sum,
+          samples.map(math.abs).max, true)
+      }
+    assert(got.toSeq == expected)
+  }
+
+  test("multimodal: audioWindowEnergy finds exactly the formula's silent blocks") {
+    // id=4: blocks where (4 + w) % 4 == 0 are silent → windows 0, 4, …;
+    // 1100 frames at window 256 → 5 windows, last partial (76 frames)
+    val spec = Seq((4L, 1100, 16000, 1)).toDF("media_id", "n_frames", "sample_rate", "channels")
+    val got = Multimodal.audioWindowEnergy(Multimodal.synthesizeWavs(spec), 256)
+      .as[(Long, Int, Int, Long, Boolean)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(got.map(_._3).toSeq == Seq(256, 256, 256, 256, 76))
+    assert(got.filter(_._5).map(_._2).toSeq == Seq(0, 4), "quiet windows are the w≡0 (mod 4) blocks")
+    val expect = got.map { case (id, w, nw, _, _) =>
+      (0 until nw).map(i => math.abs(Multimodal.wavSample(id, w * 256L + i)).toLong).sum }
+    assert(got.map(_._4).toSeq == expect.toSeq, "window energies match the recurrence exactly")
+    // stereo and undecodable payloads contribute no windows
+    val stereo = Seq((7L, 300, 8000, 2)).toDF("media_id", "n_frames", "sample_rate", "channels")
+    assert(Multimodal.audioWindowEnergy(Multimodal.synthesizeWavs(stereo), 256).count() == 0)
+  }
+
+  test("multimodal: audio quarantine and cross-format dispatch") {
+    // truncated RIFF header, a PNG payload fed to the audio decoder, null
+    val riffJunk = Array[Byte]('R', 'I', 'F', 'F', 4, 0, 0, 0, 'W', 'A', 'V', 'E')
+    val png = Multimodal.encodePng(4, 4, alpha = false, seed = 1L)
+    val media = Seq((1L, riffJunk), (2L, png)).toDF("media_id", "media")
+      .withColumn("meta", struct(lit("wav").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("n_frames")))
+    val dec = Multimodal.decodeAudio(media).select("decoded.ok").as[Boolean].collect()
+    assert(dec.length == 2 && dec.forall(!_))
+    assert(Multimodal.audioWindowEnergy(media, 256).count() == 0)
+    // and the image decoder quarantines WAV bytes — format dispatch both ways
+    val wav = Multimodal.encodeWav(100, 8000, 1, 9L)
+    val wavAsImage = Seq((9L, wav)).toDF("media_id", "media")
+    assert(!Multimodal.decodeImages(wavAsImage).select("decoded.ok").as[Boolean].head())
+  }
+
   test("multimodal: extractFeaturesBatched is deterministic and feeds similarity ops") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("id", "p"), "id", "p", "img")
