@@ -2285,6 +2285,77 @@ object SparkEntry {
           lit(16000).as("sample_rate"),
           lit(1).as("channels"))
       Multimodal.audioWindowEnergy(Multimodal.synthesizeWavs(spec), 256)
+    }),
+
+    // ---- REAL video-container decode, completing the image/audio/video
+    // triad behind the one codec seam: every row synthesizes an actual
+    // multi-frame animated GIF (geometry from doc_id formulas, per-frame
+    // flat gray from Multimodal.gifFrameGray's integer recurrence with
+    // every 4th frame exactly black), the JDK's GIF reader walks the
+    // container back frame-by-frame, and the decoded dimensions PLUS
+    // pixel-level integer aggregates (sum of frame grays, black-frame
+    // count) are the output. Indexed-GIF pixels are lossless, so DuckDB
+    // re-derives every column exactly from generate_series — a stubbed
+    // frame decoder or container-parse shortcut cannot match. Encode and
+    // decode both ride mapPartitions; payloads and pixels never shuffle.
+    "q179_video_decode" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(8) + pmod(col("doc_id"), lit(17))).cast("int").as("width"),
+        (lit(8) + pmod(col("doc_id") * 3, lit(13))).cast("int").as("height"),
+        (lit(4) + pmod(col("doc_id"), lit(8))).cast("int").as("n_frames"))
+      Multimodal.decodeVideo(Multimodal.synthesizeGifs(spec))
+        .select(col("media_id").as("doc_id"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("decoded.n_frames").as("n_frames"),
+          col("decoded.sum_gray").as("sum_gray"),
+          col("decoded.black_frames").as("black_frames"),
+          col("decoded.ok").as("decode_ok"))
+    }),
+
+    // ---- Strided frame sampling — the keyframe-extraction stage of video
+    // corpus prep, over the same GIF corpus: every 3rd frame decoded by
+    // index-addressed read inside the encode partition, one row per
+    // sampled frame with its decoded gray and black verdict (frame-grain
+    // output; pixels never become rows). The black verdict lands exactly
+    // on the recurrence's scene-cut frames; fully oracle-checked.
+    "q180_frame_sample" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(8) + pmod(col("doc_id"), lit(17))).cast("int").as("width"),
+        (lit(8) + pmod(col("doc_id") * 3, lit(13))).cast("int").as("height"),
+        (lit(4) + pmod(col("doc_id"), lit(8))).cast("int").as("n_frames"))
+      Multimodal.videoFrameSample(Multimodal.synthesizeGifs(spec), 3)
+    }),
+
+    // ---- Scene segmentation — video analytics expressed RELATIONALLY on
+    // top of the codec seam: decode every frame (stride 1), then a running
+    // count of black cut-frames per media (window partitioned by media —
+    // partitions are frame-count-sized, ≤15 rows, no buffering risk)
+    // assigns each non-black frame a scene id; one aggregate row per
+    // scene with its extent and exact gray mass. The decode stays in
+    // mapPartitions; everything above it is codegen'd window + hash-agg.
+    // Fully oracle-checked: scene boundaries derive from decoded pixels,
+    // which the recurrence pins exactly.
+    "q181_scene_segments" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spec = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        (lit(4) + pmod(col("doc_id"), lit(5))).cast("int").as("width"),
+        lit(4).cast("int").as("height"),
+        (lit(6) + pmod(col("doc_id"), lit(10))).cast("int").as("n_frames"))
+      val frames = Multimodal.videoFrameSample(Multimodal.synthesizeGifs(spec), 1)
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      frames
+        .withColumn("scene_id",
+          sum(when(col("is_black"), 1L).otherwise(0L)).over(w).cast("int"))
+        .filter(!col("is_black"))
+        .groupBy("media_id", "scene_id")
+        .agg(count(lit(1)).cast("int").as("n_frames_scene"),
+          min("frame_idx").as("first_frame"),
+          max("frame_idx").as("last_frame"),
+          sum(col("gray").cast("long")).as("sum_gray"))
     })
   )
 
@@ -4127,7 +4198,69 @@ object SparkEntry {
       SELECT media_id, window_idx, CAST(COUNT(*) AS INT) AS n_frames_w,
              CAST(SUM(ABS(smp)) AS BIGINT) AS sum_abs,
              SUM(ABS(smp)) < COUNT(*) * 328 AS quiet
-      FROM v GROUP BY media_id, window_idx"""
+      FROM v GROUP BY media_id, window_idx""",
+
+    // q179/q180: indexed-GIF pixels are lossless, so the oracle re-derives
+    // the DECODED per-frame grays exactly from the shared integer
+    // recurrence (Multimodal.gifFrameGray) over generate_series — geometry
+    // from the spec formulas, grays from the recurrence. All operands
+    // non-negative, so DuckDB's % matches Scala's floorMod.
+    "q179_video_decode" -> """
+      WITH spec AS (
+        SELECT doc_id, CAST(8 + doc_id % 17 AS INT) AS width,
+               CAST(8 + (doc_id * 3) % 13 AS INT) AS height,
+               4 + doc_id % 8 AS n_frames
+        FROM documents),
+      f AS (
+        SELECT doc_id, width, height, n_frames,
+               unnest(generate_series(0, n_frames - 1)) AS f
+        FROM spec),
+      v AS (
+        SELECT doc_id, width, height, n_frames,
+               CASE WHEN (doc_id + f) % 4 = 0 THEN 0
+                    ELSE 1 + (doc_id * 31 + f * 97) % 255 END AS g
+        FROM f)
+      SELECT doc_id, width, height, CAST(n_frames AS INT) AS n_frames,
+             CAST(SUM(g) AS BIGINT) AS sum_gray,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS INT) AS black_frames,
+             TRUE AS decode_ok
+      FROM v GROUP BY doc_id, width, height, n_frames""",
+
+    "q180_frame_sample" -> """
+      WITH spec AS (
+        SELECT doc_id AS media_id, 4 + doc_id % 8 AS n FROM documents),
+      f AS (
+        SELECT media_id, unnest(generate_series(0, n - 1, 3)) AS frame_idx
+        FROM spec)
+      SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+             CAST(CASE WHEN (media_id + frame_idx) % 4 = 0 THEN 0
+                  ELSE 1 + (media_id * 31 + frame_idx * 97) % 255 END AS INT) AS gray,
+             (media_id + frame_idx) % 4 = 0 AS is_black
+      FROM f""",
+
+    "q181_scene_segments" -> """
+      WITH spec AS (
+        SELECT doc_id AS media_id, 6 + doc_id % 10 AS n FROM documents),
+      f AS (
+        SELECT media_id, unnest(generate_series(0, n - 1)) AS frame_idx
+        FROM spec),
+      v AS (
+        SELECT media_id, frame_idx,
+               CASE WHEN (media_id + frame_idx) % 4 = 0 THEN 0
+                    ELSE 1 + (media_id * 31 + frame_idx * 97) % 255 END AS gray
+        FROM f),
+      sc AS (
+        SELECT media_id, frame_idx, gray,
+               SUM(CASE WHEN gray = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY media_id ORDER BY frame_idx) AS scene_id
+        FROM v)
+      SELECT media_id, CAST(scene_id AS INT) AS scene_id,
+             CAST(COUNT(*) AS INT) AS n_frames_scene,
+             CAST(MIN(frame_idx) AS INT) AS first_frame,
+             CAST(MAX(frame_idx) AS INT) AS last_frame,
+             CAST(SUM(gray) AS BIGINT) AS sum_gray
+      FROM sc WHERE gray <> 0
+      GROUP BY media_id, scene_id"""
   )
 
   // ===========================================================================

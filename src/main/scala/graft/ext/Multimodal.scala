@@ -7,11 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata structs.
   *
-  * The Spark-side machinery is real and tested — schema contract,
-  * partition-friendly batch shape, mapPartitions decode boundary — while the
-  * actual codec step is a clearly-marked DETERMINISTIC STUB (the container
-  * has no image/audio libraries; a production build swaps `stubDecode` for
-  * a real decoder without touching the plumbing).
+  * The Spark-side machinery — schema contract, partition-friendly batch
+  * shape, mapPartitions decode boundary — carries THREE real JDK codecs
+  * behind one seam: still images (javax.imageio PNG/JPEG — decode, resize,
+  * pixel probe), audio (javax.sound.sampled WAV — PCM decode, windowed
+  * energy), and video (javax.imageio animated GIF — frame walk, strided
+  * frame sampling). Only the payload→embedding feature-extraction step is a
+  * clearly-marked DETERMINISTIC STUB ([[stubFeatureCodec]] — the container
+  * has no inference runtime; a production build swaps in an ONNX/GPU
+  * session behind the same [[FeatureCodec]] contract without touching the
+  * plumbing).
   */
 object Multimodal {
 
@@ -533,6 +538,187 @@ object Multimodal {
               }
             } catch { case scala.util.control.NonFatal(_) => Nil }
           windows
+        }
+      }
+    }(enc)
+  }
+
+  // =========================================================================
+  // Video: animated GIF through javax.imageio — the third real codec behind
+  // the same batched mapPartitions seam (image: PNG/JPEG, audio: WAV).
+  // =========================================================================
+
+  /** Per-frame gray level shared by the GIF synthesis and its DuckDB
+    * oracle: frame `f` of media `id` is a FLAT frame of gray
+    *
+    * {{{ g(id, f) = 0                           if (id + f) % 4 == 0
+    *     g(id, f) = 1 + (id*31 + f*97) % 255    otherwise }}}
+    *
+    * — every 4th frame exactly black (the deterministic analog of scene
+    * cuts / fades, so frame sampling and black-frame detection have real
+    * structure to find), every other frame a nonzero pseudo-noise gray.
+    * GIF stores indexed pixels losslessly against an explicit palette, so
+    * the DECODED gray equals the formula bit-for-bit — integer aggregates
+    * over decoded frames are exact cross-engine oracles, the video twin of
+    * [[wavSample]]'s audio recurrence. Pure non-negative integer
+    * arithmetic; DuckDB reproduces it with `%`.
+    */
+  def gifFrameGray(mediaId: Long, f: Int): Int =
+    if ((mediaId + f) % 4 == 0) 0
+    else (1L + Math.floorMod(mediaId * 31 + f * 97L, 255L)).toInt
+
+  /** Deterministic REAL animated GIF: `nFrames` flat frames of
+    * [[gifFrameGray]] against an explicit 256-gray palette, written through
+    * the JDK's GIF sequence writer (`prepareWriteSequence` /
+    * `writeToSequence`) — a real multi-frame container a real reader must
+    * walk frame-by-frame, not a bag of stapled stills.
+    */
+  def encodeGif(width: Int, height: Int, nFrames: Int, mediaId: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0, "positive GIF geometry")
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val g = gifFrameGray(mediaId, f)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { raster.setSample(x, y, 0, g); x += 1 }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Synthesize a media table of REAL animated-GIF payloads from a spec
+    * frame with columns `(media_id long, width int, height int, n_frames
+    * int)` — same mapPartitions discipline as [[synthesizePngs]]: payload
+    * bytes are born in the executor partition and never shuffle.
+    */
+  def synthesizeGifs(spec: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val (idI, wI, hI, nI) = (spec.schema.fieldIndex("media_id"),
+      spec.schema.fieldIndex("width"), spec.schema.fieldIndex("height"),
+      spec.schema.fieldIndex("n_frames"))
+    spec.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = encodeGif(r.getInt(wI), r.getInt(hI), r.getInt(nI), r.getLong(idI))
+        Row(r.getLong(idI), bytes,
+          Row("gif", Integer.valueOf(r.getInt(wI)), Integer.valueOf(r.getInt(hI)),
+            Integer.valueOf(r.getInt(nI))))
+      }
+    }(enc)
+  }
+
+  /** REAL video-container decode through the batched mapPartitions seam:
+    * the JDK's GIF reader parses the container (`getNumImages(true)` walks
+    * every frame header), each frame is decoded, and per-media integer
+    * aggregates over the decoded pixels — sum of frame gray levels, count
+    * of exactly-black frames — come from the pixels themselves, so a
+    * stubbed or broken frame decoder cannot fake them. Undecodable / null
+    * payloads quarantine as `ok = false` ([[decodeImages]] convention);
+    * payload bytes never shuffle; frame pixels never become rows.
+    */
+  def decodeVideo(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val outSchema = StructType(media.schema.fields :+
+      StructField("decoded", StructType(Seq(
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false),
+        StructField("sum_gray", LongType, nullable = false),
+        StructField("black_frames", IntegerType, nullable = false),
+        StructField("ok", BooleanType, nullable = false))), nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val mediaIdx = media.schema.fieldIndex("media")
+    val bad = Row(0, 0, 0, 0L, 0, false)
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          val dec =
+            if (bytes == null) bad
+            else try {
+              val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                rd.setInput(iis, /* seekForwardOnly = */ false)
+                val n = rd.getNumImages(/* allowSearch = */ true)
+                if (n < 1) bad
+                else {
+                  var sumGray = 0L; var black = 0; var f = 0
+                  while (f < n) {
+                    val g = rd.read(f).getRGB(0, 0) & 0xff
+                    sumGray += g; if (g == 0) black += 1
+                    f += 1
+                  }
+                  Row(rd.getWidth(0), rd.getHeight(0), n, sumGray, black, true)
+                }
+              } finally { rd.dispose(); iis.close() }
+            } catch { case scala.util.control.NonFatal(_) => bad }
+          Row.fromSeq(r.toSeq :+ dec)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL strided frame sampling — the keyframe-extraction shape of video
+    * corpus prep: decode every `stride`-th frame by INDEX-ADDRESSED read
+    * (`reader.read(f)` — the same access shape a production codec serves
+    * from keyframe seeks) and emit one row per sampled frame with its
+    * decoded gray level and black verdict. Frame-grain output, ~stride×
+    * smaller than the frame count and pixel-free — pixel data never
+    * becomes rows, never shuffles ([[audioWindowEnergy]]'s discipline).
+    * Undecodable / null payloads contribute no frames.
+    */
+  def videoFrameSample(media: DataFrame, stride: Int, batchSize: Int = 64): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("gray", IntegerType, nullable = false),
+      StructField("is_black", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          val id = r.getLong(idIdx)
+          val frames: Seq[Row] =
+            if (bytes == null) Nil
+            else try {
+              val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                rd.setInput(iis, false)
+                val n = rd.getNumImages(true)
+                (0 until n by stride).map { f =>
+                  val g = rd.read(f).getRGB(0, 0) & 0xff
+                  Row(id, f, g, g == 0)
+                }
+              } finally { rd.dispose(); iis.close() }
+            } catch { case scala.util.control.NonFatal(_) => Nil }
+          frames
         }
       }
     }(enc)

@@ -247,6 +247,68 @@ class RelationalSpec extends SparkTestBase {
     assert(!Multimodal.decodeImages(wavAsImage).select("decoded.ok").as[Boolean].head())
   }
 
+  test("multimodal: real animated-GIF encode/decode round-trips frame count and exact pixel aggregates") {
+    // indexed GIF is lossless, so decoded per-frame grays must equal the
+    // gifFrameGray recurrence exactly — any container walk, palette, or
+    // frame-index slip in encode OR decode breaks the integer equality
+    val spec = Seq((2L, 10, 7, 6), (3L, 16, 12, 4), (11L, 8, 8, 11))
+      .toDF("media_id", "width", "height", "n_frames")
+    val got = Multimodal.decodeVideo(Multimodal.synthesizeGifs(spec), batchSize = 2)
+      .select($"media_id", $"decoded.width", $"decoded.height",
+        $"decoded.n_frames", $"decoded.sum_gray", $"decoded.black_frames", $"decoded.ok")
+      .as[(Long, Int, Int, Int, Long, Int, Boolean)].collect().sortBy(_._1)
+    val expected = Seq((2L, 10, 7, 6), (3L, 16, 12, 4), (11L, 8, 8, 11))
+      .map { case (id, w, h, n) =>
+        val grays = (0 until n).map(f => Multimodal.gifFrameGray(id, f))
+        (id, w, h, n, grays.map(_.toLong).sum, grays.count(_ == 0), true)
+      }
+    assert(got.toSeq == expected)
+  }
+
+  test("multimodal: videoFrameSample strides by index and lands on the scene-cut frames") {
+    // id=6, 10 frames: black frames are f ∈ {2, 6} (where (6+f)%4==0);
+    // stride 3 samples f ∈ {0, 3, 6, 9} → exactly one sampled black (f=6)
+    val spec = Seq((6L, 9, 9, 10)).toDF("media_id", "width", "height", "n_frames")
+    val media = Multimodal.synthesizeGifs(spec)
+    val got = Multimodal.videoFrameSample(media, 3)
+      .as[(Long, Int, Int, Boolean)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == Seq(0, 3, 6, 9))
+    assert(got.map(_._3).toSeq == Seq(0, 3, 6, 9).map(Multimodal.gifFrameGray(6L, _)),
+      "sampled grays match the recurrence exactly")
+    assert(got.filter(_._4).map(_._2).toSeq == Seq(6), "black verdict lands on the (id+f)≡0 (mod 4) cuts")
+    // stride 1 decodes every frame — same totals as the full decode
+    val all = Multimodal.videoFrameSample(media, 1).as[(Long, Int, Int, Boolean)].collect()
+    assert(all.length == 10 && all.map(_._3.toLong).sum ==
+      (0 until 10).map(Multimodal.gifFrameGray(6L, _).toLong).sum)
+  }
+
+  test("multimodal: video quarantine and cross-format dispatch") {
+    // WAV bytes fed to the video decoder, truncated GIF header, null
+    val wav = Multimodal.encodeWav(100, 8000, 1, 9L)
+    val gifJunk = Array[Byte](0x47, 0x49, 0x46, 0x38, 0x39, 0x61, 2, 0, 2, 0)
+    val media = Seq((1L, wav), (2L, gifJunk), (3L, null: Array[Byte]))
+      .toDF("media_id", "media")
+      .withColumn("meta", struct(lit("gif").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("n_frames")))
+    val dec = Multimodal.decodeVideo(media).select("decoded.ok").as[Boolean].collect()
+    assert(dec.length == 3 && dec.forall(!_))
+    assert(Multimodal.videoFrameSample(media, 2).count() == 0)
+    // a real GIF payload IS a valid still image to the image seam (frame 0)
+    // — javax.imageio dispatches on magic bytes, and that is the contract
+    val gif = Multimodal.encodeGif(5, 4, 3, 7L)
+    val asImage = Seq((7L, gif)).toDF("media_id", "media")
+    val img = Multimodal.decodeImages(asImage)
+      .select("decoded.width", "decoded.height", "decoded.ok")
+      .as[(Int, Int, Boolean)].head()
+    assert(img == ((5, 4, true)))
+    // and the audio seam quarantines GIF bytes
+    assert(!Multimodal.decodeAudio(asImage.withColumn("meta",
+      struct(lit("gif").as("format"), lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"), lit(null).cast("int").as("n_frames"))))
+      .select("decoded.ok").as[Boolean].head())
+  }
+
   test("multimodal: extractFeaturesBatched is deterministic and feeds similarity ops") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("id", "p"), "id", "p", "img")
