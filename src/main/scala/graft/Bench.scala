@@ -36,7 +36,9 @@ object Bench {
         "q124_editdist_auto", "q132_semantic_ingest_check",
         "q145_source_overlap_check", "q156_cluster_sample_check",
         "q158_incremental_overlap_check", "q162_split_leak_check",
-        "q165_degree_check", "q175_pair_budget_check")
+        "q165_degree_check", "q175_pair_budget_check",
+        // q185 re-runs q182's whole training loop as a bookkeeping check
+        "q185_bpe_conservation")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

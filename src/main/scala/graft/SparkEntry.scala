@@ -2356,7 +2356,36 @@ object SparkEntry {
           min("frame_idx").as("first_frame"),
           max("frame_idx").as("last_frame"),
           sum(col("gray").cast("long")).as("sum_gray"))
-    })
+    }),
+
+    // ---- Distributed BPE vocabulary induction: tokenizer training as a
+    // corpus operator. The corpus collapses once to the distinct-word
+    // frequency quotient; each of the 30 merge rounds is one hash-agg +
+    // one 1-row argmax + one codegen'd fold on that quotient. Iterative →
+    // no single-statement SQL analog; pinned ×SF, with the first round
+    // oracle-checked from raw text (q183) and the applied-count
+    // bookkeeping re-derived from the final state (q185).
+    "q182_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", 30)),
+
+    // q182 companion, fully oracle-checked: the top-20 first-round
+    // adjacency counts in argmax order — DuckDB recounts them per word
+    // instance from raw text, pinning the tokenization, symbolization,
+    // weighting, and tie-break that the training loop builds on.
+    "q183_bpe_pair_counts" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", 20)),
+
+    // BPE applied at corpus scale by vocabulary LOOKUP (the merge loop
+    // never touches documents): per-doc word/BPE-token/char accounting
+    // under the 30 learned merges. All-integer output; pinned ×SF.
+    "q184_bpe_token_counts" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text", 30)),
+
+    // q182/q184 invariant: Σ applied_count telescopes exactly to
+    // initial−final symbol mass recounted from the final vocabulary —
+    // emits only disagreement rows; WHERE FALSE oracle.
+    "q185_bpe_conservation" -> ((s, dir) =>
+      TextAnalysis.bpeConservationCheck(t(s, dir, "documents"), "text", 30))
   )
 
   // ===========================================================================
@@ -4260,7 +4289,29 @@ object SparkEntry {
              CAST(MAX(frame_idx) AS INT) AS last_frame,
              CAST(SUM(gray) AS BIGINT) AS sum_gray
       FROM sc WHERE gray <> 0
-      GROUP BY media_id, scene_id"""
+      GROUP BY media_id, scene_id""",
+
+    // q183: the first BPE round's adjacency counts, recounted per word
+    // INSTANCE from raw text (Spark counts on the frequency-weighted
+    // vocabulary quotient — the identity under test). Top-20 cut in the
+    // argmax order; the boundary tie-break (count desc, pair asc, binary
+    // collation on the ASCII corpus) is deterministic in both engines.
+    "q183_bpe_pair_counts" -> s"""
+      WITH tk AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+      pos AS (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM tk WHERE length(w) >= 2)
+      SELECT substring(w, i, 1) AS sym_a, substring(w, i + 1, 1) AS sym_b,
+             count(*) AS pair_count
+      FROM pos GROUP BY 1, 2
+      ORDER BY pair_count DESC, sym_a, sym_b LIMIT 20""",
+
+    // q185: the conservation frame is empty by the telescoping identity
+    // Σ applied_count = initial − final symbol mass — WHERE FALSE oracle
+    "q185_bpe_conservation" -> """
+      SELECT CAST(doc_id AS BIGINT) AS initial_symbols,
+             CAST(doc_id AS BIGINT) AS sum_applied,
+             CAST(doc_id AS BIGINT) AS final_symbols
+      FROM documents WHERE FALSE"""
   )
 
   // ===========================================================================
@@ -4319,7 +4370,11 @@ object SparkEntry {
         "source_existing:string,source_incoming:string,n_pairs:bigint",
       "q159_degree_distribution" -> "degree:bigint,n_docs:bigint",
       "q174_pair_budget" ->
-        "n_vectors:bigint,planes:int,tables:int,est_candidates:bigint,budget_pairs:bigint,within_budget:boolean")
+        "n_vectors:bigint,planes:int,tables:int,est_candidates:bigint,budget_pairs:bigint,within_budget:boolean",
+      "q182_bpe_merges" ->
+        "rank:int,sym_a:string,sym_b:string,merged:string,pair_count:bigint,applied_count:bigint",
+      "q184_bpe_token_counts" ->
+        "doc_id:bigint,n_words:bigint,n_bpe_tokens:bigint,n_word_chars:bigint")
     val rows = Map(
       "sf0.001" -> Map(
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
@@ -4330,7 +4385,8 @@ object SparkEntry {
         "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10118L,
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
-        "q159_degree_distribution" -> 104L, "q174_pair_budget" -> 1L),
+        "q159_degree_distribution" -> 104L, "q174_pair_budget" -> 1L,
+        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500L),
       "sf0.01" -> Map(
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4340,7 +4396,8 @@ object SparkEntry {
         "q111_semantic_dedup" -> 500L, "q118_incremental_dedup" -> 10262L,
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
-        "q159_degree_distribution" -> 101L, "q174_pair_budget" -> 1L),
+        "q159_degree_distribution" -> 101L, "q174_pair_budget" -> 1L,
+        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500L),
       "sf0.1" -> Map(
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4350,7 +4407,8 @@ object SparkEntry {
         "q111_semantic_dedup" -> 2000L, "q118_incremental_dedup" -> 452469L,
         "q131_semantic_ingest" -> 1600L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 400L, "q157_incremental_overlap" -> 400L,
-        "q159_degree_distribution" -> 487L, "q174_pair_budget" -> 1L),
+        "q159_degree_distribution" -> 487L, "q174_pair_budget" -> 1L,
+        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 5000L),
       "sf1" -> Map(
         "q27_minhash_lsh" -> 29682497L, "q28_simhash" -> 6190L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4360,7 +4418,8 @@ object SparkEntry {
         "q111_semantic_dedup" -> 20000L, "q118_incremental_dedup" -> 452469L,
         "q131_semantic_ingest" -> 19600L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 4029L, "q157_incremental_overlap" -> 400L,
-        "q159_degree_distribution" -> 528L, "q174_pair_budget" -> 1L),
+        "q159_degree_distribution" -> 528L, "q174_pair_budget" -> 1L,
+        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 50000L),
       // 100× replica (basename `sf10`, ScaleUp factor 100): the
       // SCALE-INVARIANT heads only — 10 fixed queries × k=5 top-k (50
       // rows), 10-row recall frames, the 3-group HLL check, and the
@@ -4373,7 +4432,8 @@ object SparkEntry {
         "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
-        "q174_pair_budget" -> 1L))
+        "q174_pair_budget" -> 1L,
+        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500000L))
     rows.map { case (sf, m) => sf -> m.map { case (q, r) => q -> (r, schemas(q)) } }
   }
 }
