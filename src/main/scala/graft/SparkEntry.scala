@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Fns
 import graft.operators.{Aggregates, Joins, Relational, Upsert}
-import graft.ext.{Dedup, Imputation, Mixing, Multimodal, Profiling, Recall, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Graph, Imputation, Mixing, Multimodal, Profiling, Recall, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — the operator catalog (SURVEY.md §2) plus the
@@ -2385,7 +2385,19 @@ object SparkEntry {
     // initial−final symbol mass recounted from the final vocabulary —
     // emits only disagreement rows; WHERE FALSE oracle.
     "q185_bpe_conservation" -> ((s, dir) =>
-      TextAnalysis.bpeConservationCheck(t(s, dir, "documents"), "text", 30))
+      TextAnalysis.bpeConservationCheck(t(s, dir, "documents"), "text", 30)),
+
+    // ---- PageRank centrality over the near-dup pair graph (q61's edge
+    // set): the canonical-selection / importance-weighting signal for
+    // graph-aware sampling. Integer micro-unit power iteration — every
+    // per-node value is an exact BIGINT, so EIGHT iterations hash-match a
+    // DuckDB oracle that unrolls the same recurrence as CTE layers: a
+    // fully oracle-checked ITERATIVE operator, not a pinned one.
+    "q186_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.98)
+      Graph.pageRank(pairs, iterations = 8, idColOut = "doc_id")
+    })
   )
 
   // ===========================================================================
@@ -4311,8 +4323,45 @@ object SparkEntry {
       SELECT CAST(doc_id AS BIGINT) AS initial_symbols,
              CAST(doc_id AS BIGINT) AS sum_applied,
              CAST(doc_id AS BIGINT) AS final_symbols
-      FROM documents WHERE FALSE"""
+      FROM documents WHERE FALSE""",
+
+    // q186: the SAME integer micro-unit recurrence unrolled as CTE layers
+    // (edge set via q61's identical-token-set equivalence at θ=0.98;
+    // every arithmetic step is floor(x+0.5) on sub-2^53 magnitudes, so
+    // eight iterations are bit-identical across engines)
+    "q186_pagerank" -> pageRankOracleSql(8)
   )
+
+  /** Unrolled DuckDB PageRank oracle: iteration CTEs generated to mirror
+    * [[graft.ext.Graph.pageRank]]'s exact integer recurrence — literal
+    * 0.85/0.15 constants and identical expression shapes, since the
+    * whole point is IEEE-step-for-step equality.
+    */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val fp = s"md5(array_to_string(list_sort(list_distinct(${sqlTokens("lower(text)")})), ' '))"
+    val iterCtes = (1 to iterations).map { i =>
+      s"""tm$i AS (SELECT id, CAST(FLOOR(CAST(rm AS DOUBLE) / outdeg + 0.5) AS BIGINT) AS term FROM r${i - 1}),
+      c$i AS (SELECT e.dst AS id, SUM(tm$i.term) AS contrib
+              FROM e JOIN tm$i ON e.src = tm$i.id GROUP BY e.dst),
+      r$i AS (SELECT p.id, p.outdeg,
+                CAST(FLOOR(0.15 * 1e6 / nn.n + 0.5) AS BIGINT)
+                  + CAST(FLOOR(0.85 * COALESCE(c$i.contrib, 0) + 0.5) AS BIGINT) AS rm
+              FROM r${i - 1} p LEFT JOIN c$i ON p.id = c$i.id, nn)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH t AS (SELECT doc_id, $fp AS fp FROM documents),
+      g AS (SELECT fp FROM t GROUP BY fp HAVING count(*) >= 2),
+      nd AS (SELECT t.doc_id AS id, t.fp FROM t JOIN g USING (fp)),
+      e AS (SELECT a.id AS src, b.id AS dst
+            FROM nd a JOIN nd b ON a.fp = b.fp AND a.id <> b.id),
+      dg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM dg),
+      r0 AS (SELECT dg.id, dg.outdeg,
+             CAST(FLOOR(1e6 / nn.n + 0.5) AS BIGINT) AS rm FROM dg, nn),
+      $iterCtes
+      SELECT id AS doc_id, rm AS rank_micro,
+             CAST(rm AS DOUBLE) / 1e6 AS rank FROM r$iterations"""
+  }
 
   // ===========================================================================
   // Deterministic partial checks for the no-oracle (approximate) queries
