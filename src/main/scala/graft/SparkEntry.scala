@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Fns
 import graft.operators.{Aggregates, Joins, Relational, Upsert}
-import graft.ext.{Dedup, Graph, Imputation, Mixing, Multimodal, Profiling, Recall, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Graph, Imputation, Mixing, Multimodal, Profiling, Recall, Similarity, Sketches, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — the operator catalog (SURVEY.md §2) plus the
@@ -2397,6 +2397,48 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 1, 0.98)
       Graph.pageRank(pairs, iterations = 8, idColOut = "doc_id")
+    }),
+
+    // ---- Mergeable HLL sketches as MATERIALIZED data: per-(source,lang)
+    // cell sketches unioned to per-source distinct-doc estimates, beside
+    // the direct one-pass estimate. The 100-TB reporting pattern — sketch
+    // the raw data once at the finest grain, answer every coarser
+    // distinct-count later from kilobytes of sketch bytes (parquet
+    // round-trip proven in SketchesSpec). Estimates => pinned, with q188
+    // as the oracle-checked error-band companion.
+    "q187_hll_rollup" -> ((s, dir) =>
+      Sketches.hllRollup(t(s, dir, "documents"), "source", "lang", "doc_id")),
+
+    // q187 companion (q98 convention): both estimate paths land within
+    // 15% of the exact per-source distinct count; at this corpus's
+    // per-source cardinalities the sketches are in exact coupon mode, so
+    // the band is equality in disguise. Oracle asserts TRUE per source.
+    "q188_hll_rollup_check" -> ((s, dir) =>
+      Sketches.hllRollupCheck(t(s, dir, "documents"), "source", "lang", "doc_id")),
+
+    // ---- Streaming cardinality: distinct users per tumbling hour via a
+    // mergeable HLL sketch — per-window state is one small sketch instead
+    // of a per-user set (exact distinct is rejected by Spark in streaming
+    // aggs; this form runs identically in batch and under a watermark —
+    // stream equivalence in StreamsSpec). Estimate head => pinned; q190
+    // is the oracle-checked band companion.
+    "q189_windowed_distinct" -> ((s, dir) =>
+      Streams.windowedDistinctUsers(t(s, dir, "events"), "1 hour")),
+
+    // q189 companion (q98 convention): sketch estimate within 15% of the
+    // exact per-window distinct count (lgK=12 ~ 1.6% RSE; coupon-exact at
+    // this corpus's per-hour cardinalities). Oracle asserts TRUE per
+    // window.
+    "q190_windowed_distinct_check" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val exact = ev.groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(col("w.start").as("win_start"), col("exact_users"))
+      Streams.windowedDistinctUsers(ev, "1 hour")
+        .join(exact, Seq("win_start"))
+        .select(col("win_start"),
+          (abs(col("est_users") - col("exact_users")).cast("double")
+            / col("exact_users") <= 0.15).as("within_tol"))
     })
   )
 
@@ -4329,7 +4371,18 @@ object SparkEntry {
     // (edge set via q61's identical-token-set equivalence at θ=0.98;
     // every arithmetic step is floor(x+0.5) on sub-2^53 magnitudes, so
     // eight iterations are bit-identical across engines)
-    "q186_pagerank" -> pageRankOracleSql(8)
+    "q186_pagerank" -> pageRankOracleSql(8),
+
+    "q188_hll_rollup_check" -> """
+      SELECT source, TRUE AS merged_within_tol, TRUE AS direct_within_tol
+      FROM documents GROUP BY source""",
+
+    // q190: tumbling 1h windows are epoch-aligned, so win_start is just
+    // the hour truncation; only event-bearing windows exist (window()
+    // fan-out is event-driven, matching the inner GROUP BY)
+    "q190_windowed_distinct_check" -> """
+      SELECT date_trunc('hour', ts) AS win_start, TRUE AS within_tol
+      FROM events GROUP BY 1"""
   )
 
   /** Unrolled DuckDB PageRank oracle: iteration CTEs generated to mirror
@@ -4423,7 +4476,10 @@ object SparkEntry {
       "q182_bpe_merges" ->
         "rank:int,sym_a:string,sym_b:string,merged:string,pair_count:bigint,applied_count:bigint",
       "q184_bpe_token_counts" ->
-        "doc_id:bigint,n_words:bigint,n_bpe_tokens:bigint,n_word_chars:bigint")
+        "doc_id:bigint,n_words:bigint,n_bpe_tokens:bigint,n_word_chars:bigint",
+      "q187_hll_rollup" ->
+        "source:string,n_cells:bigint,est_merged:bigint,est_direct:bigint",
+      "q189_windowed_distinct" -> "win_start:timestamp_ntz,est_users:bigint")
     val rows = Map(
       "sf0.001" -> Map(
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
@@ -4435,7 +4491,8 @@ object SparkEntry {
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 104L, "q174_pair_budget" -> 1L,
-        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500L),
+        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500L,
+        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 531L),
       "sf0.01" -> Map(
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4446,7 +4503,8 @@ object SparkEntry {
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 101L, "q174_pair_budget" -> 1L,
-        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500L),
+        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500L,
+        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L),
       "sf0.1" -> Map(
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4457,7 +4515,8 @@ object SparkEntry {
         "q131_semantic_ingest" -> 1600L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 400L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 487L, "q174_pair_budget" -> 1L,
-        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 5000L),
+        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 5000L,
+        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L),
       "sf1" -> Map(
         "q27_minhash_lsh" -> 29682497L, "q28_simhash" -> 6190L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4468,7 +4527,8 @@ object SparkEntry {
         "q131_semantic_ingest" -> 19600L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 4029L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 528L, "q174_pair_budget" -> 1L,
-        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 50000L),
+        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 50000L,
+        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L),
       // 100× replica (basename `sf10`, ScaleUp factor 100): the
       // SCALE-INVARIANT heads only — 10 fixed queries × k=5 top-k (50
       // rows), 10-row recall frames, the 3-group HLL check, and the
@@ -4482,7 +4542,8 @@ object SparkEntry {
         "q71_ivf_recall" -> 10L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q174_pair_budget" -> 1L,
-        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500000L))
+        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500000L,
+        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L))
     rows.map { case (sf, m) => sf -> m.map { case (q, r) => q -> (r, schemas(q)) } }
   }
 }

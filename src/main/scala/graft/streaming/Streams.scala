@@ -45,6 +45,38 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"))
 
+  /** Windowed distinct-cardinality via a mergeable HLL sketch: per
+    * tumbling event-time window, the estimated distinct `user_id` count.
+    * THE streaming cardinality pattern — per-window state is one
+    * 2^lgK-register sketch (a few KB) regardless of how many distinct
+    * actors the window sees, where an exact `countDistinct` would hold a
+    * per-user set per open window (and is rejected outright by Spark in
+    * streaming aggregations). Batch and stream forms share semantics;
+    * estimates are deterministic (fixed sketch seed) but approximate, so
+    * the catalog head is pinned with an oracle-checked band companion
+    * (q98 convention). At the test corpus's per-window cardinalities the
+    * sketch stays in exact coupon mode.
+    */
+  def windowedDistinctUsers(events: DataFrame, width: String,
+      lgK: Int = 12): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK)))
+        .as("est_users"))
+      .select(col("w.start").as("win_start"), col("est_users"))
+
+  /** Streaming form of [[windowedDistinctUsers]]: same sketch aggregate
+    * under a late-data watermark — Spark keeps one partial sketch per
+    * open window and evicts it when the watermark passes.
+    */
+  def windowedDistinctUsersStream(events: DataFrame, width: String,
+      watermark: String, lgK: Int = 12): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK)))
+        .as("est_users"))
+      .select(col("w.start").as("win_start"), col("est_users"))
+
   /** Streaming form with a watermark for state eviction of late data. */
   def tumblingCountsStream(events: DataFrame, width: String, watermark: String): DataFrame =
     events.withWatermark("ts", watermark)

@@ -169,6 +169,32 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedDistinctUsersStream estimates per-window distinct users; matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val agg = Streams.windowedDistinctUsersStream(input.toDS().toDF(), "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("wdist_out")
+      .outputMode("complete").start()
+    try {
+      val evs = Seq(
+        Streams.Event(1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0),
+        Streams.Event(2L, ts("2024-01-01 10:50:00"), 7L, "click", 2.0),  // dup user in window
+        Streams.Event(3L, ts("2024-01-01 10:51:00"), 8L, "view", 3.0),
+        Streams.Event(4L, ts("2024-01-01 11:10:00"), 7L, "view", 4.0))
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      val got = spark.table("wdist_out")
+        .as[(Timestamp, Long)].collect().toSet
+      // coupon-mode sketch at these cardinalities: estimates are exact
+      assert(got == Set(
+        (ts("2024-01-01 10:00:00"), 2L),
+        (ts("2024-01-01 11:00:00"), 1L)))
+      val batch = Streams.windowedDistinctUsers(evs.toDF(), "1 hour")
+        .as[(Timestamp, Long)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("dedupIngestSink keeps the target exactly-deduplicated across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
