@@ -38,7 +38,11 @@ object Bench {
         "q158_incremental_overlap_check", "q162_split_leak_check",
         "q165_degree_check", "q175_pair_budget_check",
         // q185 re-runs q182's whole training loop as a bookkeeping check
-        "q185_bpe_conservation")
+        "q185_bpe_conservation",
+        // tolerance witnesses re-executing their estimate op + an exact
+        // baseline (HLL rollup/intersect, windowed distinct, CMS bands)
+        "q188_hll_rollup_check", "q190_windowed_distinct_check",
+        "q193_hll_intersect_check", "q196_cms_bands")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Fns
 import graft.operators.{Aggregates, Joins, Relational, Upsert}
-import graft.ext.{Dedup, Graph, Imputation, Mixing, Multimodal, Profiling, Recall, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Cms, Dedup, Graph, Imputation, Mixing, Multimodal, Profiling, Recall, Similarity, Sketches, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — the operator catalog (SURVEY.md §2) plus the
@@ -2439,6 +2439,64 @@ object SparkEntry {
         .select(col("win_start"),
           (abs(col("est_users") - col("exact_users")).cast("double")
             / col("exact_users") <= 0.15).as("within_tol"))
+    }),
+
+    // ---- Weighted sampling without replacement (A-ES, k per domain):
+    // row-level quality-proportional selection, deterministic via the
+    // md5-numeric-uniform convention, so the member set is EXACTLY
+    // oracle-checked (no pin needed). Weight = n_chars+1 — longer docs
+    // proportionally likelier, the simplest honest quality proxy.
+    "q191_weighted_reservoir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("w", col("n_chars") + lit(1L))
+      Mixing.weightedReservoir(docs, "doc_id", "source", "w", 25)
+    }),
+
+    // ---- HLL set algebra: pairwise distinct-user overlap between event
+    // types via inclusion-exclusion on mergeable sketches — one corpus
+    // scan builds |groups| sketches, every pair estimate is arithmetic on
+    // kilobytes (the 100-TB alternative is a self-join per pair).
+    // Estimates => pinned (10 unordered pairs at every SF), with q193 as
+    // the oracle-checked union-relative error-band companion.
+    "q192_hll_intersect" -> ((s, dir) =>
+      Sketches.hllIntersect(t(s, dir, "events"), "event_type", "user_id")),
+
+    // q192 companion (q98 convention): every pair's intersection estimate
+    // within 15% of the exact overlap relative to the exact UNION size
+    // (the honest denominator for inclusion-exclusion error). Oracle
+    // asserts TRUE per pair.
+    "q193_hll_intersect_check" -> ((s, dir) =>
+      Sketches.hllIntersectCheck(t(s, dir, "events"), "event_type", "user_id")),
+
+    // ---- Count-min sketch: mergeable FREQUENCY summaries (the "how
+    // often" sibling of the HLL "how many distinct" family). The md5
+    // bucket hashes make every estimate deterministic, so the DuckDB
+    // oracle recomputes the whole sketch and hash-matches the estimates
+    // EXACTLY — a full differential, not a tolerance pin.
+    "q194_cms_heavy_hitters" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      Cms.heavyHitters(tk, "token", 25, depth = 4, width = 8192)
+    }),
+
+    // ---- Join-size estimation from two CMS inner products: prices
+    // |orders ⋈ customer| from two constant-size counter tables before
+    // any executor shuffles a row of the join — the q174 governance
+    // posture extended from self-join pair volume to arbitrary
+    // equi-joins.
+    "q195_cms_join_size" -> ((s, dir) =>
+      Cms.joinSizeEstimate(t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", depth = 4, width = 16384)),
+
+    // q194/q195 companion: the CMS theory bands — deterministic
+    // no-underestimate on EVERY key, and the Markov overshoot band on
+    // the reported heads and the join estimate. Oracle asserts TRUE ×4.
+    "q196_cms_bands" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      Cms.bandsCheck(tk, "token", 25,
+        t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", depth = 4, width = 8192)
     })
   )
 
@@ -4382,7 +4440,62 @@ object SparkEntry {
     // fan-out is event-driven, matching the inner GROUP BY)
     "q190_windowed_distinct_check" -> """
       SELECT date_trunc('hour', ts) AS win_start, TRUE AS within_tol
-      FROM events GROUP BY 1"""
+      FROM events GROUP BY 1""",
+
+    // q191: A-ES weighted reservoir — u is the md5-numeric uniform
+    // ((13-hex-digit prefix + 0.5) / 2^52, every factor an exact double),
+    // key = ln(u)/w, top 25 per source. Bit-for-bit the member set the
+    // Spark two-phase form selects.
+    "q191_weighted_reservoir" -> """
+      SELECT doc_id, source, weight FROM (
+        SELECT doc_id, source, n_chars + 1 AS weight,
+          row_number() OVER (PARTITION BY source ORDER BY
+            ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                + 0.5) / 4503599627370496.0) / (n_chars + 1) DESC,
+            doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 25""",
+
+    "q193_hll_intersect_check" -> """
+      SELECT l.event_type AS set_a, r.event_type AS set_b, TRUE AS within_tol
+      FROM (SELECT DISTINCT event_type FROM events) l,
+           (SELECT DISTINCT event_type FROM events) r
+      WHERE l.event_type < r.event_type""",
+
+    // q194: full CMS recompute — the md5 bucket hash is engine-neutral,
+    // so DuckDB rebuilds the identical (row, col) counter table and the
+    // identical min-of-counters estimates. est is exact-matched, not
+    // banded.
+    "q194_cms_heavy_hitters" -> s"""
+      WITH tk AS (SELECT unnest(${sqlTokens("lower(text)")}) AS token FROM documents),
+      g AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+      b AS (SELECT token, cnt, r,
+              ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 13))::BIGINT % 8192 AS c
+            FROM g CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) rs),
+      sk AS (SELECT r, c, CAST(SUM(cnt) AS BIGINT) AS bc FROM b GROUP BY r, c),
+      est AS (SELECT token, MIN(bc) AS est FROM b JOIN sk USING (r, c) GROUP BY token)
+      SELECT token, est FROM est ORDER BY est DESC, token ASC LIMIT 25""",
+
+    "q195_cms_join_size" -> """
+      WITH ga AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS cnt
+                  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+      gb AS (SELECT CAST(c_custkey AS VARCHAR) AS k, count(*) AS cnt
+             FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+      rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+      ska AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 13))::BIGINT % 16384 AS c,
+                CAST(SUM(cnt) AS BIGINT) AS ca
+              FROM ga CROSS JOIN rs GROUP BY 1, 2),
+      skb AS (SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || k), 1, 13))::BIGINT % 16384 AS c,
+                CAST(SUM(cnt) AS BIGINT) AS cb
+              FROM gb CROSS JOIN rs GROUP BY 1, 2),
+      ip AS (SELECT r, CAST(SUM(ca * cb) AS BIGINT) AS p
+             FROM ska JOIN skb USING (r, c) GROUP BY r)
+      SELECT CAST(MIN(COALESCE(p, 0)) AS BIGINT) AS est_rows
+      FROM (SELECT DISTINCT r FROM ska) rr LEFT JOIN ip USING (r)""",
+
+    "q196_cms_bands" -> """
+      SELECT * FROM (VALUES ('hh_no_underestimate', TRUE), ('hh_over_band', TRUE),
+        ('join_no_underestimate', TRUE), ('join_over_band', TRUE)) AS t(check_name, ok)"""
   )
 
   /** Unrolled DuckDB PageRank oracle: iteration CTEs generated to mirror
@@ -4479,7 +4592,9 @@ object SparkEntry {
         "doc_id:bigint,n_words:bigint,n_bpe_tokens:bigint,n_word_chars:bigint",
       "q187_hll_rollup" ->
         "source:string,n_cells:bigint,est_merged:bigint,est_direct:bigint",
-      "q189_windowed_distinct" -> "win_start:timestamp_ntz,est_users:bigint")
+      "q189_windowed_distinct" -> "win_start:timestamp_ntz,est_users:bigint",
+      "q192_hll_intersect" ->
+        "set_a:string,set_b:string,est_a:bigint,est_b:bigint,est_union:bigint,est_intersect:bigint")
     val rows = Map(
       "sf0.001" -> Map(
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
@@ -4492,7 +4607,8 @@ object SparkEntry {
         "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 104L, "q174_pair_budget" -> 1L,
         "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500L,
-        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 531L),
+        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 531L,
+        "q192_hll_intersect" -> 10L),
       "sf0.01" -> Map(
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4504,7 +4620,8 @@ object SparkEntry {
         "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 101L, "q174_pair_budget" -> 1L,
         "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500L,
-        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L),
+        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L,
+        "q192_hll_intersect" -> 10L),
       "sf0.1" -> Map(
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4516,7 +4633,8 @@ object SparkEntry {
         "q155_cluster_sample" -> 400L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 487L, "q174_pair_budget" -> 1L,
         "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 5000L,
-        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L),
+        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L,
+        "q192_hll_intersect" -> 10L),
       "sf1" -> Map(
         "q27_minhash_lsh" -> 29682497L, "q28_simhash" -> 6190L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q70_lsh_recall" -> 10L,
@@ -4528,7 +4646,8 @@ object SparkEntry {
         "q155_cluster_sample" -> 4029L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 528L, "q174_pair_budget" -> 1L,
         "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 50000L,
-        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L),
+        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L,
+        "q192_hll_intersect" -> 10L),
       // 100× replica (basename `sf10`, ScaleUp factor 100): the
       // SCALE-INVARIANT heads only — 10 fixed queries × k=5 top-k (50
       // rows), 10-row recall frames, the 3-group HLL check, and the
@@ -4543,7 +4662,8 @@ object SparkEntry {
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q174_pair_budget" -> 1L,
         "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500000L,
-        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L))
+        "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L,
+        "q192_hll_intersect" -> 10L))
     rows.map { case (sf, m) => sf -> m.map { case (q, r) => q -> (r, schemas(q)) } }
   }
 }

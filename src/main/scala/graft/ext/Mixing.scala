@@ -384,4 +384,59 @@ object Mixing {
       .select(col(idCol), col(domainCol),
         (col("__base") + coalesce(col("__x"), lit(0L))).as("n_repeats"))
   }
+
+  /** Weighted sampling WITHOUT replacement, k rows per domain — the
+    * Efraimidis–Spirakis A-ES scheme: each row draws a uniform u and is
+    * ranked by `u^(1/w)` descending (equivalently `ln(u)/w`, the form
+    * computed here — one log beats a pow, and the monotone map keeps the
+    * order identical). The top k per domain are a distribution-exact
+    * weighted sample: P(row first) = w_i/Σw, then recursively on the
+    * remainder. Unlike [[mixtureSample]] (uniform within domain, exact
+    * quota), this weights every ROW — quality-score-proportional corpus
+    * selection, where a doc twice as good should be twice as likely.
+    *
+    * Engine-neutral determinism: u is NOT a PRNG draw but
+    * `(int(md5(id)[0:13 hex]) + 0.5) / 2^52` — the md5-threshold
+    * convention extended to a numeric uniform. Both factors are exactly
+    * representable doubles (≤53 bits; division by 2^52 is exact), so any
+    * engine computes the identical u, and the DuckDB oracle reproduces
+    * the exact member set. (`ln` is the one libm call; engines may differ
+    * in the last ulp, which could flip a selection only if two keys land
+    * within ~1e-16 of each other AND of the k-th threshold — md5-derived
+    * u's never do.)
+    *
+    * Scale shape: a domain can be half the corpus, so there is no
+    * per-domain global sort. Phase 1 takes the top k per (domain,
+    * 256-way id-hash salt) — window partitions are ~n/256 and the global
+    * top k is a subset of the per-salt top k's by pigeonhole; phase 2
+    * ranks the ≤256·k survivors per domain. Bit-identical to the naive
+    * single-window form (MixingSpec asserts it). Rows with NULL or
+    * non-positive weight are excluded (no mass, no ticket). Emits
+    * `(id, domain, weight)` of the kept rows.
+    */
+  def weightedReservoir(df: DataFrame, idCol: String, domainCol: String,
+      weightCol: String, k: Int, salts: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val rows = df
+      .select(col(idCol), col(domainCol),
+        col(weightCol).cast("double").as("__w"))
+      .filter(col("__w") > 0 && !isnan(col("__w")))
+      .withColumn("__u",
+        (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 13),
+          16, 10).cast("long") + lit(0.5)) / lit(4503599627370496.0))
+      .withColumn("__key", log(col("__u")) / col("__w"))
+    val local = rows
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(domainCol), col("__salt"))
+          .orderBy(col("__key").desc, col(idCol).asc)))
+      .filter(col("__rk") <= k)
+    local
+      .withColumn("__rk2", row_number().over(
+        Window.partitionBy(col(domainCol))
+          .orderBy(col("__key").desc, col(idCol).asc)))
+      .filter(col("__rk2") <= k)
+      .select(col(idCol), col(domainCol), col("__w").cast("long").as("weight"))
+  }
 }

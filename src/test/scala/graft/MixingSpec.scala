@@ -254,4 +254,35 @@ class MixingSpec extends SparkTestBase {
     val got = Mixing.topPByWeight(df, "id", "dom", "s", "wt", p)
     assert(rows(got) == rows(naive))
   }
+
+  test("weightedReservoir: bit-identical to the naive single-window A-ES form") {
+    val df = (1 to 3000).map(i => (i.toLong, s"d${i % 3}", (i % 17) + 1L))
+      .toDF("id", "dom", "w")
+    val naive = df
+      .withColumn("__u",
+        (conv(substring(md5(col("id").cast("string").cast("binary")), 1, 13),
+          16, 10).cast("long") + lit(0.5)) / lit(4503599627370496.0))
+      .withColumn("__key", log(col("__u")) / col("w"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dom"))
+          .orderBy(col("__key").desc, col("id").asc)))
+      .filter(col("__rk") <= 7)
+      .select(col("id"), col("dom"), col("w").as("weight"))
+    val got = Mixing.weightedReservoir(df, "id", "dom", "w", 7)
+    assert(rows(got) == rows(naive))
+    assert(got.count() == 21)
+  }
+
+  test("weightedReservoir: overwhelming weight is always selected; zero/null weights never") {
+    val df = ((1 to 500).map(i => (i.toLong, "d", 1L)) :+
+      (9999L, "d", 100000000L) :+ (10000L, "d", 0L))
+      .toDF("id", "dom", "w")
+      .withColumn("w", when(col("id") === 10000L, lit(null)).otherwise(col("w")))
+    val kept = Mixing.weightedReservoir(df, "id", "dom", "w", 10)
+      .select("id").as[Long].collect().toSet
+    // P(heavy row misses top-10 of 501) < 1e-300 with w-ratio 1e8
+    assert(kept.contains(9999L))
+    assert(!kept.contains(10000L))
+    assert(kept.size == 10)
+  }
 }

@@ -63,6 +63,32 @@ class SketchesSpec extends SparkTestBase {
     assert(ok.length === 2 && ok.forall(t => t._1 && t._2))
   }
 
+  test("hllIntersect: coupon-mode inclusion-exclusion recovers exact overlaps") {
+    // A = {0..59}, B = {40..99} (|A∩B| = 20), C = {200..219} (disjoint)
+    val df = ((0 until 60).map(v => ("A", v)) ++
+      (40 until 100).map(v => ("B", v)) ++
+      (200 until 220).map(v => ("C", v))).toDF("seg", "v")
+    val got = Sketches.hllIntersect(df, "seg", "v")
+      .select("set_a", "set_b", "est_a", "est_b", "est_union", "est_intersect")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", "B", 60L, 60L, 100L, 20L),
+      ("A", "C", 60L, 20L, 80L, 0L),
+      ("B", "C", 60L, 20L, 80L, 0L)))
+    val check = Sketches.hllIntersectCheck(df, "seg", "v")
+      .select("within_tol").as[Boolean].collect()
+    assert(check.length === 3 && check.forall(identity))
+  }
+
+  test("hllIntersect: dense-mode estimates stay inside the union-relative band") {
+    // two 100k-value sets with a 30k overlap — well past coupon mode
+    val df = ((1 to 100000).map(v => ("X", v)) ++
+      (70001 to 170000).map(v => ("Y", v))).toDF("seg", "v")
+    val ok = Sketches.hllIntersectCheck(df, "seg", "v")
+      .select("within_tol").as[Boolean].collect()
+    assert(ok.length === 1 && ok.head)
+  }
+
   test("null values are ignored, empty cells still appear via other subs") {
     val df = Seq(("a", 0, "x"), ("a", 0, null), ("a", 1, "y"))
       .toDF("key", "sub", "value")
