@@ -75,6 +75,18 @@ object Cms {
       .groupBy(col("row"), col("col"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Read a sketch store written per-partition (e.g. the
+    * `graft.streaming.Streams.cmsSink` batch_id layout, or per-day batch
+    * sketches) and fold every partition's counters into the current
+    * sketch — the n-way [[merge]]. Touches only counter rows, never raw
+    * data.
+    */
+  def readMerged(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("row"), col("col"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point estimates for the distinct keys of `keys(keyCol)`: min over
     * sketch rows of the addressed counter (absent counter = 0). The
     * sketch side is ≤ d·w rows, so the join broadcasts; the keys side

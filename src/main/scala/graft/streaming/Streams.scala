@@ -474,4 +474,41 @@ object Streams {
         graft.sources.Jdbc.upsertJdbc(batch.toDF(), url, table, keys): Unit
       }
       .start()
+
+  /** Streaming maintenance of a materialized count-min sketch
+    * ([[graft.ext.Cms]]): each micro-batch sketches its own keys (one
+    * map-side-combining pass, ≤ depth×width counter rows however large
+    * the batch) and lands them under a `batch_id=` partition via dynamic
+    * partition overwrite. Counters are ADDITIVE, so the usual merge-sink
+    * idempotence trick (anti-join on keys) cannot work — a replayed
+    * batch would double-count. Partitioning by batch id restores the
+    * contract: a replay rewrites ITS OWN partition with bit-identical
+    * content (the sketch is deterministic), and the current sketch is
+    * [[graft.ext.Cms.readMerged]] — a counter sum over the batch
+    * partitions, each sketch-sized, so reading stays cheap until routine
+    * compaction ([[graft.sources.Tables.compact]]) folds old batches.
+    * This is the streaming twin of the batch sketch family: frequency
+    * analytics over an unbounded stream from constant-size state per
+    * batch, no raw-data rescans ever.
+    */
+  def cmsSink(
+      stream: DataFrame,
+      keyCol: String,
+      targetPath: String,
+      checkpointDir: String,
+      depth: Int = 4,
+      width: Int = 8192): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sk = graft.ext.Cms.sketch(batch.toDF(), keyCol, depth, width)
+          .withColumn("batch_id", lit(batchId))
+        if (!sk.isEmpty)
+          sk.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(targetPath): Unit
+      }
+      .start()
 }

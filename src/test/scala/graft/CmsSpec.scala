@@ -70,4 +70,30 @@ class CmsSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(est === Map("x" -> 2L))
   }
+
+  test("cmsSink maintains the materialized sketch across micro-batches; readMerged recovers exact counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_cms_cp").toString
+    val input = MemoryStream[String]
+    val q = graft.streaming.Streams.cmsSink(
+      input.toDS().toDF("k"), "k", s"$dir/t", cp, depth = 4, width = 65536)
+    try {
+      input.addData("a", "a", "b")
+      q.processAllAvailable()
+      input.addData("a", "b", "c")
+      q.processAllAvailable()
+      val merged = Cms.readMerged(spark, s"$dir/t")
+      val est = Cms.estimateKeys(merged,
+        Seq("a", "b", "c", "zzz").toDF("k"), "k", 4, 65536)
+        .as[(String, Long)].collect().toMap
+      // generous width: batch sketches merged across partitions are exact
+      assert(est === Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "zzz" -> 0L))
+      // two batch_id partitions on disk, each sketch-sized
+      val parts = spark.read.parquet(s"$dir/t")
+        .select("batch_id").distinct().as[Long].collect().toSet
+      assert(parts === Set(0L, 1L))
+    } finally q.stop()
+  }
 }
