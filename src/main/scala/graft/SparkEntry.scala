@@ -2497,6 +2497,17 @@ object SparkEntry {
       Cms.bandsCheck(tk, "token", 25,
         t(s, dir, "orders"), "o_custkey",
         t(s, dir, "customer"), "c_custkey", depth = 4, width = 8192)
+    }),
+
+    // ---- Histogram cells → percentile rollup: the DISTRIBUTION member
+    // of the materialized-summary triad (HLL distinct / CMS frequency /
+    // this). Doc-length p50/p90/p99 per source from (source, lang) cells
+    // merged WITHOUT rescanning documents — integer bin arithmetic, so
+    // the oracle recomputes the whole two-level pipeline exactly.
+    "q197_hist_rollup" -> ((s, dir) => {
+      val cells = Profiling.histCells(t(s, dir, "documents"),
+        "source", "lang", "n_chars", binWidth = 64L, nBins = 256)
+      Profiling.histRollupPercentiles(cells, "source", 64L, Seq(50, 90, 99))
     })
   )
 
@@ -4495,7 +4506,23 @@ object SparkEntry {
 
     "q196_cms_bands" -> """
       SELECT * FROM (VALUES ('hh_no_underestimate', TRUE), ('hh_over_band', TRUE),
-        ('join_no_underestimate', TRUE), ('join_over_band', TRUE)) AS t(check_name, ok)"""
+        ('join_no_underestimate', TRUE), ('join_over_band', TRUE)) AS t(check_name, ok)""",
+
+    // q197: full two-level recompute — cells at (source, lang) grain,
+    // counter-merged to source, cumulative crossing per percentile.
+    "q197_hist_rollup" -> """
+      WITH cells AS (SELECT source, lang, LEAST(255, n_chars // 64) AS bin, count(*) AS cnt
+                     FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+                     GROUP BY 1, 2, 3),
+      m AS (SELECT source, bin, SUM(cnt) AS cnt FROM cells GROUP BY 1, 2),
+      c AS (SELECT source, bin, cnt,
+              SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+              SUM(cnt) OVER (PARTITION BY source) AS tot FROM m)
+      SELECT source,
+        CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN bin END) * 64 AS BIGINT) AS p50_lo,
+        CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN bin END) * 64 AS BIGINT) AS p90_lo,
+        CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN bin END) * 64 AS BIGINT) AS p99_lo
+      FROM c GROUP BY source"""
   )
 
   /** Unrolled DuckDB PageRank oracle: iteration CTEs generated to mirror

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column-profiling operator — the "describe my table" step every ETL
@@ -205,5 +206,61 @@ object Profiling {
         expr(s"(cnt * $parts + __total - 1) div __total").as("salt"))
       .orderBy(col("cnt").desc, col("key").asc)
       .limit(topK)
+  }
+
+  /** Mergeable fixed-width histogram cells — the DISTRIBUTION member of
+    * the materialized-summary family ([[graft.ext.Sketches]] HLL =
+    * distinct counts, [[graft.ext.Cms]] = frequencies, this = quantiles).
+    * One corpus scan bins `valueCol` into ≤ nBins integer buckets per
+    * (keyCol, subCol) cell — `bin = min(nBins−1, value div binWidth)`,
+    * pure integer arithmetic, so any engine reproduces the cell table
+    * bit-for-bit and the downstream percentiles are EXACTLY
+    * oracle-checkable (q197), not tolerance-pinned. Cells
+    * map-side-combine (≤ nBins groups per cell however many rows feed
+    * them), persist to parquet at the finest grain a pipeline reports
+    * on, and roll up to ANY coarser grain by counter addition — the q47
+    * exact-percentile operator answers one grain from raw data; this
+    * answers every grain from kilobytes. Contract: values are
+    * non-negative longs (lengths, counts, byte sizes — the profiling
+    * domain); NULL and negative values carry no mass.
+    */
+  def histCells(df: DataFrame, keyCol: String, subCol: String,
+      valueCol: String, binWidth: Long, nBins: Int): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    df.select(col(keyCol), col(subCol), col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") >= 0)
+      .withColumn("bin", least(lit(nBins - 1L), expr(s"__v div $binWidth")))
+      .groupBy(col(keyCol), col(subCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Percentile rollup from materialized [[histCells]]: merge cells up to
+    * `keyCol` (counter sum — the mergeability that makes the cells worth
+    * persisting), one cumulative pass over the ≤ nBins merged bins per
+    * key, and each requested percentile p reports the LOWER EDGE of the
+    * first bin whose cumulative count reaches ⌈p% of the key's mass⌉.
+    * That bin contains the discrete p-th percentile by construction, so
+    * the approximation error is bounded by binWidth STRUCTURALLY — a
+    * theorem, not a measurement, which is why no tolerance witness is
+    * needed. The window partitions are ≤ nBins rows per key regardless
+    * of input size. Output: (keyCol, p<p>_lo ...), one column per
+    * requested percentile, integer bin edges.
+    */
+  def histRollupPercentiles(cells: DataFrame, keyCol: String,
+      binWidth: Long, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $pcts")
+    val merged = cells.groupBy(col(keyCol), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val cum = merged
+      .withColumn("__cum", sum(col("cnt")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("bin").asc)))
+      .withColumn("__tot", sum(col("cnt")).over(
+        Window.partitionBy(col(keyCol))))
+    val aggs = pcts.map(p =>
+      (min(when(col("__cum") * 100 >= col("__tot") * p, col("bin")))
+        * binWidth).as(s"p${p}_lo"))
+    cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

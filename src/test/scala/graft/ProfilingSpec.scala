@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
+
 import graft.ext.Profiling
 
 class ProfilingSpec extends SparkTestBase {
@@ -105,5 +107,44 @@ class ProfilingSpec extends SparkTestBase {
     val got = Profiling.skewProfile(df, "k", parts = 2, topK = 3).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == Seq(("<null>", 5L), ("en", 3L), ("fr", 2L)))
+  }
+
+  test("histCells/histRollupPercentiles: binWidth=1 recovers exact discrete percentiles") {
+    // key "a": values 1..100 across two subs -> p50=50, p90=90, p99=99
+    val df = ((1 to 60).map(v => ("a", "x", v.toLong)) ++
+      (61 to 100).map(v => ("a", "y", v.toLong)) ++
+      Seq(("b", "x", 7L), ("b", "y", 7L), ("b", "y", 9L))).toDF("k", "s", "v")
+    val cells = Profiling.histCells(df, "k", "s", "v", binWidth = 1L, nBins = 512)
+    val got = Profiling.histRollupPercentiles(cells, "k", 1L, Seq(50, 90, 99))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(got("a") === ((50L, 90L, 99L)))
+    // b: n=3, p50 -> ceil(1.5)=2nd value = 7, p90/p99 -> 3rd = 9
+    assert(got("b") === ((7L, 9L, 9L)))
+  }
+
+  test("histRollupPercentiles: coarse bins report the containing bin's lower edge; overflow clamps") {
+    val df = (Seq.fill(9)(("a", "x", 5L)) :+ ("a", "x", 99999L)).toDF("k", "s", "v")
+    val cells = Profiling.histCells(df, "k", "s", "v", binWidth = 10L, nBins = 16)
+    // value 5 -> bin 0 (edge 0); 99999 -> clamped to bin 15 (edge 150)
+    val got = Profiling.histRollupPercentiles(cells, "k", 10L, Seq(50, 99))
+      .as[(String, Long, Long)].collect().head
+    assert(got === (("a", 0L, 150L)))
+    // cell table is bounded: at most nBins rows per (k, s)
+    assert(cells.count() === 2)
+  }
+
+  test("histCells: rollup over persisted cells equals the direct single-grain computation; nulls/negatives carry no mass") {
+    val df = (Seq(("a", "x", Some(12L)), ("a", "y", Some(30L)),
+      ("a", "y", None), ("a", "x", Some(-4L)), ("a", "z", Some(30L)))).toDF("k", "s", "v")
+    val viaCells = Profiling.histRollupPercentiles(
+      Profiling.histCells(df, "k", "s", "v", 8L, 32), "k", 8L, Seq(50))
+      .as[(String, Long)].collect().toMap
+    val direct = Profiling.histRollupPercentiles(
+      Profiling.histCells(df.withColumn("s", lit("all")), "k", "s", "v", 8L, 32),
+      "k", 8L, Seq(50))
+      .as[(String, Long)].collect().toMap
+    // 3 valid values 12,30,30 -> p50 = 2nd = 30 -> bin 3 edge 24
+    assert(viaCells === Map("a" -> 24L) && direct === viaCells)
   }
 }
