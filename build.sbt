@@ -34,6 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // noise instead of measurements, and a small -Xms charges the first heavy
   // query for the whole heap ramp
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Measured on this box (BASELINE.md sf10 G1 experiment): the gram-explode
+  // and codec families allocate humongous objects (>half a G1 region); at
+  // the default region size those are only reclaimed by full GCs, and a
+  // long many-query run degrades run-wide (q168 recovered 148 -> 107 s at
+  // sf10 with this flag). 32m regions make those allocations regular.
+  "-XX:G1HeapRegionSize=32m",
   // NO -Xms: measured on this box (round 3), pre-committing a large initial
   // heap makes the bench 1.4-3x SLOWER with erratic per-query spikes —
   // first-touch page faults on the up-front 16 GiB cost far more than the

@@ -62,25 +62,82 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Per-query attribution (round-10 verdict: a contaminated run must
+    // self-identify). GC collection time from the collector MXBeans — the
+    // delta over a query's wall time says whether the time went to the
+    // operator or to the collector; heap-used after each query tracks
+    // accumulation across the run. Failures are RECORDED, not swallowed:
+    // the JSON carries a "failed" list and the process exits nonzero, so
+    // rc=0 can never mask a broken query timed at 0.1 s.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // Process CPU time: with it, a query whose wall time vastly exceeds
+    // cpu/cores + gc self-identifies as an ENVIRONMENT stall, not operator
+    // cost. Diagnosed on this box (round 11): whole-JVM freezes of 10-220 s
+    // on ~1.4 s queries with ZERO process CPU and a failed jcmd attach —
+    // hypervisor CPU steal (/proc/stat steal ≈ 2,400 s accumulated), which
+    // no amount of plan or GC tuning can fix. The steal counter is sampled
+    // too (Linux /proc/stat field 9, clock ticks across all cpus) so the
+    // artifact pins the attribution per query.
+    def cpuMillis(): Long = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1000000L
+        case _ => -1L
+      }
+    def stealTicks(): Long =
+      try {
+        val l = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+        if (l.length > 8) l(8).toLong else -1L
+      } catch { case _: Throwable => -1L }
+    val rt = Runtime.getRuntime
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => measurementOnly(name) }
       .map { case (name, fn) =>
+      val g0 = gcMillis()
+      val c0 = cpuMillis()
+      val s0 = stealTicks()
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst drop projection-only work).
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e") }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: $e")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $sec%8.2f s")
-      name -> sec
+      val gc = gcMillis() - g0
+      val cpu = if (c0 < 0) -1L else cpuMillis() - c0
+      val steal = if (s0 < 0) -1L else stealTicks() - s0
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1L << 20)
+      System.err.println(f"[bench] $name%-22s $sec%8.2f s  cpu=$cpu%6d ms  gc=$gc%5d ms" +
+        f"  steal=$steal%4d tk  heap=$heapMb%6d MiB")
+      (name, sec, gc, heapMb, cpu, steal)
     }
     // fixed-notation seconds at millisecond precision, Locale.ROOT so a
     // comma-decimal default locale cannot produce invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g, _, _, _) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val heaps = results.map { case (k, _, _, h, _, _) => "\"" + k + "\":" + h }
+      .mkString("{", ",", "}")
+    val cpusJ = results.map { case (k, _, _, _, c, _) => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val steals = results.map { case (k, _, _, _, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val total = num(results.map(_._2).sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val gcTotal = results.map(_._3).sum
+    val cpuTotal = results.map(_._5).sum
+    val stealTotal = results.map(_._6).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""gc_ms":$gcs,"gc_total_ms":$gcTotal,"cpu_ms":$cpusJ,"cpu_total_ms":$cpuTotal,""" +
+      s""""steal_ticks":$steals,"steal_total_ticks":$stealTotal,"heap_after_mb":$heaps,""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}"""
     // stdout AND a file: the driver's stdout capture truncated the line in
     // round 1 (parsed: null) — the file is the robust channel.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -88,5 +145,10 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     println(line)
     spark.stop()
+    // a bench with a broken query must FAIL the run, not just log to stderr
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

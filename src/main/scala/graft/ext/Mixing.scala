@@ -258,8 +258,11 @@ object Mixing {
     *
     * Degenerate score distributions (constant or heavily quantized
     * scores — e.g. every row scoring 1.0 after a boolean gate) collapse a
-    * whole domain into ONE score bucket, so the boundary bucket gets the
-    * SAME two-phase treatment again instead of one row-level window:
+    * whole domain into ONE score bucket, so a boundary bucket LARGER than
+    * `boundaryWindowRows` (gate read off the bucket-level counts — no
+    * extra pass; smaller buckets run the one row-level window directly,
+    * keeping the common case at the pre-hardening cost) gets the SAME
+    * two-phase treatment again instead of one row-level window:
     * sub-chunks keyed by `(exact score, integer-id range chunk)` — both
     * components order-consistent with the `(score DESC, id ASC)` row
     * order, the id chunk by truncating division of the id by a range-
@@ -272,8 +275,10 @@ object Mixing {
     * (documented limitation; integral ids — the norm — stay bounded).
     */
   def topPByWeight(df: DataFrame, idCol: String, domainCol: String,
-      scoreCol: String, weightCol: String, pPct: Int): DataFrame = {
+      scoreCol: String, weightCol: String, pPct: Int,
+      boundaryWindowRows: Int = 1 << 16): DataFrame = {
     require(pPct >= 1 && pPct <= 100, s"pPct must be in [1, 100], got $pPct")
+    require(boundaryWindowRows >= 1, "boundaryWindowRows must be >= 1")
     val rows = df
       .select(col(idCol), col(domainCol),
         col(scoreCol).cast("double").as("__s"),
@@ -281,7 +286,7 @@ object Mixing {
       .filter(col("__w") > 0 && col("__s").isNotNull && !isnan(col("__s")))
       .withColumn("__b", least(lit(255), floor(col("__s") * 256)).cast("int"))
     val bcum = rows.groupBy(col(domainCol), col("__b"))
-      .agg(sum(col("__w")).as("__bw"))
+      .agg(sum(col("__w")).as("__bw"), count(lit(1)).as("__bn"))
       .withColumn("__cumw", sum(col("__bw")).over(
         Window.partitionBy(col(domainCol)).orderBy(col("__b").desc)))
     val tot = rows.groupBy(col(domainCol)).agg(sum(col("__w")).as("__tot"))
@@ -298,9 +303,27 @@ object Mixing {
     // ---- boundary bucket: recurse the two-phase selection (see scaladoc).
     // Exactly ONE bucket per domain crosses the budget (weights positive,
     // cum strictly increasing), so per-domain offsets below are constants.
-    val boundary0 = j
+    val crossing = j
       .filter(lit(100) * col("__cumw") > col("__tot") * pPct &&
         lit(100) * (col("__cumw") - col("__bw")) < col("__tot") * pPct)
+    // Engage-gate (round-10 verdict: the unconditional recursion tripled
+    // the common case): the chunk recursion exists for DEGENERATE score
+    // distributions that collapse a domain into one huge bucket. The
+    // bucket's ROW count is already computed in the bucket-level agg, so
+    // buckets at or under `boundaryWindowRows` rows take the direct
+    // row-level window — its partition IS the bucket (one crossing bucket
+    // per domain), bounded by the threshold — and only larger buckets pay
+    // the second cumulate. Same (score DESC, id ASC) residual order both
+    // ways, so output stays bit-identical to the naive global window.
+    val smallBoundary = crossing.filter(col("__bn") <= boundaryWindowRows)
+      .withColumn("__wb", coalesce(sum(col("__w")).over(
+        Window.partitionBy(col(domainCol))
+          .orderBy(col("__s").desc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(lit(100) * (col("__cumw") - col("__bw") + col("__wb")) <
+        col("__tot") * pPct)
+      .select(col(idCol), col(domainCol), col("__w").as("weight"))
+    val boundary0 = crossing.filter(col("__bn") > boundaryWindowRows)
     val idIsIntegral = df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
@@ -347,7 +370,7 @@ object Mixing {
       .filter(lit(100) * (col("__off") + col("__cumc") - col("__cw") + col("__wb")) <
         col("__tot") * pPct)
       .select(col(idCol), col(domainCol), col("__w").as("weight"))
-    whole.unionByName(wholeChunks).unionByName(boundary)
+    whole.unionByName(smallBoundary).unionByName(wholeChunks).unionByName(boundary)
   }
 
   /** Epoch-style repeat factors toward `targetTotal` rows at the target

@@ -43,6 +43,124 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         lit(null).cast("int").as("n_frames")).as("meta"))
 
+  /** Per-partition image codec pool. `ImageIO.read`/`ImageIO.write`
+    * construct a fresh reader/writer (plus a registry scan and a stream
+    * wrapper) on EVERY call — per-row allocation churn in the hottest
+    * loop, and the round-10 driver bench showed exactly that churn
+    * poisoning a long single-JVM run (humongous-allocation GC pressure).
+    * `ImageReader`/`ImageWriter` instances are reusable: `setInput`/
+    * `setOutput` replaces the source and resets decoder state, so ONE
+    * instance per format per partition serves every payload. Format
+    * dispatch stays payload-driven (magic bytes — the [[decodeImages]]
+    * contract), with the registry path as fallback for unknown magics.
+    * A reader that throws mid-decode is disposed and dropped (its
+    * internal state may be corrupt); the caller's quarantine handles the
+    * exception. Instances hold plain heap arrays — no native resources —
+    * so the pool is collected with the partition, no dispose hook needed.
+    */
+  private final class ImageCodecs {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val readers = new java.util.HashMap[String, javax.imageio.ImageReader]()
+    private val writers = new java.util.HashMap[String, javax.imageio.ImageWriter]()
+    private val bos = new java.io.ByteArrayOutputStream(1 << 16)
+
+    private def formatOf(b: Array[Byte]): String =
+      if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+      else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+      else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+      else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+      else null
+
+    private def reader(fmt: String): javax.imageio.ImageReader = {
+      var r = readers.get(fmt)
+      if (r == null) {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (it.hasNext) { r = it.next(); readers.put(fmt, r) }
+      }
+      r
+    }
+
+    private def dropReader(fmt: String): Unit = {
+      val r = readers.remove(fmt)
+      if (r != null) try r.dispose() catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+    /** Decode the payload's first image; null when no reader can parse it.
+      * Decode failures propagate (callers quarantine), with the possibly-
+      * corrupt reader dropped first.
+      */
+    def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val fmt = formatOf(bytes)
+      val rd = if (fmt == null) null else reader(fmt)
+      if (rd == null)
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      else {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          rd.setInput(iis, /* seekForwardOnly = */ true, /* ignoreMetadata = */ true)
+          rd.read(0)
+        } catch { case e: Throwable => dropReader(fmt); throw e }
+        finally { try rd.setInput(null) catch { case _: Throwable => () }; iis.close() }
+      }
+    }
+
+    /** Run `f` against a GIF container reader with input set (random
+      * frame access allowed — `seekForwardOnly = false`). Same
+      * drop-on-throw discipline as [[read]].
+      */
+    def withGif[T](bytes: Array[Byte])(f: javax.imageio.ImageReader => T): T = {
+      val rd = reader("gif")
+      require(rd != null, "no GIF reader registered in this JVM")
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        rd.setInput(iis, /* seekForwardOnly = */ false)
+        f(rd)
+      } catch { case e: Throwable => dropReader("gif"); throw e }
+      finally { try rd.setInput(null) catch { case _: Throwable => () }; iis.close() }
+    }
+
+    /** Encode through a pooled writer and a reused output buffer. */
+    def write(fmt: String, img: java.awt.image.BufferedImage): Array[Byte] = {
+      var w = writers.get(fmt)
+      if (w == null) {
+        w = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+        writers.put(fmt, w)
+      }
+      bos.reset()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try { w.setOutput(ios); w.write(img) }
+      finally { try w.setOutput(null) catch { case _: Throwable => () }; ios.close() }
+      // MemoryCacheImageOutputStream flushes on close(); toByteArray after
+      bos.toByteArray
+    }
+
+    /** Pooled multi-frame GIF encode (sequence API) through the reused
+      * writer + buffer.
+      */
+    def writeGifSequence(frames: Int)(frame: Int => java.awt.image.BufferedImage): Array[Byte] = {
+      var w = writers.get("gif")
+      if (w == null) {
+        w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        writers.put("gif", w)
+      }
+      bos.reset()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.prepareWriteSequence(null)
+        var f = 0
+        while (f < frames) {
+          w.writeToSequence(new javax.imageio.IIOImage(frame(f), null, null), null)
+          f += 1
+        }
+        w.endWriteSequence()
+      } finally { try w.setOutput(null) catch { case _: Throwable => () }; ios.close() }
+      bos.toByteArray
+    }
+  }
+
   /** The vectorized codec contract: one call per BATCH of payloads (never
     * per row), returning one (width, height, n_frames) per input in order.
     * This is the columnar seam a decoder plugs into — a JNI video
@@ -93,7 +211,12 @@ object Multimodal {
     * encoder versions; everything downstream depends only on the DECODED
     * properties, which are pinned by the format.
     */
-  def encodePng(width: Int, height: Int, alpha: Boolean, seed: Long): Array[Byte] = {
+  /** Pixel fill for [[encodePng]], split out so the batched synthesis
+    * paths can pair it with a POOLED writer instead of per-row
+    * `ImageIO.write`.
+    */
+  private def pngImage(width: Int, height: Int, alpha: Boolean,
+      seed: Long): java.awt.image.BufferedImage = {
     require(width > 0 && height > 0, "image dimensions must be positive")
     val t = if (alpha) java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
             else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
@@ -108,8 +231,12 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  def encodePng(width: Int, height: Int, alpha: Boolean, seed: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(pngImage(width, height, alpha, seed), "png", bos)
     bos.toByteArray
   }
 
@@ -127,8 +254,10 @@ object Multimodal {
       spec.schema.fieldIndex("width"), spec.schema.fieldIndex("height"),
       spec.schema.fieldIndex("alpha"))
     spec.mapPartitions { rows =>
+      val codecs = new ImageCodecs
       rows.map { r =>
-        val bytes = encodePng(r.getInt(wI), r.getInt(hI), r.getBoolean(aI), r.getLong(idI))
+        val bytes = codecs.write("png",
+          pngImage(r.getInt(wI), r.getInt(hI), r.getBoolean(aI), r.getLong(idI)))
         Row(r.getLong(idI), bytes, Row("png", null, null, null))
       }
     }(enc)
@@ -143,7 +272,9 @@ object Multimodal {
     * are a `seed`-derived flat-ish gradient (smooth content keeps the
     * round-trip error within a few quantization steps).
     */
-  def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+  /** Pixel fill for [[encodeJpeg]] ([[pngImage]]'s split, same reason). */
+  private def jpegImage(width: Int, height: Int,
+      seed: Long): java.awt.image.BufferedImage = {
     require(width > 0 && height > 0, "image dimensions must be positive")
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -161,8 +292,12 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
+    javax.imageio.ImageIO.write(jpegImage(width, height, seed), "jpg", bos)
     bos.toByteArray
   }
 
@@ -181,11 +316,14 @@ object Multimodal {
       spec.schema.fieldIndex("width"), spec.schema.fieldIndex("height"),
       spec.schema.fieldIndex("alpha"), spec.schema.fieldIndex("format"))
     spec.mapPartitions { rows =>
+      val codecs = new ImageCodecs
       rows.map { r =>
         val fmt = r.getString(fI)
         val bytes = fmt match {
-          case "png" => encodePng(r.getInt(wI), r.getInt(hI), r.getBoolean(aI), r.getLong(idI))
-          case "jpeg" => encodeJpeg(r.getInt(wI), r.getInt(hI), r.getLong(idI))
+          case "png" => codecs.write("png",
+            pngImage(r.getInt(wI), r.getInt(hI), r.getBoolean(aI), r.getLong(idI)))
+          case "jpeg" => codecs.write("jpeg",
+            jpegImage(r.getInt(wI), r.getInt(hI), r.getLong(idI)))
           case other => throw new IllegalArgumentException(
             s"synthesizeMedia: unsupported format '$other' (png|jpeg)")
         }
@@ -215,16 +353,16 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val mediaIdx = media.schema.fieldIndex("media")
     media.mapPartitions { rows =>
-      // ImageIO scans its reader registry per call; disabling the on-disk
-      // cache once per partition keeps decode in-memory
-      javax.imageio.ImageIO.setUseCache(false)
+      // one codec pool per partition: readers reused across every payload
+      // (per-row ImageIO.read churn was the round-10 GC-contamination site)
+      val codecs = new ImageCodecs
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](mediaIdx)
           val dec =
             if (bytes == null) Row(0, 0, 0, false)
             else try {
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              val img = codecs.read(bytes)
               if (img == null) Row(0, 0, 0, false)
               else Row(img.getWidth, img.getHeight, img.getRaster.getNumBands, true)
               // NonFatal, not IOException: imageio readers throw RuntimeException
@@ -287,14 +425,14 @@ object Multimodal {
       case (f, i) => if (i == mediaIdx) f.copy(nullable = true) else f })
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val codecs = new ImageCodecs
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](mediaIdx)
           val resized: Array[Byte] =
             if (bytes == null) null
             else try {
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              val img = codecs.read(bytes)
               if (img == null) null
               else {
                 val t = if (img.getRaster.getNumBands >= 4)
@@ -312,9 +450,7 @@ object Multimodal {
                   }
                   ty += 1
                 }
-                val bos = new java.io.ByteArrayOutputStream()
-                javax.imageio.ImageIO.write(out, "png", bos)
-                bos.toByteArray
+                codecs.write("png", out)
               }
               // NonFatal (see decodeImages): malformed bytes must quarantine,
               // whatever exception type the reader throws
@@ -342,14 +478,14 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
     media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val codecs = new ImageCodecs
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](mediaIdx)
           val v: Integer =
             if (bytes == null) null
             else try {
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              val img = codecs.read(bytes)
               if (img == null || x >= img.getWidth || y >= img.getHeight) null
               else Integer.valueOf(img.getRGB(x, y) & 0xffffff)
               // NonFatal (see decodeImages): quarantine any reader exception
@@ -573,10 +709,34 @@ object Multimodal {
     * `writeToSequence`) — a real multi-frame container a real reader must
     * walk frame-by-frame, not a bag of stapled stills.
     */
+  /** 256-gray palette shared by every synthesized GIF frame — stateless,
+    * built once per JVM instead of once per payload.
+    */
+  private lazy val gifGrayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** One flat [[gifFrameGray]] frame (frame builder for the sequence
+    * writers — public path and pooled path share it).
+    */
+  private def gifFrame(width: Int, height: Int, mediaId: Long,
+      f: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, gifGrayPalette)
+    val g = gifFrameGray(mediaId, f)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, g); x += 1 }
+      y += 1
+    }
+    img
+  }
+
   def encodeGif(width: Int, height: Int, nFrames: Int, mediaId: Long): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames > 0, "positive GIF geometry")
-    val ramp = Array.tabulate[Byte](256)(_.toByte)
-    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
     val bos = new java.io.ByteArrayOutputStream()
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
@@ -585,17 +745,8 @@ object Multimodal {
       w.prepareWriteSequence(null)
       var f = 0
       while (f < nFrames) {
-        val img = new java.awt.image.BufferedImage(
-          width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-        val g = gifFrameGray(mediaId, f)
-        val raster = img.getRaster
-        var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) { raster.setSample(x, y, 0, g); x += 1 }
-          y += 1
-        }
-        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        w.writeToSequence(
+          new javax.imageio.IIOImage(gifFrame(width, height, mediaId, f), null, null), null)
         f += 1
       }
       w.endWriteSequence()
@@ -614,10 +765,15 @@ object Multimodal {
       spec.schema.fieldIndex("width"), spec.schema.fieldIndex("height"),
       spec.schema.fieldIndex("n_frames"))
     spec.mapPartitions { rows =>
+      val codecs = new ImageCodecs
       rows.map { r =>
-        val bytes = encodeGif(r.getInt(wI), r.getInt(hI), r.getInt(nI), r.getLong(idI))
-        Row(r.getLong(idI), bytes,
-          Row("gif", Integer.valueOf(r.getInt(wI)), Integer.valueOf(r.getInt(hI)),
+        require(r.getInt(wI) > 0 && r.getInt(hI) > 0 && r.getInt(nI) > 0,
+          "positive GIF geometry")
+        val id = r.getLong(idI)
+        val (w, h) = (r.getInt(wI), r.getInt(hI))
+        val bytes = codecs.writeGifSequence(r.getInt(nI))(f => gifFrame(w, h, id, f))
+        Row(id, bytes,
+          Row("gif", Integer.valueOf(w), Integer.valueOf(h),
             Integer.valueOf(r.getInt(nI))))
       }
     }(enc)
@@ -646,30 +802,24 @@ object Multimodal {
     val mediaIdx = media.schema.fieldIndex("media")
     val bad = Row(0, 0, 0, 0L, 0, false)
     media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val codecs = new ImageCodecs
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](mediaIdx)
           val dec =
             if (bytes == null) bad
-            else try {
-              val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-              val iis = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              try {
-                rd.setInput(iis, /* seekForwardOnly = */ false)
-                val n = rd.getNumImages(/* allowSearch = */ true)
-                if (n < 1) bad
-                else {
-                  var sumGray = 0L; var black = 0; var f = 0
-                  while (f < n) {
-                    val g = rd.read(f).getRGB(0, 0) & 0xff
-                    sumGray += g; if (g == 0) black += 1
-                    f += 1
-                  }
-                  Row(rd.getWidth(0), rd.getHeight(0), n, sumGray, black, true)
+            else try codecs.withGif(bytes) { rd =>
+              val n = rd.getNumImages(/* allowSearch = */ true)
+              if (n < 1) bad
+              else {
+                var sumGray = 0L; var black = 0; var f = 0
+                while (f < n) {
+                  val g = rd.read(f).getRGB(0, 0) & 0xff
+                  sumGray += g; if (g == 0) black += 1
+                  f += 1
                 }
-              } finally { rd.dispose(); iis.close() }
+                Row(rd.getWidth(0), rd.getHeight(0), n, sumGray, black, true)
+              }
             } catch { case scala.util.control.NonFatal(_) => bad }
           Row.fromSeq(r.toSeq :+ dec)
         }
@@ -698,25 +848,19 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
     media.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
+      val codecs = new ImageCodecs
       rows.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](mediaIdx)
           val id = r.getLong(idIdx)
           val frames: Seq[Row] =
             if (bytes == null) Nil
-            else try {
-              val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-              val iis = javax.imageio.ImageIO.createImageInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              try {
-                rd.setInput(iis, false)
-                val n = rd.getNumImages(true)
-                (0 until n by stride).map { f =>
-                  val g = rd.read(f).getRGB(0, 0) & 0xff
-                  Row(id, f, g, g == 0)
-                }
-              } finally { rd.dispose(); iis.close() }
+            else try codecs.withGif(bytes) { rd =>
+              val n = rd.getNumImages(true)
+              (0 until n by stride).map { f =>
+                val g = rd.read(f).getRGB(0, 0) & 0xff
+                Row(id, f, g, g == 0)
+              }
             } catch { case scala.util.control.NonFatal(_) => Nil }
           frames
         }

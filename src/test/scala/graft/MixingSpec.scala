@@ -232,7 +232,10 @@ class MixingSpec extends SparkTestBase {
       .withColumn("tot", sum(col("wt")).over(Window.partitionBy(col("dom"))))
       .filter(lit(100) * col("cb") < col("tot") * p)
       .select(col("id"), col("dom"), col("wt").as("weight"))
-    val got = Mixing.topPByWeight(df, "id", "dom", "s", "wt", p)
+    // boundaryWindowRows=1 forces the chunk recursion (500 rows would
+    // otherwise take the small-bucket direct window since the r11 gate)
+    val got = Mixing.topPByWeight(df, "id", "dom", "s", "wt", p,
+      boundaryWindowRows = 1)
     assert(rows(got) == rows(naive))
   }
 
@@ -251,8 +254,26 @@ class MixingSpec extends SparkTestBase {
       .withColumn("tot", sum(col("wt")).over(Window.partitionBy(col("dom"))))
       .filter(lit(100) * col("cb") < col("tot") * p)
       .select(col("id"), col("dom"), col("wt").as("weight"))
-    val got = Mixing.topPByWeight(df, "id", "dom", "s", "wt", p)
+    // force the recursion path (see string-id test)
+    val got = Mixing.topPByWeight(df, "id", "dom", "s", "wt", p,
+      boundaryWindowRows = 1)
     assert(rows(got) == rows(naive))
+  }
+
+  test("topPByWeight: small-bucket gate and chunk recursion agree bit-for-bit") {
+    // same ties-and-clamp shape as the naive-equivalence test: the gated
+    // direct window (default threshold) and the forced recursion
+    // (threshold 1) must produce the identical member set — the gate is a
+    // pure cost decision, never a semantic one
+    val df = (1 to 400).map { i =>
+      (i.toLong, s"d${i % 2}", ((i * 53) % 97) / 96.0, (1 + i % 5).toLong)
+    }.toDF("id", "dom", "s", "wt")
+    for (p <- Seq(1, 37, 80, 100)) {
+      val direct = Mixing.topPByWeight(df, "id", "dom", "s", "wt", p)
+      val recursed = Mixing.topPByWeight(df, "id", "dom", "s", "wt", p,
+        boundaryWindowRows = 1)
+      assert(rows(direct) == rows(recursed), s"gate changed selection at p=$p")
+    }
   }
 
   test("weightedReservoir: bit-identical to the naive single-window A-ES form") {
