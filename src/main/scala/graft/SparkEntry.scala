@@ -334,8 +334,13 @@ object SparkEntry {
     }),
 
     // ---- Dedup: exact n-gram Jaccard pairs (unigram word sets) ---------------
+    // budget-governed like every catalog pair generator (round-10 verdict):
+    // the pre-flight counts the prefix-join candidate volume exactly and
+    // refuses above 100 M — far above any test SF (sf0.1 ≈ 31 k pairs),
+    // far below the disk-fill regime
     "q25_jaccard_pairs" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 1, 0.8)
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 1, 0.8,
+        budgetPairs = 100000000L)
     }),
 
     // ---- Dedup: 3-gram Jaccard pairs (sequence shingles) ----------------------
@@ -369,8 +374,12 @@ object SparkEntry {
     }),
 
     // ---- Similarity: cosine near-dup pairs -------------------------------------
+    // brute-force EXACTNESS BASELINE, budget-governed: all-pairs volume is
+    // n·(n−1)/2 from one count — 100 M budget admits n ≤ ~14 k (sf0.1 has
+    // 5 k vectors) and refuses the replica scales that filled the disk
     "q31_cosine_pairs" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
+        budgetPairs = 100000000L)
         .select(col("id_a"), col("id_b"))
     }),
 

@@ -55,13 +55,22 @@ object Dedup {
     * Shuffles: one groupBy for df-counts, one window by doc id (docs are
     * small), one equi-join on prefix shingles, two hash joins to fetch the
     * full sets for verification — all key-partitioned, no cross join.
+    *
+    * `budgetPairs` (default unlimited) engages the governed-enumeration
+    * pre-flight: the EXACT pre-distinct candidate volume of whichever
+    * path runs is counted from per-key occupancies before any pair
+    * materializes, and the call refuses with
+    * `Similarity.PairBudgetExceededException` above the budget. Under
+    * budget the output is identical — the probe is a count, not a plan
+    * change.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      budgetPairs: Long = Long.MaxValue): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // Discovery runs on one representative per distinct shingle set
     // (setRepresentatives); results expand back to document pairs at the end.
@@ -74,13 +83,34 @@ object Dedup {
       // arrays shuffled): the O(R²/2) loop join must stay bounded even
       // though a tiny vocabulary USUALLY implies few distinct sets.
       .filter(_ => distinctSetCount(members) <= maxBnljSets)
-      .map(universe => bitmaskSetPairs(reps, threshold, universe))
+      .map(universe => bitmaskSetPairs(reps, threshold, universe, budgetPairs))
       .getOrElse {
-        if (threshold >= 0.9) partitionedSetPairs(reps, threshold)
-        else if (threshold >= 0.5) prefixFilteredSetPairs(reps, threshold)
-        else countedSetPairs(reps, threshold)
+        if (threshold >= 0.9) partitionedSetPairs(reps, threshold, budgetPairs)
+        else if (threshold >= 0.5) prefixFilteredSetPairs(reps, threshold, budgetPairs)
+        else countedSetPairs(reps, threshold, budgetPairs)
       }
     expandSetPairs(repPairs, members)
+  }
+
+  /** Budget pre-flight shared by every Jaccard pair path (the governed-
+    * enumeration discipline of `Similarity.cosineNearDupPairsGoverned`,
+    * applied to the exact baselines too): the pre-distinct candidate
+    * volume of an equi-self-join on `keys` is EXACTLY Σ_group c·(c−1)/2 —
+    * each group holds distinct set keys, so every unordered pair counts
+    * once. One count-only aggregate (no arrays shuffled, no pair
+    * materialized); refuses with the estimate attached when it exceeds
+    * `budgetPairs` (planes/tables 0 = not an LSH plan). `Long.MaxValue`
+    * (the default) skips the probe entirely, keeping ungated library
+    * callers at zero extra jobs.
+    */
+  private def requirePairBudget(keyed: DataFrame, keys: Seq[String],
+      budgetPairs: Long): Unit = {
+    if (budgetPairs >= Long.MaxValue) return
+    val r = keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("est")).collect()
+    val est = if (r.isEmpty || r.head.isNullAt(0)) 0L else r.head.getLong(0)
+    if (est > budgetPairs)
+      throw new Similarity.PairBudgetExceededException(est, budgetPairs, 0, 0)
   }
 
   /** Upper bound on distinct sets for the broadcast-loop-join fast paths:
@@ -139,11 +169,20 @@ object Dedup {
     * None) the moment the vocabulary grows past 64 shingles.
     */
   private def bitmaskSetPairs(
-      reps: DataFrame, threshold: Double, universe: Array[Long]): DataFrame = {
+      reps: DataFrame, threshold: Double, universe: Array[Long],
+      budgetPairs: Long = Long.MaxValue): DataFrame = {
     // materialized once (<= maxBnljSets 16-byte rows — the gate already
     // passed) so the rep pipeline doesn't recompute for each join side
     val masked = reps.select(col("skey"), setMask(col("sh"), universe).as("mask"))
       .localCheckpoint()
+    if (budgetPairs < Long.MaxValue) {
+      // BNLJ candidate volume is exactly R·(R−1)/2; R ≤ maxBnljSets so the
+      // product cannot overflow, and the count scans checkpointed blocks
+      val rCount = masked.count()
+      val est = rCount * (rCount - 1) / 2
+      if (est > budgetPairs)
+        throw new Similarity.PairBudgetExceededException(est, budgetPairs, 0, 0)
+    }
     val a = masked.select(col("skey").as("skey_a"), col("mask").as("m_a"))
     val b = masked.select(col("skey").as("skey_b"), col("mask").as("m_b"))
     def inter = bit_count(col("m_a").bitwiseAND(col("m_b")))
@@ -163,7 +202,8 @@ object Dedup {
     * every individual token is hot (tiny-vocabulary corpora): matching
     * requires a whole identical class, not one shared token.
     */
-  private def partitionedSetPairs(reps: DataFrame, threshold: Double): DataFrame = {
+  private def partitionedSetPairs(reps: DataFrame, threshold: Double,
+      budgetPairs: Long = Long.MaxValue): DataFrame = {
     // empty corpus -> max is null -> no pairs by construction
     val maxSz = Option(reps.agg(max(col("sh_size"))).head().get(0))
       .map(_.asInstanceOf[Int]).getOrElse(0)
@@ -176,6 +216,7 @@ object Dedup {
             filter(col("sh"), x => pmod(x, lit(c.toLong)) === j),
             _.cast("string")), ",")))))
       .withColumnsRenamed(Map("pos" -> "cls", "col" -> "chash"))
+    requirePairBudget(classKeys, Seq("cls", "chash"), budgetPairs)
     val a = classKeys.select(col("cls"), col("chash"), col("skey").as("skey_a"), col("sh_size").as("sz_a"))
     val b = classKeys.select(col("cls"), col("chash"), col("skey").as("skey_b"), col("sh_size").as("sz_b"))
     val candidates = a.join(b, Seq("cls", "chash"))
@@ -206,8 +247,10 @@ object Dedup {
     * shingles directly in one groupBy is exact and carries no arrays.
     * Cost is Σ_shingle df², acceptable when no pruning is possible anyway.
     */
-  private def countedSetPairs(reps: DataFrame, threshold: Double): DataFrame = {
+  private def countedSetPairs(reps: DataFrame, threshold: Double,
+      budgetPairs: Long = Long.MaxValue): DataFrame = {
     val inv = reps.select(col("skey"), col("sh_size"), explode(col("sh")).as("s"))
+    requirePairBudget(inv, Seq("s"), budgetPairs)
     val a = inv.select(col("s"), col("skey").as("skey_a"), col("sh_size").as("sz_a"))
     val b = inv.select(col("s"), col("skey").as("skey_b"), col("sh_size").as("sz_b"))
     a.join(b, Seq("s"))
@@ -221,7 +264,8 @@ object Dedup {
   }
 
   /** High-threshold path: PPJoin-style prefix filter + codegen verify. */
-  private def prefixFilteredSetPairs(reps: DataFrame, threshold: Double): DataFrame = {
+  private def prefixFilteredSetPairs(reps: DataFrame, threshold: Double,
+      budgetPairs: Long = Long.MaxValue): DataFrame = {
     val inv = reps.select(col("skey"), col("sh_size"), explode(col("sh")).as("s"))
     // Global rarity order; ties broken by the shingle hash itself → total order.
     val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
@@ -230,6 +274,7 @@ object Dedup {
     val prefix = inv.join(dfreq, Seq("s"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sh_size") - ceil(col("sh_size") * lit(threshold)) + 1)
+    requirePairBudget(prefix, Seq("s"), budgetPairs)
     val a = prefix.select(col("s"), col("skey").as("skey_a"), col("sh_size").as("sz_a"))
     val b = prefix.select(col("s"), col("skey").as("skey_b"), col("sh_size").as("sz_b"))
     val candidates = a.join(b, Seq("s"))

@@ -282,10 +282,6 @@ object Similarity {
     cents.map(_.map(_.toFloat))
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
-    * Exact all-pairs form; the LSH-bucketed variant above is the scale
-    * path. `cos` is rounded to 6 dp for cross-engine comparability.
-    */
   /** Shared exact-verify tail of both near-dup pair forms: given a frame
     * carrying (id_a, va, na, id_b, vb, nb), compute exact cosine and filter
     * at the 6-dp-rounded threshold (the cross-engine comparability
@@ -302,8 +298,30 @@ object Similarity {
     df.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
       .withColumn(normOut, norm(col(vecOut)))
 
-  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+  /** Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
+    * Exact all-pairs form — the EXACTNESS BASELINE; the LSH-bucketed
+    * variant below is the scale path. `cos` is rounded to 6 dp for
+    * cross-engine comparability.
+    *
+    * Even the baseline is budget-governed (every catalog pair generator
+    * runs the same pre-flight discipline, so no entry can reproduce the
+    * ungoverned disk-fill): the all-pairs candidate volume is EXACTLY
+    * n·(n−1)/2 from one count probe, and the operator refuses with
+    * [[PairBudgetExceededException]] above `budgetPairs` before the theta
+    * join is even planned. Under budget, the plan and output are byte-
+    * identical to the ungoverned form (the pre-flight is a count, not a
+    * plan change). Default keeps library callers ungated.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, budgetPairs: Long = Long.MaxValue): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    if (budgetPairs < Long.MaxValue) {
+      val n = BigInt(df.count())
+      val est = n * (n - 1) / 2
+      if (est > BigInt(budgetPairs))
+        throw new PairBudgetExceededException(
+          est.min(BigInt(Long.MaxValue)).toLong, budgetPairs, 0, 0)
+    }
     // the vector-carrying rows join DIRECTLY (id_a < id_b): row-level
     // semantics are preserved even when ids are not unique
     val a = withNorms(df, idCol, vecCol, "id_a", "va", "na")

@@ -104,6 +104,41 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("ngramJaccardPairs budget guard: refuses above budget, identical under it, on every path") {
+    // the docs fixture has a tiny vocabulary, so the plain call dispatches
+    // to the bitmask path; the poison doc (>64 unique tokens) busts the
+    // universe and forces the general paths — 0.95 partitioned, 0.8
+    // prefix, 0.3 counted. Each must refuse at budget 1 (the fixture has
+    // candidates on all paths) and be bit-identical to the ungoverned
+    // call under an ample budget.
+    val poison = (999L, (1 to 70).map(i => s"rareword$i").mkString(" "))
+    val busted = (docs.as[(Long, String)].collect().toSeq :+ poison)
+      .toDF("doc_id", "text")
+    // partitioned path (t >= 0.9) candidates need NEAR-identical (not
+    // identical — identical sets collapse to one rep) large sets: 40
+    // tokens vs 39-of-40 + one swap leaves most residue classes with
+    // identical content, so candidate groups exist to count
+    val neardup = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, ((1 to 39).map(i => s"tok$i") :+ "other").mkString(" ")),
+      (3L, poison._2)).toDF("doc_id", "text")
+    // prefix path (0.8) also needs shared PREFIX shingles: busted's 4-token
+    // sets index exactly 1 rarest shingle each (all distinct), so its
+    // candidate volume is genuinely 0 — neardup's 9-shingle prefixes overlap
+    for ((corpus, t) <- Seq((docs, 0.5), (neardup, 0.95), (neardup, 0.8), (busted, 0.3))) {
+      val ex = intercept[graft.ext.Similarity.PairBudgetExceededException] {
+        Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 1, t, budgetPairs = 1L)
+          .collect()
+      }
+      assert(ex.budgetPairs == 1L && ex.estimatedCandidates > 1L, s"threshold $t")
+      val governed = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 1, t,
+        budgetPairs = 1000000L).as[(Long, Long, Double)].collect().toSet
+      val plain = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 1, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(governed == plain, s"threshold $t")
+    }
+  }
+
   test("bitmask (tiny-universe) and general Jaccard paths agree exactly") {
     // The tiny-vocab corpora above all dispatch to the 64-bit-mask path.
     // Busting the universe with ONE extra document of >64 unique tokens

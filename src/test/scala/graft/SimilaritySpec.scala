@@ -290,6 +290,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.count() == 200L * 199L / 2) // all-identical: every pair passes
   }
 
+  test("brute-force baseline budget guard: n(n-1)/2 pre-flight refuses, identical under budget") {
+    val n = emb.count()
+    val ex = intercept[Similarity.PairBudgetExceededException] {
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4,
+        budgetPairs = n) // n < n(n-1)/2 for n >= 4
+    }
+    assert(ex.estimatedCandidates == n * (n - 1) / 2)
+    val governed = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4,
+      budgetPairs = n * (n - 1) / 2)
+    val plain = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+    assert(rows(governed) == rows(plain))
+  }
+
   test("pair budget guard: under budget the governed plan is IDENTICAL to the auto plan") {
     val governed = Similarity.cosineNearDupPairsGoverned(
       emb, "vec_id", "embedding", 0.4, budgetPairs = 100000000L)
