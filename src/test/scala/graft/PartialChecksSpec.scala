@@ -25,6 +25,26 @@ class PartialChecksSpec extends SparkTestBase {
     }
   }
 
+  // q53's error-band witness at the SF dirs q53 pins (round-10 verdict
+  // carry item): q98 drives the band through the driver's verify at its
+  // one SF; this runs the SAME band — HLL estimate within the 15%
+  // envelope of exact, per group — at every pinned dir, giving the
+  // approx-distinct family the per-SF witness discipline the HLL/CMS
+  // sketches already have. sf0.1 is included: it's one aggregate over
+  // lineitem, not a catalog run.
+  for (sfName <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"q53 approx-distinct error band holds at $sfName") {
+      import org.apache.spark.sql.functions._
+      val ok = graft.sources.Tables.load(spark, s"/root/testdata/$sfName", "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("a"),
+          countDistinct(col("l_partkey")).as("e"))
+        .select((abs(col("a") - col("e")).cast("double") / col("e") <= 0.15).as("within_tol"))
+        .collect().map(_.getBoolean(0))
+      assert(ok.length == 3 && ok.forall(identity), s"band violated at $sfName")
+    }
+  }
+
   test("every no-oracle query is pinned at every pinned scale factor") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     for (sfName <- SparkEntry.partialExpectations.keys.toSeq.sorted) {
