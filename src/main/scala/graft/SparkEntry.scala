@@ -2517,7 +2517,24 @@ object SparkEntry {
       val cells = Profiling.histCells(t(s, dir, "documents"),
         "source", "lang", "n_chars", binWidth = 64L, nBins = 256)
       Profiling.histRollupPercentiles(cells, "source", 64L, Seq(50, 90, 99))
-    })
+    }),
+
+    // ---- WordPiece-style substring vocabulary induction: all chars +
+    // top-200 multi-char substrings (≤8 chars) of the word quotient by
+    // frequency — one aggregate + one bounded top-k, no merge loop.
+    // Deterministic integers + binary-order tie-break → exact oracle.
+    "q198_wordpiece_vocab" -> ((s, dir) =>
+      TextAnalysis.substringVocab(t(s, dir, "documents"), "text",
+        maxLen = 8, k = 200)),
+
+    // ---- Greedy longest-match encoding against the self-trained q198
+    // vocabulary: per-position best-piece argmax (explode + broadcast
+    // equi-join), then the walk length by pointer doubling over the
+    // quotient; documents re-tokenize by lookup. Exact oracle: DuckDB
+    // replays the same greedy walk with a recursive CTE.
+    "q199_wordpiece_encode" -> ((s, dir) =>
+      TextAnalysis.wordpieceTokenCounts(t(s, dir, "documents"), "doc_id",
+        "text", maxLen = 8, k = 200))
   )
 
   // ===========================================================================
@@ -4531,8 +4548,62 @@ object SparkEntry {
         CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN bin END) * 64 AS BIGINT) AS p50_lo,
         CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN bin END) * 64 AS BIGINT) AS p90_lo,
         CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN bin END) * 64 AS BIGINT) AS p99_lo
-      FROM c GROUP BY source"""
+      FROM c GROUP BY source""",
+
+    "q198_wordpiece_vocab" -> s"""
+      WITH $wordpieceVocabCtes
+      SELECT piece, CAST(length(piece) AS INT) AS piece_len, cnt FROM vocab""",
+
+    // greedy longest-match replay: per-(word, position) best piece length
+    // from the same vocabulary, then a recursive walk from position 1 —
+    // single-char coverage makes every position matchable, so the walk
+    // always terminates past the word end with the exact piece count
+    "q199_wordpiece_encode" -> s"""
+      WITH RECURSIVE $wordpieceVocabCtes,
+      cand AS (SELECT w, i AS pos, substr(w, i, l) AS piece FROM pl),
+      best AS (SELECT cand.w, cand.pos, MAX(length(vocab.piece)) AS step
+               FROM cand JOIN vocab ON vocab.piece = cand.piece
+               GROUP BY cand.w, cand.pos),
+      walk(w, pos, steps) AS (
+        SELECT w, 1, CAST(0 AS BIGINT) FROM wq
+        UNION ALL
+        SELECT walk.w, walk.pos + best.step, walk.steps + 1
+        FROM walk JOIN best ON best.w = walk.w AND best.pos = walk.pos),
+      mapping AS (SELECT w, steps AS n_pieces, length(w) AS n_chr
+                  FROM walk WHERE pos > length(w)),
+      dw AS (SELECT doc_id, unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+      per_doc AS (SELECT dw.doc_id, count(*) AS n_words,
+                    SUM(mapping.n_pieces) AS n_pieces,
+                    SUM(mapping.n_chr) AS n_word_chars
+                  FROM dw JOIN mapping ON mapping.w = dw.w GROUP BY dw.doc_id)
+      SELECT d.doc_id,
+        COALESCE(per_doc.n_words, 0) AS n_words,
+        CAST(COALESCE(per_doc.n_pieces, 0) AS BIGINT) AS n_pieces,
+        CAST(COALESCE(per_doc.n_word_chars, 0) AS BIGINT) AS n_word_chars
+      FROM documents d LEFT JOIN per_doc ON per_doc.doc_id = d.doc_id"""
   )
+
+  /** Shared CTE chain of the q198/q199 oracles: word quotient →
+    * position×length substring explosion (maxLen 8) → frequency counts →
+    * vocabulary = all single chars + top-200 multi-char by
+    * (cnt DESC, piece ASC) — mirrors [[graft.ext.TextAnalysis.substringVocab]]
+    * constant for constant.
+    */
+  private def wordpieceVocabCtes: String = s"""
+      tk AS (SELECT unnest(${sqlTokens("lower(text)")}) AS w FROM documents),
+      wq AS (SELECT w, count(*) AS freq FROM tk GROUP BY w),
+      pos AS (SELECT w, freq, unnest(generate_series(1, length(w))) AS i FROM wq),
+      pl AS (SELECT w, freq, i,
+               unnest(generate_series(1, LEAST(8, length(w) - i + 1))) AS l
+             FROM pos),
+      subs AS (SELECT substr(w, i, l) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+               FROM pl GROUP BY 1),
+      vocab AS (
+        SELECT piece, cnt FROM subs WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+          ORDER BY cnt DESC, piece ASC LIMIT 200))"""
 
   /** Unrolled DuckDB PageRank oracle: iteration CTEs generated to mirror
     * [[graft.ext.Graph.pageRank]]'s exact integer recurrence — literal

@@ -216,6 +216,10 @@ object Dedup {
             filter(col("sh"), x => pmod(x, lit(c.toLong)) === j),
             _.cast("string")), ",")))))
       .withColumnsRenamed(Map("pos" -> "cls", "col" -> "chash"))
+      // governed: materialize once so the pre-flight count AND both join
+      // sides read the same blocks instead of re-deriving the class keys
+      // three times (the self-join's column renames defeat ReuseExchange)
+      .transform(ck => if (budgetPairs < Long.MaxValue) ck.localCheckpoint() else ck)
     requirePairBudget(classKeys, Seq("cls", "chash"), budgetPairs)
     val a = classKeys.select(col("cls"), col("chash"), col("skey").as("skey_a"), col("sh_size").as("sz_a"))
     val b = classKeys.select(col("cls"), col("chash"), col("skey").as("skey_b"), col("sh_size").as("sz_b"))
@@ -250,6 +254,8 @@ object Dedup {
   private def countedSetPairs(reps: DataFrame, threshold: Double,
       budgetPairs: Long = Long.MaxValue): DataFrame = {
     val inv = reps.select(col("skey"), col("sh_size"), explode(col("sh")).as("s"))
+      // governed: one materialization serves pre-flight + both join sides
+      .transform(i => if (budgetPairs < Long.MaxValue) i.localCheckpoint() else i)
     requirePairBudget(inv, Seq("s"), budgetPairs)
     val a = inv.select(col("s"), col("skey").as("skey_a"), col("sh_size").as("sz_a"))
     val b = inv.select(col("s"), col("skey").as("skey_b"), col("sh_size").as("sz_b"))
@@ -274,6 +280,9 @@ object Dedup {
     val prefix = inv.join(dfreq, Seq("s"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sh_size") - ceil(col("sh_size") * lit(threshold)) + 1)
+      // governed: one materialization (explode + df-join + window run ONCE)
+      // serves the pre-flight count and both candidate-join sides
+      .transform(p => if (budgetPairs < Long.MaxValue) p.localCheckpoint() else p)
     requirePairBudget(prefix, Seq("s"), budgetPairs)
     val a = prefix.select(col("s"), col("skey").as("skey_a"), col("sh_size").as("sz_a"))
     val b = prefix.select(col("s"), col("skey").as("skey_b"), col("sh_size").as("sz_b"))

@@ -161,6 +161,25 @@ object Multimodal {
     }
   }
 
+  /** Fan a CPU-bound codec stage out to the session's full parallelism
+    * when the upstream scan under-partitions. A codec pays 100-1000× the
+    * cost per byte of a scan, so its parallelism must NOT be inherited
+    * from the input's split count: a small-file parquet input bin-packs
+    * into a handful of splits (measured round 11: the sf0.1 documents
+    * table is ONE split — every codec query ran single-threaded on a
+    * 32-core session; the 10× replica got 10 of 32 threads, inverting the
+    * measured scaling exponents). On a real 100-TB input with thousands
+    * of splits this is a no-op; in the small-file regime it shuffles the
+    * stage input once — narrow spec rows for the synthesize paths (free),
+    * payload bytes for the decode paths (decode cost/byte ≫ one shuffle
+    * hop, and the alternative is idle cores). Round-robin, not hash: the
+    * rows are pure work items.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** The vectorized codec contract: one call per BATCH of payloads (never
     * per row), returning one (width, height, n_frames) per input in order.
     * This is the columnar seam a decoder plugs into — a JNI video
@@ -191,7 +210,7 @@ object Multimodal {
         StructField("n_frames", IntegerType, nullable = false))), nullable = false))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val mediaIdx = media.schema.fieldIndex("media")
-    media.mapPartitions { rows =>
+    fanOut(media).mapPartitions { rows =>
       // per-partition codec/session init would happen here, once
       rows.grouped(batchSize).flatMap { batch =>
         val decoded = codec(batch.map(_.getAs[Array[Byte]](mediaIdx)))
@@ -253,7 +272,7 @@ object Multimodal {
     val (idI, wI, hI, aI) = (spec.schema.fieldIndex("media_id"),
       spec.schema.fieldIndex("width"), spec.schema.fieldIndex("height"),
       spec.schema.fieldIndex("alpha"))
-    spec.mapPartitions { rows =>
+    fanOut(spec).mapPartitions { rows =>
       val codecs = new ImageCodecs
       rows.map { r =>
         val bytes = codecs.write("png",
@@ -315,7 +334,7 @@ object Multimodal {
     val (idI, wI, hI, aI, fI) = (spec.schema.fieldIndex("media_id"),
       spec.schema.fieldIndex("width"), spec.schema.fieldIndex("height"),
       spec.schema.fieldIndex("alpha"), spec.schema.fieldIndex("format"))
-    spec.mapPartitions { rows =>
+    fanOut(spec).mapPartitions { rows =>
       val codecs = new ImageCodecs
       rows.map { r =>
         val fmt = r.getString(fI)
@@ -352,7 +371,7 @@ object Multimodal {
         StructField("ok", BooleanType, nullable = false))), nullable = false))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val mediaIdx = media.schema.fieldIndex("media")
-    media.mapPartitions { rows =>
+    fanOut(media).mapPartitions { rows =>
       // one codec pool per partition: readers reused across every payload
       // (per-row ImageIO.read churn was the round-10 GC-contamination site)
       val codecs = new ImageCodecs
@@ -424,7 +443,7 @@ object Multimodal {
     val outSchema = StructType(media.schema.fields.zipWithIndex.map {
       case (f, i) => if (i == mediaIdx) f.copy(nullable = true) else f })
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    media.mapPartitions { rows =>
+    fanOut(media).mapPartitions { rows =>
       val codecs = new ImageCodecs
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
@@ -477,7 +496,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(out)
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
-    media.mapPartitions { rows =>
+    fanOut(media).mapPartitions { rows =>
       val codecs = new ImageCodecs
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
@@ -528,26 +547,42 @@ object Multimodal {
     */
   def encodeWav(nFrames: Int, sampleRate: Int, channels: Int, mediaId: Long): Array[Byte] = {
     require(nFrames > 0 && sampleRate > 0 && channels > 0, "positive WAV geometry")
-    val fmt = new javax.sound.sampled.AudioFormat(
-      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-      sampleRate.toFloat, 16, channels, channels * 2, sampleRate.toFloat,
-      /* bigEndian = */ false)
-    val pcm = new Array[Byte](nFrames * channels * 2)
+    // canonical 44-byte RIFF/WAVE header + PCM16LE payload, written
+    // directly — byte-identical to the JDK WaveFileWriter's canonical
+    // layout for uncompressed PCM, WITHOUT `AudioSystem.write`'s
+    // class-level synchronized provider lookup per call (the encode-side
+    // twin of the parseWavPcm rationale: the registry lock serialized the
+    // fanned-out synthesis stage)
+    val dataLen = nFrames * channels * 2
+    val b = new Array[Byte](44 + dataLen)
+    def put32(o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def put16(o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putTag(o: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { b(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    putTag(0, "RIFF"); put32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16)
+    put16(20, 1) // PCM
+    put16(22, channels); put32(24, sampleRate)
+    put32(28, sampleRate * channels * 2) // byte rate
+    put16(32, channels * 2) // block align
+    put16(34, 16) // bits per sample
+    putTag(36, "data"); put32(40, dataLen)
     var k = 0L
     val total = nFrames.toLong * channels
     while (k < total) {
       val s = wavSample(mediaId, k)
-      val off = (k * 2).toInt
-      pcm(off) = (s & 0xff).toByte
-      pcm(off + 1) = ((s >> 8) & 0xff).toByte
+      val off = 44 + (k * 2).toInt
+      b(off) = (s & 0xff).toByte
+      b(off + 1) = ((s >> 8) & 0xff).toByte
       k += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    b
   }
 
   /** Synthesize a media table of REAL WAV payloads from a spec frame with
@@ -560,7 +595,7 @@ object Multimodal {
     val (idI, nI, srI, chI) = (spec.schema.fieldIndex("media_id"),
       spec.schema.fieldIndex("n_frames"), spec.schema.fieldIndex("sample_rate"),
       spec.schema.fieldIndex("channels"))
-    spec.mapPartitions { rows =>
+    fanOut(spec).mapPartitions { rows =>
       rows.map { r =>
         val bytes = encodeWav(r.getInt(nI), r.getInt(srI), r.getInt(chI), r.getLong(idI))
         Row(r.getLong(idI), bytes, Row("wav", null, null, Integer.valueOf(r.getInt(nI))))
@@ -568,14 +603,51 @@ object Multimodal {
     }(enc)
   }
 
-  /** REAL audio decode through the batched mapPartitions seam:
-    * `javax.sound.sampled` parses the container (format header: rate,
-    * channels, bits) and the PCM payload is fully read — per-media frame
-    * count, sum of |sample| over every channel, and peak |sample| come
-    * from the decoded samples themselves, so a broken (or stubbed)
-    * decoder cannot fake them. All-integer outputs keep the oracle
-    * exact. Undecodable / null payloads quarantine as `ok = false`
-    * ([[decodeImages]] convention); payloads never shuffle.
+  /** Canonical RIFF/WAVE chunk walk — the LOCK-FREE fast path of the audio
+    * decoders. `AudioSystem.getAudioInputStream` funnels every call
+    * through a class-level synchronized provider lookup
+    * (`JDK13Services.getProviders`), and with the codec stage fanned out
+    * to 32 threads that lock made the parallel audio decode SLOWER than
+    * the single-threaded run it replaced (measured round 11: q177 0.77 →
+    * 1.6 s at sf0.1). A WAV container is a flat chunk list; walking it is
+    * pure arithmetic on the payload bytes. Returns (sampleRate, channels,
+    * bitsPerSample, blockAlign, dataOffset, dataLength) for uncompressed
+    * PCM (format tag 1), None for anything else — callers fall back to
+    * the registry path for non-canonical or compressed containers, so
+    * coverage is unchanged and the hot path shares no state.
+    */
+  private def parseWavPcm(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
+    def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // (rate, ch, bits, blockAlign)
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = u32(off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (id == "fmt " && size >= 16) {
+        if (u16(off + 8) != 1) return None // not uncompressed PCM
+        fmt = Some((u32(off + 12), u16(off + 10), u16(off + 22), u16(off + 20)))
+      } else if (id == "data") data = Some((off + 8, size))
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for ((rate, ch, bits, ba) <- fmt; (dOff, dLen) <- data)
+      yield (rate, ch, bits, ba, dOff, dLen)
+  }
+
+  /** REAL audio decode through the batched mapPartitions seam: the
+    * canonical RIFF chunk walk ([[parseWavPcm]]) parses the container
+    * (format header: rate, channels, bits) with `javax.sound.sampled` as
+    * the fallback for non-canonical containers, and the PCM payload is
+    * fully read — per-media frame count, sum of |sample| over every
+    * channel, and peak |sample| come from the decoded samples themselves,
+    * so a broken (or stubbed) decoder cannot fake them. All-integer
+    * outputs keep the oracle exact. Undecodable / null payloads
+    * quarantine as `ok = false` ([[decodeImages]] convention).
     */
   def decodeAudio(media: DataFrame, batchSize: Int = 64): DataFrame = {
     require(batchSize >= 1, "batchSize must be >= 1")
@@ -591,29 +663,40 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val mediaIdx = media.schema.fieldIndex("media")
     val bad = Row(0, 0, 0, 0L, 0L, 0, false)
-    media.mapPartitions { rows =>
+    fanOut(media).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](mediaIdx)
+          def sumPeak(pcm: Array[Byte], from: Int, to: Int): (Long, Int) = {
+            var sumAbs = 0L; var peak = 0; var off = from
+            while (off + 1 < to) {
+              val s = ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort.toInt
+              val a = math.abs(s)
+              sumAbs += a; if (a > peak) peak = a
+              off += 2
+            }
+            (sumAbs, peak)
+          }
           val dec =
             if (bytes == null) bad
-            else try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) bad
-              else {
-                val pcm = ais.readAllBytes()
-                var sumAbs = 0L; var peak = 0; var off = 0
-                while (off + 1 < pcm.length) {
-                  val s = ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toShort.toInt
-                  val a = math.abs(s)
-                  sumAbs += a; if (a > peak) peak = a
-                  off += 2
+            else try parseWavPcm(bytes) match {
+              case Some((rate, ch, bits, ba, dOff, dLen)) =>
+                if (bits != 16) bad
+                else {
+                  val (sumAbs, peak) = sumPeak(bytes, dOff, dOff + dLen)
+                  Row(rate, ch, 16, dLen.toLong / ba, sumAbs, peak, true)
                 }
-                Row(fmt.getSampleRate.toInt, fmt.getChannels, 16,
-                  pcm.length.toLong / fmt.getFrameSize, sumAbs, peak, true)
-              }
+              case None =>
+                val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val fmt = ais.getFormat
+                if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) bad
+                else {
+                  val pcm = ais.readAllBytes()
+                  val (sumAbs, peak) = sumPeak(pcm, 0, pcm.length)
+                  Row(fmt.getSampleRate.toInt, fmt.getChannels, 16,
+                    pcm.length.toLong / fmt.getFrameSize, sumAbs, peak, true)
+                }
             } catch { case scala.util.control.NonFatal(_) => bad }
           Row.fromSeq(r.toSeq :+ dec)
         }
@@ -645,33 +728,41 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
-    media.mapPartitions { rows =>
+    fanOut(media).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](mediaIdx)
           val id = r.getLong(idIdx)
+          // shared windowing over a PCM16LE slice; base is the slice start
+          def windowsOf(pcm: Array[Byte], base: Int, nFrames: Int): Seq[Row] =
+            (0 until nFrames by windowFrames).map { w0 =>
+              val wEnd = math.min(w0 + windowFrames, nFrames)
+              var sumAbs = 0L; var i = w0
+              while (i < wEnd) {
+                sumAbs += math.abs(
+                  ((pcm(base + i * 2) & 0xff) | (pcm(base + i * 2 + 1) << 8)).toShort.toInt)
+                i += 1
+              }
+              // quiet = mean |sample| under 1% of full scale
+              Row(id, w0 / windowFrames, wEnd - w0, sumAbs,
+                sumAbs < (wEnd - w0).toLong * 328)
+            }
           val windows: Seq[Row] =
             if (bytes == null) Nil
-            else try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian || fmt.getChannels != 1) Nil
-              else {
-                val pcm = ais.readAllBytes()
-                val nFrames = pcm.length / 2
-                (0 until nFrames by windowFrames).map { w0 =>
-                  val wEnd = math.min(w0 + windowFrames, nFrames)
-                  var sumAbs = 0L; var i = w0
-                  while (i < wEnd) {
-                    sumAbs += math.abs(((pcm(i * 2) & 0xff) | (pcm(i * 2 + 1) << 8)).toShort.toInt)
-                    i += 1
-                  }
-                  // quiet = mean |sample| under 1% of full scale
-                  Row(id, w0 / windowFrames, wEnd - w0, sumAbs,
-                    sumAbs < (wEnd - w0).toLong * 328)
+            else try parseWavPcm(bytes) match {
+              // lock-free canonical path (see parseWavPcm): mono 16-bit only
+              case Some((_, ch, bits, _, dOff, dLen)) =>
+                if (bits != 16 || ch != 1) Nil
+                else windowsOf(bytes, dOff, dLen / 2)
+              case None =>
+                val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val fmt = ais.getFormat
+                if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian || fmt.getChannels != 1) Nil
+                else {
+                  val pcm = ais.readAllBytes()
+                  windowsOf(pcm, 0, pcm.length / 2)
                 }
-              }
             } catch { case scala.util.control.NonFatal(_) => Nil }
           windows
         }
@@ -764,7 +855,7 @@ object Multimodal {
     val (idI, wI, hI, nI) = (spec.schema.fieldIndex("media_id"),
       spec.schema.fieldIndex("width"), spec.schema.fieldIndex("height"),
       spec.schema.fieldIndex("n_frames"))
-    spec.mapPartitions { rows =>
+    fanOut(spec).mapPartitions { rows =>
       val codecs = new ImageCodecs
       rows.map { r =>
         require(r.getInt(wI) > 0 && r.getInt(hI) > 0 && r.getInt(nI) > 0,
@@ -801,7 +892,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val mediaIdx = media.schema.fieldIndex("media")
     val bad = Row(0, 0, 0, 0L, 0, false)
-    media.mapPartitions { rows =>
+    fanOut(media).mapPartitions { rows =>
       val codecs = new ImageCodecs
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
@@ -847,7 +938,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
-    media.mapPartitions { rows =>
+    fanOut(media).mapPartitions { rows =>
       val codecs = new ImageCodecs
       rows.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
@@ -905,7 +996,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(out)
     val idIdx = media.schema.fieldIndex("media_id")
     val mediaIdx = media.schema.fieldIndex("media")
-    media.mapPartitions { rows =>
+    fanOut(media).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val vecs = codec(batch.map(_.getAs[Array[Byte]](mediaIdx)))
         require(vecs.length == batch.length,

@@ -844,4 +844,130 @@ object TextAnalysis {
       .toDF("initial_symbols", "sum_applied", "final_symbols")
       .filter(col("initial_symbols") - col("sum_applied") =!= col("final_symbols"))
   }
+
+  // --------------------------------------------------------------------------
+  // WordPiece-style tokenizer: substring-vocabulary induction + greedy
+  // longest-match encoding. The deterministic-integer sibling of the BPE
+  // family above: induction is one frequency aggregate (no merge loop),
+  // encoding is a per-position argmax + pointer-doubled walk — both exactly
+  // replayable in ANSI SQL, so the whole tokenizer is oracle-checked rather
+  // than witness-checked.
+  // --------------------------------------------------------------------------
+
+  /** Substring-vocabulary induction: corpus → distinct-word frequency
+    * quotient → every substring of length 1..`maxLen` of every distinct
+    * word (position-exploded, so per-word multiplicity counts), frequency-
+    * weighted. The vocabulary is EVERY single character (the coverage
+    * guarantee: greedy longest-match can then never fail mid-word) plus
+    * the top `k` multi-character substrings by (count DESC, piece ASC) —
+    * a bounded TakeOrdered tail, the same deterministic tie-break
+    * discipline as [[bpeMerges]].
+    *
+    * Shape at scale: the corpus collapses once to the word quotient
+    * (reference: BPE's quotient argument, [[bpeTrain]]); substring
+    * explosion costs Σ|w|·maxLen rows over DISTINCT words only, one hash
+    * aggregate, then a k-bounded top-k. No iteration, no driver-side data.
+    */
+  def substringVocab(df: DataFrame, textCol: String, maxLen: Int,
+      k: Int): DataFrame = {
+    require(maxLen >= 2 && maxLen <= 32, s"maxLen must be in [2, 32], got $maxLen")
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), explode(flatten(transform(
+        sequence(lit(1), length(col("w"))),
+        i => transform(
+          sequence(lit(0), least(lit(maxLen - 1), length(col("w")) - i)),
+          d => col("w").substr(i, d + lit(1)))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+    val chars = counts.filter(length(col("piece")) === 1)
+    val multi = counts.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(k)
+    chars.unionByName(multi)
+      .select(col("piece"), length(col("piece")).as("piece_len"), col("cnt"))
+  }
+
+  /** Greedy longest-match piece counts per document against the self-
+    * trained [[substringVocab]] vocabulary: for every distinct word, walk
+    * left to right taking at each position the LONGEST vocabulary piece
+    * that matches (single-character coverage makes the walk total), then
+    * re-tokenize documents by lookup against the word→pieces quotient —
+    * the [[bpeTokenCounts]] shape: the corpus pays one explode + one
+    * vocabulary-sized equi-join, never the walk itself.
+    *
+    * The walk is NOT a per-word loop: the per-position best-piece length
+    * is one explode (≤ maxLen candidate substrings per position) + one
+    * broadcast-sized equi-join against the vocabulary + one hash argmax,
+    * giving a functional graph pos → pos + bestLen over the quotient; the
+    * piece count is the walk length from position 1, computed by POINTER
+    * DOUBLING in ⌈log₂ maxWordLen⌉ rounds (the connected-components
+    * discipline — `localCheckpoint` per round, flat round cost) instead
+    * of one round per emitted piece. Scale: every frame is quotient- or
+    * vocabulary-sized; the corpus is touched exactly twice (quotient
+    * build, final lookup join).
+    *
+    * Docs with no tokens report zeros. Output: (id, n_words, n_pieces,
+    * n_word_chars) — n_pieces == n_word_chars iff no multi-char piece
+    * ever matched.
+    */
+  def wordpieceTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      maxLen: Int, k: Int): DataFrame = {
+    val vocab = substringVocab(df, textCol, maxLen, k)
+      .select(col("piece"), col("piece_len")).localCheckpoint()
+    val words = df
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    // best matching piece length at every (word, position): candidates are
+    // the ≤ maxLen substrings starting at the position; vocabulary match is
+    // an equi-join on the piece text (AQE broadcasts the k-bounded side)
+    val best = words
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .select(col("w"), col("pos"), explode(transform(
+        sequence(lit(0), least(lit(maxLen - 1), length(col("w")) - col("pos"))),
+        d => col("w").substr(col("pos"), d + lit(1)))).as("piece"))
+      .join(vocab, Seq("piece"))
+      .groupBy(col("w"), col("pos")).agg(max(col("piece_len")).as("step"))
+    // pointer doubling over the functional graph pos -> pos + step: each
+    // row carries (reach, steps) = "from pos, `steps` pieces reach `reach`";
+    // composing a row with the row AT its reach doubles the horizon. A row
+    // whose reach is past the word end is terminal and self-composes.
+    var hops = best
+      .select(col("w"), col("pos"), (col("pos") + col("step")).as("reach"),
+        lit(1L).as("steps"), length(col("w")).as("wlen"))
+      .localCheckpoint()
+    val maxWordLen = Option(words.agg(max(length(col("w")))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    var horizon = 1
+    while (horizon < maxWordLen) {
+      val nxt = hops.select(col("w"), col("pos").as("reach"),
+        col("reach").as("reach2"), col("steps").as("steps2"))
+      hops = hops
+        .join(nxt, Seq("w", "reach"), "left")
+        .select(col("w"), col("pos"),
+          when(col("reach") > col("wlen"), col("reach"))
+            .otherwise(col("reach2")).as("reach"),
+          when(col("reach") > col("wlen"), col("steps"))
+            .otherwise(col("steps") + col("steps2")).as("steps"),
+          col("wlen"))
+        .localCheckpoint()
+      horizon *= 2
+    }
+    val mapping = hops.filter(col("pos") === 1)
+      .select(col("w"), col("steps").as("n_pieces"),
+        col("wlen").cast("long").as("n_chr"))
+    val perDoc = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("w"))
+      .join(mapping, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_chr")).as("n_word_chars"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("n_word_chars"), lit(0L)).as("n_word_chars"))
+  }
 }
