@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -804,5 +804,70 @@ object Similarity {
     Dedup.connectedComponents(df.select(col(idCol)), idCol, pairs)
       .select(col(idCol), col("rep").as("cluster_rep"),
         (col(idCol) === col("rep")).as("keep"))
+  }
+
+  // --------------------------------------------------------------------------
+  // Persisted IVF index: build once, query forever. The production shape of
+  // [[ivfTopK]] — the fit + corpus assignment (the expensive, corpus-sized
+  // half) runs ONCE and lands on disk; every later query batch pays only a
+  // partition-pruned read of its nprobe cells plus the bounded-heap tail.
+  // --------------------------------------------------------------------------
+
+  /** Build the index under `indexDir`: `centroids/` — the ≤ nlist model
+    * rows (cell, centroid) — and `vectors/` — the corpus with its cell
+    * assignment, written HIVE-PARTITIONED BY CELL so the storage layout IS
+    * the inverted file: a query that probes `nprobe` of `nlist` cells
+    * reads `nprobe/nlist` of the bytes via partition pruning, with no
+    * index-side filtering code at all. Same deterministic bounded-sample
+    * spherical k-means as [[ivfTopK]] (model-parameter collect, ≤
+    * fitSample rows at any corpus size), same codegen'd assignment pass;
+    * the only new cost is the one-time shuffle into the cell layout —
+    * nlist output partitions, each a contiguous cell file set.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, nlist: Int = 16, fitSample: Int = 4096,
+      kmeansIters: Int = 3): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = fitCellCentroids(corpus, idCol, vecCol, nlist, fitSample, kmeansIters)
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", cellOf(cents, col("cv"), 0))
+      // one file set per cell: repartition by the partition column so a
+      // cell's rows are contiguous, then hive-partition the layout
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+  }
+
+  /** Query a persisted [[buildIvfIndex]] index: centroids are read back as
+    * model parameters (≤ nlist rows), each query explodes to its nprobe
+    * nearest cells, and the candidate join hits the hive-partitioned
+    * vectors table ON THE PARTITION COLUMN — with the exploded query side
+    * broadcastable, Spark's dynamic partition pruning restricts the scan
+    * to the probed cells' files before reading them. Ranking is exact
+    * cosine within candidates + the bounded-heap top-k tail, identical
+    * arithmetic to [[ivfTopK]] — with the same (nlist, fitSample,
+    * kmeansIters), the result is ROW-IDENTICAL to the in-memory form
+    * (q201 drives the witness).
+    */
+  def ivfIndexTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val centRows = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+    require(centRows.nonEmpty, s"no centroids under $indexDir")
+    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val assigned = spark.read.parquet(s"$indexDir/vectors")
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(GraftFunctions.nearestCellIds(
+        col("qv"), cents, math.min(nprobe, cents.length))))
+    val cand = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    heapTopK(cand, k)
   }
 }

@@ -290,6 +290,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.count() == 200L * 199L / 2) // all-identical: every pair passes
   }
 
+  test("persisted IVF index: hive-partitioned by cell, row-identical to the in-memory form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 8)
+    // the layout IS the inverted file: one hive partition per non-empty cell
+    val cellDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+    // row identity with the in-memory path at the same parameters
+    val q = emb.filter(col("vec_id") < 10)
+    val fromIndex = Similarity.ivfIndexTopK(spark, dir, q,
+      "vec_id", "embedding", 5, nprobe = 3)
+    val direct = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3)
+    assert(rows(fromIndex) == rows(direct))
+    // the scan of a probed query must NOT read every cell: the plan carries
+    // a dynamic pruning predicate on the partition column
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+  }
+
   test("brute-force baseline budget guard: n(n-1)/2 pre-flight refuses, identical under budget") {
     val n = emb.count()
     val ex = intercept[Similarity.PairBudgetExceededException] {
