@@ -2565,6 +2565,72 @@ object SparkEntry {
       val direct = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
         nlist = 16, nprobe = 8)
       fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
+    }),
+
+    // ---- Index lifecycle, day-2: build on half the corpus, INGEST the
+    // other half (assigned by the index's own centroids, appended into the
+    // cell layout — the indexed half is never touched), then query the
+    // union. No oracle (approximate); pinned rows+schema, witness q203.
+    "q202_ivf_index_ingest" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = ivfIndexDir(dir) + "_ingest"
+      Similarity.buildIvfIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 16)
+      Similarity.ivfIndexIngest(s, idx, e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding")
+      Similarity.ivfIndexTopK(s, idx, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, nprobe = 8)
+    }),
+
+    // ---- q202 companion: build-then-ingest must be ROW-IDENTICAL to a
+    // one-shot assignment of the union corpus under the SAME centroids
+    // (the index's own, read back) — ingest changes where rows live, never
+    // what a probe returns. Symmetric diff, WHERE FALSE oracle.
+    "q203_ivf_ingest_check" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val idx = ivfIndexDir(dir) + "_ingest"
+      Similarity.buildIvfIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 16)
+      Similarity.ivfIndexIngest(s, idx, e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding")
+      val fromIndex = Similarity.ivfIndexTopK(s, idx, q,
+        "vec_id", "embedding", 5, nprobe = 8)
+      val reference = Similarity.ivfTopKWithCentroids(e, q,
+        "vec_id", "embedding", 5, nprobe = 8,
+        cents = Similarity.readIvfCentroids(s, idx))
+      fromIndex.exceptAll(reference).unionByName(reference.exceptAll(fromIndex))
+    }),
+
+    // ---- Persisted MinHash dedup index: signatures + band keys + members
+    // materialized once; the batch (docs 400+, the q118 split) dedupes
+    // against the index without re-shingling the corpus. No oracle
+    // (banding-approximate); pinned rows+schema, witness q205.
+    "q204_dedup_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = ivfIndexDir(dir) + "_dedup"
+      Dedup.buildDedupIndex(d.filter(col("doc_id") < 400), "doc_id", "text", idx,
+        n = 1, numHashes = 64, bands = 16)
+      Dedup.minhashLshPairsAgainstIndex(s, idx, d.filter(col("doc_id") >= 400),
+        "doc_id", "text", n = 1, numHashes = 64, bands = 16, verifyThreshold = 0.7)
+    }),
+
+    // ---- q204 companion: the index path is ROW-IDENTICAL to the direct
+    // cross-frame incremental dedup (one shared banding definition, exact
+    // verify both ways). Symmetric diff, WHERE FALSE oracle.
+    "q205_dedup_index_check" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = ivfIndexDir(dir) + "_dedup"
+      Dedup.buildDedupIndex(d.filter(col("doc_id") < 400), "doc_id", "text", idx,
+        n = 1, numHashes = 64, bands = 16)
+      val fromIndex = Dedup.minhashLshPairsAgainstIndex(s, idx,
+        d.filter(col("doc_id") >= 400), "doc_id", "text",
+        n = 1, numHashes = 64, bands = 16, verifyThreshold = 0.7)
+      val direct = Dedup.minhashLshPairsIncremental(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "doc_id", "text", n = 1, numHashes = 64, bands = 16,
+        verifyThreshold = 0.7)
+      fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
     })
   )
 
@@ -4628,7 +4694,23 @@ object SparkEntry {
       SELECT CAST(vec_id AS BIGINT) AS query_id,
              CAST(vec_id AS BIGINT) AS neighbor_id,
              CAST(0 AS INT) AS rank
-      FROM embeddings WHERE FALSE"""
+      FROM embeddings WHERE FALSE""",
+
+    // q203: build-then-ingest equals one-shot assignment under the same
+    // centroids — empty symmetric diff, WHERE FALSE oracle
+    "q203_ivf_ingest_check" -> """
+      SELECT CAST(vec_id AS BIGINT) AS query_id,
+             CAST(vec_id AS BIGINT) AS neighbor_id,
+             CAST(0 AS INT) AS rank
+      FROM embeddings WHERE FALSE""",
+
+    // q205: index-path dedup equals the direct cross-frame incremental
+    // dedup — empty symmetric diff, WHERE FALSE oracle
+    "q205_dedup_index_check" -> """
+      SELECT CAST(doc_id AS BIGINT) AS existing_id,
+             CAST(doc_id AS BIGINT) AS incoming_id,
+             CAST(0.0 AS DOUBLE) AS jaccard
+      FROM documents WHERE FALSE"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →
@@ -4750,11 +4832,13 @@ object SparkEntry {
       "q189_windowed_distinct" -> "win_start:timestamp_ntz,est_users:bigint",
       "q192_hll_intersect" ->
         "set_a:string,set_b:string,est_a:bigint,est_b:bigint,est_union:bigint,est_intersect:bigint",
-      "q200_ivf_index_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int")
+      "q200_ivf_index_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int",
+      "q202_ivf_index_ingest" -> "query_id:bigint,neighbor_id:bigint,rank:int",
+      "q204_dedup_index" -> "existing_id:bigint,incoming_id:bigint,jaccard:double")
     val rows = Map(
       "sf0.001" -> Map(
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q204_dedup_index" -> 17274L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 62L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -4767,7 +4851,7 @@ object SparkEntry {
         "q192_hll_intersect" -> 10L),
       "sf0.01" -> Map(
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q204_dedup_index" -> 17037L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 51L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -4780,7 +4864,7 @@ object SparkEntry {
         "q192_hll_intersect" -> 10L),
       "sf0.1" -> Map(
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 848L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -4793,7 +4877,7 @@ object SparkEntry {
         "q192_hll_intersect" -> 10L),
       "sf1" -> Map(
         "q27_minhash_lsh" -> 29682497L, "q28_simhash" -> 6190L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 89697L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -4813,7 +4897,7 @@ object SparkEntry {
       // q73's governed path refuses by design.
       "sf10" -> Map(
         "q30_lsh_topk" -> 50L, "q53_approx_distinct" -> 3L,
-        "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q70_lsh_recall" -> 10L,
+        "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q174_pair_budget" -> 1L,

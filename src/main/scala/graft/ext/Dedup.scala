@@ -749,6 +749,23 @@ object Dedup {
       .select(col("existing_id"), col("incoming_id"), col("jaccard"))
   }
 
+  /** MinHash banding of a set-representative frame — ONE definition of the
+    * (band, bucket) key shared by the cross-frame incremental join and the
+    * persisted index, so an index built today and a recompute tomorrow
+    * cannot disagree on a bucket. Output: (skey, sh, sh_size, band,
+    * bucket), `bands` rows per distinct set.
+    */
+  private def bandedKeys(reps: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    reps.select(col("skey"), col("sh"), col("sh_size"),
+        GraftFunctions.minhash(col("sh"), numHashes).as("sig"))
+      .select(col("skey"), col("sh"), col("sh_size"), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b,
+          array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+  }
+
   /** Cross-frame banded rep-pair discovery: the shared core of
     * [[minhashLshPairsIncremental]] (expands to document pairs) and
     * [[minhashSourceOverlapIncremental]] (aggregates counts without
@@ -765,7 +782,6 @@ object Dedup {
       verifyThreshold: Double): (DataFrame, DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(existing.sparkSession)
-    val r = numHashes / bands
     // Set-representative collapse PER SIDE (the dup-heavy-corpus rule from
     // [[minhashLshPairs]]): banding, band joins, and verification run over
     // distinct shingle sets; document pairs come back by expansion. On the
@@ -774,14 +790,8 @@ object Dedup {
     val (repsE, memE) = setRepresentatives(existing, idCol, textCol, n)
     val (repsI, memI) = setRepresentatives(incoming, idCol, textCol, n)
     def banded(reps: DataFrame, skeyOut: String, shOut: String, szOut: String) =
-      reps.select(col("skey").as(skeyOut), col("sh").as(shOut),
-          col("sh_size").as(szOut),
-          GraftFunctions.minhash(col("sh"), numHashes).as("sig"))
-        .select(col(skeyOut), col(shOut), col(szOut), posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(lit("band"), b,
-            array_join(slice(col("sig"), b * r + 1, lit(r)), ",")))))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      bandedKeys(reps, numHashes, bands).withColumnsRenamed(
+        Map("skey" -> skeyOut, "sh" -> shOut, "sh_size" -> szOut))
     val e = banded(repsE, "skey_e", "sh_e", "sz_e")
     val i = banded(repsI, "skey_i", "sh_i", "sz_i")
     // size-compatibility prefilter, then verify BEFORE the distinct (the
@@ -1028,5 +1038,100 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  // --------------------------------------------------------------------------
+  // Persisted MinHash dedup index: the materialized form of
+  // [[minhashLshPairsIncremental]]'s existing side. Day-to-day dedup of a
+  // 100-TB corpus never re-shingles the corpus — the signatures live on
+  // disk; every crawl batch pays |batch| signature passes, one equi-join
+  // against the banded index, and one append.
+  // --------------------------------------------------------------------------
+
+  /** Build the index under `indexDir`, three tables: `sets/` (skey, sh,
+    * sh_size — each DISTINCT shingle set once, the exact-verify payload),
+    * `bands/` (skey, band, bucket — `bands` slim rows per set, the
+    * candidate-join side; sets are NOT duplicated per band), `members/`
+    * (skey, id — the expansion back to document ids). The banding is the
+    * ONE shared [[bandedKeys]] definition, so index probes and full
+    * recomputes agree bucket-for-bucket.
+    */
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      indexDir: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(corpus.sparkSession)
+    val (reps, members) = setRepresentatives(corpus, idCol, textCol, n)
+    bandedKeys(reps, numHashes, bands).select("skey", "band", "bucket")
+      .write.mode("overwrite").parquet(s"$indexDir/bands")
+    reps.select("skey", "sh", "sh_size")
+      .write.mode("overwrite").parquet(s"$indexDir/sets")
+    members.write.mode("overwrite").parquet(s"$indexDir/members")
+  }
+
+  /** Append a batch into the index (no rebuild): the batch's distinct sets
+    * band with the same [[bandedKeys]] definition and append to all three
+    * tables. Sets already present under another document id are appended
+    * as duplicate skey rows — harmless for candidate generation (the
+    * verify is exact and the pair distinct dedupes) but batches should be
+    * deduped against the index FIRST ([[minhashLshPairsAgainstIndex]]),
+    * which is the point of having one.
+    */
+  def dedupIndexIngest(incoming: DataFrame, idCol: String, textCol: String,
+      indexDir: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(incoming.sparkSession)
+    val (reps, members) = setRepresentatives(incoming, idCol, textCol, n)
+    bandedKeys(reps, numHashes, bands).select("skey", "band", "bucket")
+      .write.mode("append").parquet(s"$indexDir/bands")
+    reps.select("skey", "sh", "sh_size")
+      .write.mode("append").parquet(s"$indexDir/sets")
+    members.write.mode("append").parquet(s"$indexDir/members")
+  }
+
+  /** Dedup a batch AGAINST the persisted index: row-identical to
+    * [[minhashLshPairsIncremental]](corpus, batch) — same banding, same
+    * size-compatibility prefilter, same exact-jaccard verify, same
+    * (existing_id, incoming_id, jaccard) contract — but the corpus side is
+    * three index reads instead of a corpus recompute. The candidate join
+    * ships only (skey, band, bucket) rows; the full sets are fetched BY
+    * SKEY for the ≤ candidate-count verify joins.
+    */
+  def minhashLshPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, incoming: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      verifyThreshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    GraftFunctions.register(spark)
+    val idxBands = spark.read.parquet(s"$indexDir/bands")
+      .withColumnsRenamed(Map("skey" -> "skey_e"))
+    val idxSets = spark.read.parquet(s"$indexDir/sets")
+      .select(col("skey").as("skey_e"), col("sh").as("sh_e"), col("sh_size").as("sz_e"))
+      .dropDuplicates("skey_e") // ingest may append duplicate set rows
+    val idxMembers = spark.read.parquet(s"$indexDir/members")
+      .select(col("skey").as("skey_e"), col("id").as("existing_id")).distinct()
+    val (repsI, memI) = setRepresentatives(incoming, idCol, textCol, n)
+    val i = bandedKeys(repsI, numHashes, bands).withColumnsRenamed(
+      Map("skey" -> "skey_i", "sh" -> "sh_i", "sh_size" -> "sz_i"))
+    // candidate skey pairs from shared buckets — slim rows only, then the
+    // verify fetches each side's set once per surviving candidate
+    val candKeys = idxBands.join(
+        i.select(col("skey_i"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .select(col("skey_e"), col("skey_i")).distinct()
+    def inter = GraftFunctions.sortedIntersectSize(col("sh_e"), col("sh_i"))
+    def jac = inter.cast("double") /
+      (col("sz_e") + col("sz_i") - inter).cast("double")
+    val repPairs = candKeys
+      .join(idxSets, Seq("skey_e"))
+      .join(repsI.select(col("skey").as("skey_i"), col("sh").as("sh_i"),
+        col("sh_size").as("sz_i")), Seq("skey_i"))
+      .filter(col("sz_i") >= col("sz_e") * lit(verifyThreshold) &&
+        col("sz_e") >= col("sz_i") * lit(verifyThreshold))
+      .filter(jac >= lit(verifyThreshold))
+      .select(col("skey_e"), col("skey_i"), round(jac, 6).as("jaccard"))
+    repPairs
+      .join(idxMembers, Seq("skey_e"))
+      .join(memI.select(col("skey").as("skey_i"), col("id").as("incoming_id")),
+        Seq("skey_i"))
+      .select(col("existing_id"), col("incoming_id"), col("jaccard"))
   }
 }

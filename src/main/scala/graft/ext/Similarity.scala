@@ -198,20 +198,11 @@ object Similarity {
       fitSample: Int = 4096,
       kmeansIters: Int = 3): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val cents = fitCellCentroids(corpus, idCol, vecCol, nlist, fitSample, kmeansIters)
-    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", cellOf(cents, col("cv"), 0))
-    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(GraftFunctions.nearestCellIds(
-        col("qv"), cents, math.min(nprobe, cents.length))))
     // nprobe cells are disjoint (nearestCellIds enumerates DISTINCT
-    // centroids per query), so no dedup needed before the bounded-heap tail:
-    // map-side combine ships ≤ k candidates per query per partition.
-    val cand = assigned.join(probed, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
-    heapTopK(cand, k)
+    // centroids per query), so no dedup is needed before the bounded-heap
+    // tail: map-side combine ships ≤ k candidates per query per partition.
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, nprobe,
+      fitCellCentroids(corpus, idCol, vecCol, nlist, fitSample, kmeansIters))
   }
 
   /** Bounded deterministic centroid fit shared by [[ivfTopK]] and
@@ -842,6 +833,58 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
   }
 
+  /** The index's model parameters, read back: ≤ nlist (cell, centroid)
+    * rows, positionally aligned with the cell ids ([[buildIvfIndex]]
+    * writes a complete 0..k−1 range).
+    */
+  def readIvfCentroids(spark: SparkSession, indexDir: String): Array[Array[Float]] = {
+    val centRows = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+    require(centRows.nonEmpty, s"no centroids under $indexDir")
+    centRows.map(_.getSeq[Float](1).toArray)
+  }
+
+  /** Append a batch into a persisted [[buildIvfIndex]] index WITHOUT
+    * re-fitting: incoming vectors are assigned by the INDEX's centroids
+    * (read back as model parameters) and appended into the hive cell
+    * layout — per batch, one bounded read + one assignment pass + one
+    * append of |batch| rows; the corpus already indexed is never touched.
+    * This is the day-to-day half of the index lifecycle (the bootstrap
+    * build is the corpus-sized half); the coarse quantizer drifts from the
+    * optimum as the distribution shifts, which is the classic IVF
+    * trade-off — re-fit by rebuilding when recall audits
+    * ([[graft.ext.Recall]]) say so.
+    */
+  def ivfIndexIngest(spark: SparkSession, indexDir: String, incoming: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    GraftFunctions.register(spark)
+    val cents = readIvfCentroids(spark, indexDir)
+    incoming.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", cellOf(cents, col("cv"), 0))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+  }
+
+  /** [[ivfTopK]] with the coarse quantizer supplied by the caller (the
+    * reference form the persisted-index witnesses compare against: same
+    * centroids in, row-identical results out).
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      cents: Array[Array[Float]]): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", cellOf(cents, col("cv"), 0))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(GraftFunctions.nearestCellIds(
+        col("qv"), cents, math.min(nprobe, cents.length))))
+    val cand = assigned.join(probed, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    heapTopK(cand, k)
+  }
+
   /** Query a persisted [[buildIvfIndex]] index: centroids are read back as
     * model parameters (≤ nlist rows), each query explodes to its nprobe
     * nearest cells, and the candidate join hits the hive-partitioned
@@ -856,10 +899,7 @@ object Similarity {
   def ivfIndexTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     GraftFunctions.register(spark)
-    val centRows = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy(col("cell")).collect()
-    require(centRows.nonEmpty, s"no centroids under $indexDir")
-    val cents = centRows.map(_.getSeq[Float](1).toArray)
+    val cents = readIvfCentroids(spark, indexDir)
     val assigned = spark.read.parquet(s"$indexDir/vectors")
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(GraftFunctions.nearestCellIds(
