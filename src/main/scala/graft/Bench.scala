@@ -42,7 +42,12 @@ object Bench {
         // tolerance witnesses re-executing their estimate op + an exact
         // baseline (HLL rollup/intersect, windowed distinct, CMS bands)
         "q188_hll_rollup_check", "q190_windowed_distinct_check",
-        "q193_hll_intersect_check", "q196_cms_bands")
+        "q193_hll_intersect_check", "q196_cms_bands",
+        // persisted-index witnesses: each re-executes BOTH the index path
+        // and the direct in-memory operator it must equal (symmetric diff)
+        "q201_ivf_index_check", "q203_ivf_ingest_check",
+        "q205_dedup_index_check", "q206_dedup_index_compact",
+        "q207_ivf_index_compact")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

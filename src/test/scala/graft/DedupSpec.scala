@@ -79,6 +79,56 @@ class DedupSpec extends SparkTestBase {
     assert(got == Set((1L, 6L, 1.0), (2L, 6L, 1.0), (3L, 6L, 1.0)))
   }
 
+  test("persisted dedup index: probe is row-identical to the direct incremental path, ingest grows it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    val existing = docs.filter(col("doc_id") <= 3)
+    val batch1 = Seq(
+      (6L, "the quick brown fox"),         // dup of 1/2/3 (jaccard 1)
+      (7L, "completely unrelated words")   // no partner
+    ).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(existing, "doc_id", "text", dir,
+      n = 1, numHashes = 16, bands = 4)
+    val fromIndex = Dedup.minhashLshPairsAgainstIndex(spark, dir, batch1,
+        "doc_id", "text", n = 1, numHashes = 16, bands = 4, verifyThreshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.minhashLshPairsIncremental(existing, batch1, "doc_id", "text",
+        n = 1, numHashes = 16, bands = 4, verifyThreshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex == direct)
+    // ingest batch1; a later batch duplicating batch1's NEW text must now
+    // hit the index — the corpus indexed on day 1 was never recomputed
+    Dedup.dedupIndexIngest(batch1, "doc_id", "text", dir,
+      n = 1, numHashes = 16, bands = 4)
+    val batch2 = Seq((8L, "completely unrelated words")).toDF("doc_id", "text")
+    val got2 = Dedup.minhashLshPairsAgainstIndex(spark, dir, batch2,
+        "doc_id", "text", n = 1, numHashes = 16, bands = 4, verifyThreshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got2 == Set((7L, 8L, 1.0)))
+  }
+
+  test("dedupIndexCompact drops duplicate rows, probe unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_cmp").toString
+    Dedup.buildDedupIndex(docs.filter(col("doc_id") <= 3), "doc_id", "text", dir,
+      n = 1, numHashes = 16, bands = 4)
+    val batch = Seq((6L, "the quick brown fox")).toDF("doc_id", "text")
+    // ingest a set ALREADY in the index twice: sets/bands gain duplicate
+    // skey rows, members gains a duplicate (skey, id) row
+    Dedup.dedupIndexIngest(batch, "doc_id", "text", dir, n = 1, numHashes = 16, bands = 4)
+    Dedup.dedupIndexIngest(batch, "doc_id", "text", dir, n = 1, numHashes = 16, bands = 4)
+    val setsBefore = spark.read.parquet(s"$dir/sets").count()
+    val probeBatch = Seq((9L, "the quick brown fox")).toDF("doc_id", "text")
+    def probe() = Dedup.minhashLshPairsAgainstIndex(spark, dir, probeBatch,
+        "doc_id", "text", n = 1, numHashes = 16, bands = 4, verifyThreshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probe()
+    Dedup.dedupIndexCompact(spark, dir, targetPartitions = 2)
+    val sets = spark.read.parquet(s"$dir/sets")
+    assert(sets.count() < setsBefore)                       // duplicates gone
+    assert(sets.select("skey").distinct().count() == sets.count())
+    assert(probe() == before)                               // probe unchanged
+    assert(before.map(_._1) == Set(1L, 2L, 3L, 6L))         // incl. ingested id
+  }
+
   test("simhashPairs reports hamming 0 for identical token bags") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -311,6 +311,55 @@ class SimilaritySpec extends SparkTestBase {
       s"expected dynamic partition pruning in:\n$plan")
   }
 
+  test("ivfIndexIngest: appended batch is searchable, row-identical to one-shot assignment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ing").toString
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    Similarity.buildIvfIndex(half0, "vec_id", "embedding", dir, nlist = 8)
+    Similarity.ivfIndexIngest(spark, dir, half1, "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 10)
+    val fromIndex = Similarity.ivfIndexTopK(spark, dir, q,
+      "vec_id", "embedding", 5, nprobe = 3)
+    // reference: one-shot assignment of the UNION corpus under the index's
+    // own centroids — ingest changes where rows live, never what a probe
+    // returns
+    val reference = Similarity.ivfTopKWithCentroids(emb, q,
+      "vec_id", "embedding", 5, nprobe = 3,
+      cents = Similarity.readIvfCentroids(spark, dir))
+    assert(rows(fromIndex) == rows(reference))
+    // neighbors from BOTH halves surface (the ingested half is searchable)
+    val parities = fromIndex.select(pmod(col("neighbor_id"), lit(2)))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(parities == Set(0L, 1L))
+  }
+
+  test("ivfIndexCompact re-clusters cells into one file set, probe unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    Similarity.buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+      "vec_id", "embedding", dir, nlist = 4)
+    // two appends: each touched cell gains extra small files
+    Similarity.ivfIndexIngest(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 1), "vec_id", "embedding")
+    Similarity.ivfIndexIngest(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 2), "vec_id", "embedding")
+    def parquetFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/vectors")).count(_.getName.endsWith(".parquet"))
+    }
+    val q = emb.filter(col("vec_id") < 10)
+    def probe() = rows(Similarity.ivfIndexTopK(spark, dir, q,
+      "vec_id", "embedding", 5, nprobe = 2))
+    val (filesBefore, before) = (parquetFiles(), probe())
+    Similarity.ivfIndexCompact(spark, dir)
+    assert(parquetFiles() < filesBefore)
+    // one shuffle partition per cell -> at most one file set per cell
+    val cells = new java.io.File(s"$dir/vectors").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(parquetFiles() == cells)
+    assert(probe() == before)
+  }
+
   test("brute-force baseline budget guard: n(n-1)/2 pre-flight refuses, identical under budget") {
     val n = emb.count()
     val ex = intercept[Similarity.PairBudgetExceededException] {
