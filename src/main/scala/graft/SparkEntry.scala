@@ -2631,6 +2631,47 @@ object SparkEntry {
         "doc_id", "text", n = 1, numHashes = 64, bands = 16,
         verifyThreshold = 0.7)
       fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
+    }),
+
+    // ---- Compaction is semantically a no-op: build + ingest, probe, then
+    // compact (duplicate set/band/member rows dropped, file count
+    // re-bounded) and probe again — the two probes are ROW-IDENTICAL.
+    // Symmetric diff, WHERE FALSE oracle.
+    "q206_dedup_index_compact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = ivfIndexDir(dir) + "_compact"
+      val batch = d.filter(col("doc_id") >= 400)
+      Dedup.buildDedupIndex(d.filter(col("doc_id") < 400), "doc_id", "text", idx,
+        n = 1, numHashes = 64, bands = 16)
+      Dedup.dedupIndexIngest(batch, "doc_id", "text", idx,
+        n = 1, numHashes = 64, bands = 16)
+      def probe() = Dedup.minhashLshPairsAgainstIndex(s, idx,
+        d.filter(col("doc_id") < 50), "doc_id", "text",
+        n = 1, numHashes = 64, bands = 16, verifyThreshold = 0.7)
+      val before = probe().localCheckpoint()
+      Dedup.dedupIndexCompact(s, idx)
+      val after = probe()
+      before.exceptAll(after).unionByName(after.exceptAll(before))
+    }),
+
+    // ---- Same contract for the IVF side: ingest leaves small per-cell
+    // appends; compact re-clusters each cell into one file set; a probe
+    // before and after compaction is ROW-IDENTICAL. Symmetric diff,
+    // WHERE FALSE oracle.
+    "q207_ivf_index_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = ivfIndexDir(dir) + "_compact_ivf"
+      Similarity.buildIvfIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 16)
+      Similarity.ivfIndexIngest(s, idx, e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 10)
+      def probe() = Similarity.ivfIndexTopK(s, idx, q,
+        "vec_id", "embedding", 5, nprobe = 8)
+      val before = probe().localCheckpoint()
+      Similarity.ivfIndexCompact(s, idx)
+      val after = probe()
+      before.exceptAll(after).unionByName(after.exceptAll(before))
     })
   )
 
@@ -4710,7 +4751,23 @@ object SparkEntry {
       SELECT CAST(doc_id AS BIGINT) AS existing_id,
              CAST(doc_id AS BIGINT) AS incoming_id,
              CAST(0.0 AS DOUBLE) AS jaccard
-      FROM documents WHERE FALSE"""
+      FROM documents WHERE FALSE""",
+
+    // q206: dedup-index compaction changes no probe result — empty
+    // symmetric diff, WHERE FALSE oracle
+    "q206_dedup_index_compact" -> """
+      SELECT CAST(doc_id AS BIGINT) AS existing_id,
+             CAST(doc_id AS BIGINT) AS incoming_id,
+             CAST(0.0 AS DOUBLE) AS jaccard
+      FROM documents WHERE FALSE""",
+
+    // q207: IVF-index compaction changes no probe result — empty
+    // symmetric diff, WHERE FALSE oracle
+    "q207_ivf_index_compact" -> """
+      SELECT CAST(vec_id AS BIGINT) AS query_id,
+             CAST(vec_id AS BIGINT) AS neighbor_id,
+             CAST(0 AS INT) AS rank
+      FROM embeddings WHERE FALSE"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →

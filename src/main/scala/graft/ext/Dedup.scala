@@ -1134,4 +1134,45 @@ object Dedup {
         Seq("skey_i"))
       .select(col("existing_id"), col("incoming_id"), col("jaccard"))
   }
+
+  /** Compact the index in place: every [[dedupIndexIngest]] appends a small
+    * file set per table and may duplicate set/band rows (a re-ingested
+    * shingle set lands again under a new document id) — at crawl cadence
+    * that is the classic small-files problem plus candidate-join
+    * amplification. Compaction rewrites each table once: duplicate rows
+    * dropped (sets by skey — the payload is identical by construction;
+    * bands and members by full row) and the layout re-bounded to
+    * `targetPartitions` files (defaultParallelism when 0). Rewrites go to
+    * a sibling `_compacting` dir then swap in via rename, so a crash never
+    * leaves a half-written table where the live one was. Probe results are
+    * IDENTICAL before and after (q206 drives the witness): the probe
+    * already dropDuplicates/distincts these tables on read — compaction
+    * moves that work out of every future probe.
+    */
+  def dedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, targetPartitions: Int = 0): Unit = {
+    val parts = if (targetPartitions > 0) targetPartitions
+      else spark.sparkContext.defaultParallelism
+    def one(table: String, dedup: DataFrame => DataFrame): Unit = {
+      val tmp = s"$indexDir/${table}_compacting"
+      dedup(spark.read.parquet(s"$indexDir/$table")).repartition(parts)
+        .write.mode("overwrite").parquet(tmp)
+      swapIn(spark, tmp, s"$indexDir/$table")
+    }
+    one("sets", _.dropDuplicates("skey"))
+    one("bands", _.distinct())
+    one("members", _.distinct())
+  }
+
+  /** Atomic-as-the-filesystem-allows table swap: delete the live dir,
+    * rename the freshly written one in. Shared by the index compactors.
+    */
+  private[ext] def swapIn(spark: org.apache.spark.sql.SparkSession,
+      tmp: String, dst: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dst)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compaction swap failed: $tmp -> $dst")
+  }
 }

@@ -865,6 +865,23 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
   }
 
+  /** Compact a persisted IVF index's vectors table: every
+    * [[ivfIndexIngest]] appends ≥1 file per touched cell, so at crawl
+    * cadence a hot cell accumulates hundreds of small files and every
+    * probe pays their open/footer cost. One rewrite re-clusters each cell
+    * into a single file set (`repartition(col("cell"))` sends a cell to
+    * exactly one shuffle partition) via a sibling `_compacting` dir and a
+    * rename swap — centroids are untouched, probe results identical
+    * (q207 drives the witness).
+    */
+  def ivfIndexCompact(spark: SparkSession, indexDir: String): Unit = {
+    val tmp = s"$indexDir/vectors_compacting"
+    spark.read.parquet(s"$indexDir/vectors")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    Dedup.swapIn(spark, tmp, s"$indexDir/vectors")
+  }
+
   /** [[ivfTopK]] with the coarse quantizer supplied by the caller (the
     * reference form the persisted-index witnesses compare against: same
     * centroids in, row-identical results out).
