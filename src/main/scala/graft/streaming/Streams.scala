@@ -357,6 +357,87 @@ object Streams {
       }
       .start()
 
+  /** Streaming near-dup ingest AGAINST THE PERSISTED INDEX — the crawl-
+    * cadence form of [[nearDedupIngestSink]]. That sink re-reads the store
+    * and re-derives its band index every micro-batch (O(|store|) per
+    * batch); this one keeps the [[graft.ext.Dedup.buildDedupIndex]]
+    * tables plus an exact-dup `hashes/` table NEXT TO the store and pays
+    * O(|batch|) per batch: exact stage = content-hash anti-join against
+    * `hashes/`, near stage = [[graft.ext.Dedup.minhashLshPairsAgainstIndex]],
+    * accepted rows land in the store under a `batch_id=` partition and
+    * are ingested into the index ([[graft.ext.Dedup.dedupIndexIngest]]).
+    *
+    * Idempotence (replay after restart): the store write is a
+    * deterministic per-batch dynamic partition overwrite (the [[cmsSink]]
+    * rule) — a replayed batch overwrites its own partition, never
+    * duplicates store rows; the batch's survivor-per-duplicate-text choice
+    * is a deterministic min-id argmin so a replay recomputes the same
+    * accept set. Index appends DO replay as duplicate rows, which every
+    * probe tolerates by construction (distinct/dropDuplicates on read) and
+    * [[graft.ext.Dedup.dedupIndexCompact]] removes. Bootstrap: the first
+    * non-empty batch builds the index; pre-existing plain stores should be
+    * indexed once with `buildDedupIndex` (plus a `hashes/` backfill of
+    * `md5(text)`) before attaching the sink.
+    */
+  def indexedNearDedupIngestSink(
+      df: DataFrame,
+      targetPath: String,
+      indexDir: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sets"))
+        // one survivor per distinct text, chosen deterministically (min id):
+        // at-least-once sources repeat rows, and two batch rows with the
+        // same text are exact dups of each other
+        val hashed = b
+          .withColumn("__ch", md5(col(textCol).cast("binary")))
+          .groupBy("__ch")
+          .agg(min_by(struct(b.columns.map(col): _*), col(idCol)).as("__r"))
+          .select(col("__ch"), col("__r.*"))
+        val exactKept =
+          if (!hasIndex) hashed
+          else hashed.join(
+            spark.read.parquet(s"$indexDir/hashes").select(col("ch").as("__ch")),
+            Seq("__ch"), "left_anti")
+        val nearBlockedIds =
+          if (!hasIndex) exactKept.limit(0).select(col(idCol))
+          else graft.ext.Dedup.minhashLshPairsAgainstIndex(spark, indexDir,
+              exactKept.drop("__ch"), idCol, textCol, n, numHashes, bands, threshold)
+            .select(col("incoming_id").as(idCol)).distinct()
+        // one evaluation feeds the store write and all four index appends
+        val accepted = exactKept.join(nearBlockedIds, Seq(idCol), "left_anti")
+          .localCheckpoint()
+        if (!accepted.isEmpty) {
+          accepted.drop("__ch").withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(targetPath)
+          if (hasIndex)
+            graft.ext.Dedup.dedupIndexIngest(accepted.drop("__ch"), idCol,
+              textCol, indexDir, n, numHashes, bands)
+          else
+            graft.ext.Dedup.buildDedupIndex(accepted.drop("__ch"), idCol,
+              textCol, indexDir, n, numHashes, bands)
+          accepted.select(col("__ch").as("ch"))
+            .write.mode("append").parquet(s"$indexDir/hashes"): Unit
+        }
+      }
+      .start()
+
   /** Streaming semantic-dedup ingest: the embedding-side member of the
     * ingest-sink triple (business-key [[upsertSink]], content-hash
     * [[dedupIngestSink]], semantic — this). Each micro-batch appends only

@@ -250,6 +250,41 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("indexedNearDedupIngestSink dedupes against the persisted index; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxdup").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_idxdup_cp").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.indexedNearDedupIngestSink(
+      input.toDS().toDF("doc_id", "text"), s"$dir/t", s"$dir/idx",
+      "doc_id", "text", cp, n = 1, threshold = 0.7)
+    val doc1 = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val near1 = doc1 + " kappa" // word-set Jaccard 9/10 vs doc1
+    val doc5 = "p q r s t u v w x y"
+    try {
+      // batch 1 bootstraps store AND index
+      input.addData((1L, doc1), (2L, "one two three"))
+      q.processAllAvailable()
+      // batch 2: 3 exact-dups stored 1 (hashes table), 4 near-dups stored 1
+      // (index probe), 5 is novel
+      input.addData((3L, doc1), (4L, near1), (5L, doc5))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/t")
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+      // batch 3: near-dup of batch-2-ACCEPTED 5 — blocked by the INGESTED
+      // index rows (the index accumulated without a store recompute);
+      // exact replay of 5 blocked by the hashes append
+      input.addData((6L, doc5 + " z"), (7L, doc5))
+      q.processAllAvailable()
+      val store = spark.read.parquet(s"$dir/t")
+      assert(store.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+      assert(store.count() == 3)
+      // the index holds exactly the accepted sets (once each, pre-compact)
+      assert(spark.read.parquet(s"$dir/idx/sets").select("skey")
+        .distinct().count() == 3)
+    } finally q.stop()
+  }
+
   test("semanticIngestSink blocks near-dup vectors; a replayed micro-batch is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_semingest").toString
