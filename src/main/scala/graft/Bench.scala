@@ -62,10 +62,28 @@ object Bench {
       Seq("q25_jaccard_pairs" -> "/root/testdata/sf0.01",
           "q27_minhash_lsh" -> "/root/testdata/sf0.01",
           "q01_summarize" -> sfDir)
+    // Queries that localCheckpoint intermediate frames (the 7-stage corpus
+    // pipeline, the gated top-p recursion, the compaction witnesses) leave
+    // their blocks PINNED in the block manager after the query returns —
+    // across a 170-query single-JVM run the leaked blocks accumulate to
+    // tens of GiB of storage memory, and late queries that need execution
+    // memory or their own checkpoints degrade 3-10× with zero GC/steal
+    // signal (diagnosed round 11: q167 retry 10.9 → 32.3 s at heap
+    // 15.5 GiB, 1.5 cores busy; fresh-JVM cost 8-9 s). Dropping leaked
+    // blocks BETWEEN queries (outside every timed window) makes each
+    // measurement independent of catalog order — on a real cluster each
+    // job's executors release state at job end; this restores that
+    // property to the single-JVM bench.
+    def dropLeakedBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     warmups.foreach { case (w, dir) =>
       try SparkEntry.queries(w)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      dropLeakedBlocks()
     }
     // Per-query attribution (round-10 verdict: a contaminated run must
     // self-identify). GC collection time from the collector MXBeans — the
@@ -141,6 +159,7 @@ object Bench {
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1L << 20)
       System.err.println(f"[bench]$tag $name%-22s $sec%8.2f s  cpu=$cpu%6d ms  gc=$gc%5d ms" +
         f"  steal=$steal%4d tk  stall=$stallMs%5d ms  heap=$heapMb%6d MiB")
+      dropLeakedBlocks()
       QRes(name, sec, gc, heapMb, cpu, steal, stallMs)
     }
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
