@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * the comparison meaningful on the key-shifted replicas. Warm-pair
   * protocol: each path twice, read the minima.
   *
-  * Usage: `graft.tools.IndexBenefit <sfDir>`
+  * Usage: `graft.tools.IndexBenefit <sfDir> [batchModulus]` — the batch is
+  * `doc_id % batchModulus == 0` (default 10, i.e. a 10% batch; crawl
+  * cadence is better modeled by 1000, a 0.1% batch).
   */
 object IndexBenefit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
+    val m = if (args.length > 1) args(1).toInt else 10
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
@@ -24,8 +27,8 @@ object IndexBenefit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = graft.sources.Tables.load(spark, sfDir, "documents")
-    val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val corpus = d.filter(pmod(col("doc_id"), lit(m)) =!= 0)
+    val batch = d.filter(pmod(col("doc_id"), lit(m)) === 0)
     val idx = java.nio.file.Files.createTempDirectory("graft_idx_benefit").toString
     val t0 = System.nanoTime()
     graft.ext.Dedup.buildDedupIndex(corpus, "doc_id", "text", idx,
