@@ -2672,6 +2672,39 @@ object SparkEntry {
       Similarity.ivfIndexCompact(s, idx)
       val after = probe()
       before.exceptAll(after).unionByName(after.exceptAll(before))
+    }),
+
+    // ---- Semantic ingest against the persisted IVF index: build on the
+    // even half, gate the odd half — one row per incoming vector with its
+    // accept flag and highest-cosine blocker; the quantizer is the
+    // index's own centroids, never refit. No oracle (quantizer-
+    // approximate); pinned rows+schema, witness q209.
+    "q208_semantic_ingest_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = ivfIndexDir(dir) + "_seming"
+      Similarity.buildIvfIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nlist = 16)
+      Similarity.semanticIngestAgainstIndex(s, idx,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
+        threshold = 0.4)
+    }),
+
+    // ---- q208 companion: the index path is ROW-IDENTICAL to the direct
+    // recompute under the SAME centroids (read back from the index) —
+    // one quantizer definition, one verify arithmetic. Symmetric diff,
+    // WHERE FALSE oracle.
+    "q209_semantic_index_check" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = ivfIndexDir(dir) + "_seming"
+      val half0 = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val half1 = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Similarity.buildIvfIndex(half0, "vec_id", "embedding", idx, nlist = 16)
+      val fromIndex = Similarity.semanticIngestAgainstIndex(s, idx, half1,
+        "vec_id", "embedding", threshold = 0.4)
+      val direct = Similarity.semanticIngestWithCentroids(half0, half1,
+        "vec_id", "embedding", threshold = 0.4,
+        cents = Similarity.readIvfCentroids(s, idx))
+      fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
     })
   )
 
@@ -4767,6 +4800,15 @@ object SparkEntry {
       SELECT CAST(vec_id AS BIGINT) AS query_id,
              CAST(vec_id AS BIGINT) AS neighbor_id,
              CAST(0 AS INT) AS rank
+      FROM embeddings WHERE FALSE""",
+
+    // q209: semantic ingest via the index equals the direct recompute
+    // under the same read-back centroids — empty symmetric diff,
+    // WHERE FALSE oracle
+    "q209_semantic_index_check" -> """
+      SELECT CAST(vec_id AS BIGINT) AS vec_id,
+             CAST(1 AS BOOLEAN) AS accept,
+             CAST(vec_id AS BIGINT) AS blocked_by
       FROM embeddings WHERE FALSE"""
   )
 
@@ -4891,11 +4933,12 @@ object SparkEntry {
         "set_a:string,set_b:string,est_a:bigint,est_b:bigint,est_union:bigint,est_intersect:bigint",
       "q200_ivf_index_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int",
       "q202_ivf_index_ingest" -> "query_id:bigint,neighbor_id:bigint,rank:int",
-      "q204_dedup_index" -> "existing_id:bigint,incoming_id:bigint,jaccard:double")
+      "q204_dedup_index" -> "existing_id:bigint,incoming_id:bigint,jaccard:double",
+      "q208_semantic_ingest_index" -> "vec_id:bigint,accept:boolean,blocked_by:bigint")
     val rows = Map(
       "sf0.001" -> Map(
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q204_dedup_index" -> 17274L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17274L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 62L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -4908,7 +4951,7 @@ object SparkEntry {
         "q192_hll_intersect" -> 10L),
       "sf0.01" -> Map(
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q204_dedup_index" -> 17037L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17037L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 51L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -4921,7 +4964,7 @@ object SparkEntry {
         "q192_hll_intersect" -> 10L),
       "sf0.1" -> Map(
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 1000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 848L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -4934,7 +4977,7 @@ object SparkEntry {
         "q192_hll_intersect" -> 10L),
       "sf1" -> Map(
         "q27_minhash_lsh" -> 29682497L, "q28_simhash" -> 6190L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 10000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 89697L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -4954,7 +4997,7 @@ object SparkEntry {
       // q73's governed path refuses by design.
       "sf10" -> Map(
         "q30_lsh_topk" -> 50L, "q53_approx_distinct" -> 3L,
-        "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q70_lsh_recall" -> 10L,
+        "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 100000L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q174_pair_budget" -> 1L,

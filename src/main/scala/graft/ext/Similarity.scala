@@ -759,11 +759,23 @@ object Similarity {
     val cents = fitCellCentroids(existing, idCol, vecCol, nlist, fitSample, kmeansIters)
     val ex = existing.select(col(idCol).as("ex_id"), col(vecCol).as("ev"))
       .withColumn("cell", cellOf(cents, col("ev"), 0))
-      .withColumn("en", norm(col("ev")))
+    semanticIngestCore(ex, incoming, idCol, vecCol, threshold, cents)
+  }
+
+  /** The cell-join + verify + accept-flag tail shared by [[semanticIngest]]
+    * and [[semanticIngestAgainstIndex]]: `ex` is the stored side already
+    * shaped as (ex_id, ev, cell) under the SAME `cents` the incoming side
+    * is assigned with — one quantizer definition, so the persisted-index
+    * path and a recompute under read-back centroids cannot disagree.
+    */
+  private def semanticIngestCore(ex: DataFrame, incoming: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      cents: Array[Array[Float]]): DataFrame = {
+    val exN = ex.withColumn("en", norm(col("ev")))
     val inc = incoming.select(col(idCol).as("id"), col(vecCol).as("iv"))
       .withColumn("cell", cellOf(cents, col("iv"), 0))
       .withColumn("inorm", norm(col("iv")))
-    val hits = inc.join(ex, Seq("cell"))
+    val hits = inc.join(exN, Seq("cell"))
       .withColumn("cos", round(dot(col("iv"), col("ev")) / (col("inorm") * col("en")), 6))
       .filter(col("cos") >= threshold)
       .groupBy(col("id"))
@@ -776,6 +788,39 @@ object Similarity {
     inc.select(col("id")).join(hits, Seq("id"), "left")
       .select(col("id").as(idCol), col("blocked_by").isNull.as("accept"),
         col("blocked_by"))
+  }
+
+  /** [[semanticIngest]] against a persisted [[buildIvfIndex]] index: the
+    * quantizer is the INDEX's own centroids (read back as model
+    * parameters, never refit) and the stored side is the hive-cell
+    * vectors table, so the probe touches only the batch's cells and
+    * per-batch cost is O(|batch| + matched cells) — independent of store
+    * size. Same contract as [[semanticIngest]]: (id, accept, blocked_by)
+    * with accept = no indexed vector in the incoming vector's cell at
+    * `threshold` 6-dp cosine, blocked_by = highest-cosine blocker with
+    * the min-id tie-break.
+    */
+  def semanticIngestAgainstIndex(spark: SparkSession, indexDir: String,
+      incoming: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = readIvfCentroids(spark, indexDir)
+    val ex = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("neighbor_id").as("ex_id"), col("cv").as("ev"), col("cell"))
+    semanticIngestCore(ex, incoming, idCol, vecCol, threshold, cents)
+  }
+
+  /** [[semanticIngest]] with the quantizer supplied by the caller — the
+    * reference form the persisted-index witness compares against (same
+    * centroids in, row-identical accept/blocked_by out; q209 drives it).
+    */
+  def semanticIngestWithCentroids(existing: DataFrame, incoming: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      cents: Array[Array[Float]]): DataFrame = {
+    GraftFunctions.register(existing.sparkSession)
+    val ex = existing.select(col(idCol).as("ex_id"), col(vecCol).as("ev"))
+      .withColumn("cell", cellOf(cents, col("ev"), 0))
+    semanticIngestCore(ex, incoming, idCol, vecCol, threshold, cents)
   }
 
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
@@ -876,7 +921,12 @@ object Similarity {
     */
   def ivfIndexCompact(spark: SparkSession, indexDir: String): Unit = {
     val tmp = s"$indexDir/vectors_compacting"
+    // dropDuplicates over ALL columns: a replayed streaming ingest appends
+    // bit-identical (id, vector, cell) rows — harmless to cell-max probes,
+    // but they would duplicate neighbor rows in top-k output; distinct
+    // rows are untouched
     spark.read.parquet(s"$indexDir/vectors")
+      .dropDuplicates()
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     Dedup.swapIn(spark, tmp, s"$indexDir/vectors")

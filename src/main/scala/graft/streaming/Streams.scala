@@ -491,6 +491,63 @@ object Streams {
       }
       .start()
 
+  /** Streaming semantic ingest AGAINST THE PERSISTED IVF INDEX — the
+    * crawl-cadence form of [[semanticIngestSink]], completing the pair
+    * with [[indexedNearDedupIngestSink]]. The refit-per-batch sink reads
+    * the whole store and fits a fresh quantizer every micro-batch
+    * (O(|store|)); this one keeps a [[graft.ext.Similarity.buildIvfIndex]]
+    * index next to the store: per batch one bounded centroid read, a
+    * cell-pruned probe ([[graft.ext.Similarity.semanticIngestAgainstIndex]]),
+    * a `batch_id=`-partitioned dynamic-overwrite store write
+    * (replay-idempotent), and an index append
+    * ([[graft.ext.Similarity.ivfIndexIngest]]) whose replayed duplicate
+    * rows are probe-tolerated and removed by
+    * [[graft.ext.Similarity.ivfIndexCompact]]. The quantizer is FROZEN at
+    * bootstrap (first non-empty batch fits it) rather than refit per
+    * batch — the documented IVF drift trade-off; rebuild the index when
+    * the recall audit says so.
+    */
+  def indexedSemanticIngestSink(
+      df: DataFrame,
+      targetPath: String,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      checkpointDir: String,
+      nlist: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().dropDuplicates(idCol, vecCol)
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/centroids"))
+        val accepted = (if (!hasIndex) b
+          else {
+            val acc = graft.ext.Similarity.semanticIngestAgainstIndex(
+                spark, indexDir, b, idCol, vecCol, threshold)
+              .filter(col("accept")).select(col(idCol))
+            b.join(acc, Seq(idCol), "left_semi")
+          }).localCheckpoint()
+        if (!accepted.isEmpty) {
+          accepted.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(targetPath)
+          if (hasIndex)
+            graft.ext.Similarity.ivfIndexIngest(spark, indexDir, accepted,
+              idCol, vecCol)
+          else
+            graft.ext.Similarity.buildIvfIndex(accepted, idCol, vecCol,
+              indexDir, nlist): Unit
+        }
+      }
+      .start()
+
   /** Streaming distribution-drift monitor — the q152 event-mix entropy on
     * a live stream: per event-time window, the Shannon entropy of the
     * event-type distribution (6-dp decimal terms, the batch operator's

@@ -360,6 +360,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(probe() == before)
   }
 
+  test("semanticIngestAgainstIndex matches the direct recompute under the index's centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_seming").toString
+    val half0 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    Similarity.buildIvfIndex(half0, "vec_id", "embedding", dir, nlist = 8)
+    val fromIndex = Similarity.semanticIngestAgainstIndex(spark, dir, half1,
+      "vec_id", "embedding", threshold = 0.4)
+    val direct = Similarity.semanticIngestWithCentroids(half0, half1,
+      "vec_id", "embedding", threshold = 0.4,
+      cents = Similarity.readIvfCentroids(spark, dir))
+    assert(rows(fromIndex) == rows(direct))
+    // one row per incoming vector, and at least one accept decision each way
+    assert(fromIndex.count() == half1.count())
+    val accepts = fromIndex.filter(col("accept")).count()
+    assert(accepts > 0 && accepts < half1.count())
+    // every blocker is an indexed (even) id
+    val badBlockers = fromIndex.filter(!col("accept"))
+      .filter(pmod(col("blocked_by"), lit(2)) =!= 0).count()
+    assert(badBlockers == 0)
+  }
+
   test("brute-force baseline budget guard: n(n-1)/2 pre-flight refuses, identical under budget") {
     val n = emb.count()
     val ex = intercept[Similarity.PairBudgetExceededException] {

@@ -285,6 +285,36 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("indexedSemanticIngestSink gates against the persisted index; ingested vectors block later batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxsem").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_idxsem_cp").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.indexedSemanticIngestSink(
+      input.toDS().toDF("vec_id", "embedding"), s"$dir/t", s"$dir/idx",
+      "vec_id", "embedding", threshold = 0.99, cp, nlist = 2)
+    try {
+      // batch 1 bootstraps store AND index (fits the frozen quantizer)
+      input.addData((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      q.processAllAvailable()
+      // batch 2: 3 colinear with indexed 1 -> blocked; 4 at 45 deg -> accepted
+      input.addData((3L, Seq(2f, 0f)), (4L, Seq(1f, 1f)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/t")
+        .select("vec_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+      // batch 3: colinear with batch-2-ACCEPTED 4 -> blocked by the
+      // INGESTED index rows, no store recompute, no refit
+      input.addData((5L, Seq(2f, 2f)))
+      q.processAllAvailable()
+      val store = spark.read.parquet(s"$dir/t")
+      assert(store.select("vec_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+      assert(store.count() == 3)
+      // the index's vectors table holds exactly the accepted ids
+      assert(spark.read.parquet(s"$dir/idx/vectors")
+        .select("neighbor_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("semanticIngestSink blocks near-dup vectors; a replayed micro-batch is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_semingest").toString
