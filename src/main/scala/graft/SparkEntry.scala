@@ -2678,12 +2678,15 @@ object SparkEntry {
     // even half, gate the odd half — one row per incoming vector with its
     // accept flag and highest-cosine blocker; the quantizer is the
     // index's own centroids, never refit. No oracle (quantizer-
-    // approximate); pinned rows+schema, witness q209.
+    // approximate); pinned rows+schema, witness q209. Auto-sized cells:
+    // a corpus-sized batch probes EVERY row against its cell, so fixed
+    // nlist curves toward n² (sf10 measured 47.7 s at 16 cells vs
+    // constant-size cells — see buildIvfIndexAuto scaladoc).
     "q208_semantic_ingest_index" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val idx = ivfIndexDir(dir) + "_seming"
-      Similarity.buildIvfIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0),
-        "vec_id", "embedding", idx, nlist = 16)
+      Similarity.buildIvfIndexAuto(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx)
       Similarity.semanticIngestAgainstIndex(s, idx,
         e.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
         threshold = 0.4)
@@ -2698,7 +2701,7 @@ object SparkEntry {
       val idx = ivfIndexDir(dir) + "_seming"
       val half0 = e.filter(pmod(col("vec_id"), lit(2)) === 0)
       val half1 = e.filter(pmod(col("vec_id"), lit(2)) === 1)
-      Similarity.buildIvfIndex(half0, "vec_id", "embedding", idx, nlist = 16)
+      Similarity.buildIvfIndexAuto(half0, "vec_id", "embedding", idx)
       val fromIndex = Similarity.semanticIngestAgainstIndex(s, idx, half1,
         "vec_id", "embedding", threshold = 0.4)
       val direct = Similarity.semanticIngestWithCentroids(half0, half1,

@@ -878,6 +878,23 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
   }
 
+  /** [[buildIvfIndex]] with `nlist` sized by the shared [[autoNlist]]
+    * rule (constant `targetCellSize` cells): the form any WHOLE-CORPUS
+    * consumer must use. Fixed nlist is fine for bounded top-k probes
+    * (nprobe cells per query, 50 queries), but an operator that probes
+    * EVERY corpus row against its cell — [[semanticIngestAgainstIndex]]
+    * over a corpus-sized batch — pays |batch|·cellSize cosine pairs, and
+    * cells growing with the corpus curve that toward n² (the sf10
+    * replica measured the fixed-16-cell q208 at 47.7 s warm vs 2.5 s at
+    * sf1; auto-sized cells hold ~targetCellSize rows at every SF).
+    */
+  def buildIvfIndexAuto(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, targetCellSize: Int = 256, fitSample: Int = 4096,
+      kmeansIters: Int = 3): Unit =
+    buildIvfIndex(corpus, idCol, vecCol, indexDir,
+      autoNlist(corpus.count(), targetCellSize, fitSample), fitSample,
+      kmeansIters)
+
   /** The index's model parameters, read back: ≤ nlist (cell, centroid)
     * rows, positionally aligned with the cell ids ([[buildIvfIndex]]
     * writes a complete 0..k−1 range).
