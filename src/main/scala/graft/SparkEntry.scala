@@ -2708,8 +2708,46 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.4,
         cents = Similarity.readIvfCentroids(s, idx))
       fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
+    }),
+
+    // ---- Perceptual image hash (dHash): every doc_id pair (2k, 2k+1)
+    // is the SAME raster encoded RGBA vs RGB — byte-distinct payloads,
+    // identical decoded pixels. The hash is integer arithmetic over
+    // losslessly-decoded pixels, so the oracle recomputes ALL 64 BITS
+    // from the synthesis spec in SQL: a value-level differential over
+    // decode → 9×8 resample → luma → gradient bit-pack.
+    "q210_image_dhash" -> ((s, dir) => {
+      Multimodal.imageDHash(Multimodal.synthesizePngs(dhashSpec(t(s, dir, "documents"))))
+        .select(col("media_id").as("doc_id"), col("dhash"),
+          col("ok").as("decode_ok"))
+    }),
+
+    // ---- Image near-dup pairs within hamming ≤ 3 of the dHash, via the
+    // shared 16-bit-chunk pigeonhole blocking (one definition with text
+    // SimHash). The oracle is the BRUTE-FORCE all-pairs join over the
+    // SQL-recomputed hashes — for ≤3 bits the blocked join is provably
+    // the all-pairs result, and this query checks that equality
+    // hash-for-hash. Finds every (2k, 2k+1) re-encode pair (hamming 0)
+    // that byte-level dedup (md5) misses, plus any cross-seed collision.
+    "q211_image_neardup" -> ((s, dir) => {
+      Multimodal.imageNearDupPairs(
+        Multimodal.synthesizePngs(dhashSpec(t(s, dir, "documents"))),
+        maxHamming = 3)
     })
   )
+
+  /** Shared fixture spec for the perceptual-hash family (q210/q211):
+    * consecutive doc_id pairs (2k, 2k+1) share seed and dimensions but
+    * differ in `alpha` — the same raster re-encoded RGBA vs RGB, the
+    * near-duplicate class perceptual hashing exists to catch.
+    */
+  private def dhashSpec(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      (lit(16) + pmod(expr("doc_id DIV 2"), lit(32))).cast("int").as("width"),
+      (lit(16) + pmod(expr("doc_id DIV 2") * 7, lit(24))).cast("int").as("height"),
+      (pmod(col("doc_id"), lit(2)) === 1).as("alpha"),
+      expr("doc_id DIV 2").cast("long").as("seed"))
 
   /** Deterministic per-SF location of the q200/q201 index build (under the
     * JVM tmpdir, keyed by the sf dir's basename so replicas don't collide;
@@ -4812,7 +4850,70 @@ object SparkEntry {
       SELECT CAST(vec_id AS BIGINT) AS vec_id,
              CAST(1 AS BOOLEAN) AS accept,
              CAST(vec_id AS BIGINT) AS blocked_by
-      FROM embeddings WHERE FALSE"""
+      FROM embeddings WHERE FALSE""",
+
+    // q210: the full 64-bit dHash recomputed from the synthesis spec in
+    // SQL — pixel v = seed·FNV + sy·w + sx (only the low 24 bits reach
+    // RGB, so 64-bit arithmetic matches the int32 truncation), nearest-
+    // neighbor 9×8 grid, integer luma, horizontal-gradient bits summed
+    // as powers of two (bit 63 added as the two's-complement constant;
+    // DuckDB refuses 1<<63)
+    "q210_image_dhash" -> s"""
+      WITH g AS (
+        SELECT doc_id, ty, tx,
+          (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+            + 114 * (v & 255)) // 1000 AS gray
+        FROM (
+          SELECT doc_id, t.ty, x.tx,
+            1099511628211 * (doc_id // 2)
+              + ((t.ty * (16 + ((doc_id // 2) * 7) % 24)) // 8)
+                  * (16 + (doc_id // 2) % 32)
+              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9) AS v
+          FROM documents, range(8) t(ty), range(9) x(tx))),
+      bits AS (
+        SELECT a.doc_id, a.ty * 8 + a.tx AS k
+        FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.ty = b.ty
+          AND b.tx = a.tx + 1
+        WHERE a.tx < 8 AND a.gray < b.gray),
+      hashes AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN k = 63
+            THEN -9223372036854775807 - 1
+            ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT) AS h
+        FROM bits GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS dhash,
+             TRUE AS decode_ok
+      FROM documents d LEFT JOIN hashes h USING (doc_id)""",
+
+    // q211: BRUTE-FORCE all-pairs hamming join over the SQL-recomputed
+    // dHashes — the pigeonhole-blocked Spark plan must equal it exactly
+    "q211_image_neardup" -> s"""
+      WITH g AS (
+        SELECT doc_id, ty, tx,
+          (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+            + 114 * (v & 255)) // 1000 AS gray
+        FROM (
+          SELECT doc_id, t.ty, x.tx,
+            1099511628211 * (doc_id // 2)
+              + ((t.ty * (16 + ((doc_id // 2) * 7) % 24)) // 8)
+                  * (16 + (doc_id // 2) % 32)
+              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9) AS v
+          FROM documents, range(8) t(ty), range(9) x(tx))),
+      bits AS (
+        SELECT a.doc_id, a.ty * 8 + a.tx AS k
+        FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.ty = b.ty
+          AND b.tx = a.tx + 1
+        WHERE a.tx < 8 AND a.gray < b.gray),
+      hashes AS (
+        SELECT d.doc_id, CAST(COALESCE((
+            SELECT CAST(SUM(CASE WHEN k = 63
+                THEN -9223372036854775807 - 1
+                ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT)
+            FROM bits b WHERE b.doc_id = d.doc_id), 0) AS BIGINT) AS h
+        FROM documents d)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+      FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →

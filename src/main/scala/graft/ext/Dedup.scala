@@ -1022,16 +1022,30 @@ object Dedup {
     * chunks (pigeonhole: pairs within k bits share at least one of k+1
     * chunks — standard simhash blocking, avoids the all-pairs join).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    hammingPairs64(
+      simhash(df, idCol, textCol).select(col("id"), col("simhash").as("sig")),
+      maxHamming)
+
+  /** Hamming-ball pair generation over ANY 64-bit signature frame
+    * `(id, sig)`, blocked by 16-bit chunks. Pigeonhole: ≤3 differing
+    * bits cannot touch all 4 chunks, so every qualifying pair shares at
+    * least one chunk key — the blocked equi-join emits EXACTLY the
+    * all-pairs result, not an approximation (q211's brute-force DuckDB
+    * oracle checks that equality on the image-dHash instance). ONE
+    * blocking definition shared by text SimHash (q28) and image dHash
+    * ([[Multimodal.imageNearDupPairs]], q211) so signature families
+    * never desynchronize on candidate generation.
+    */
+  def hammingPairs64(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "blocking uses 4 x 16-bit chunks => hamming <= 3")
-    val sig = simhash(df, idCol, textCol)
     val chunked = sig.select(
-      col("id"), col("simhash"),
+      col("id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "key"))
-    val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("simhash").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("simhash").as("sig_b"))
+    val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -266,17 +266,26 @@ object Multimodal {
     * executor partition — nothing shuffles, nothing hops the driver),
     * mirroring an object-store fetch that materializes bytes next to the
     * rows that reference them.
+    *
+    * An optional `seed` column (long) decouples pixel content from the
+    * row id: rows sharing a seed but differing in `alpha` are the SAME
+    * raster re-encoded RGBA vs RGB — byte-distinct payloads whose decoded
+    * pixels are identical, the re-encode near-duplicate fixture the
+    * perceptual-hash dedup family (q210/q211) is built on. Without the
+    * column, `media_id` seeds the pixels (the original contract).
     */
   def synthesizePngs(spec: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     val (idI, wI, hI, aI) = (spec.schema.fieldIndex("media_id"),
       spec.schema.fieldIndex("width"), spec.schema.fieldIndex("height"),
       spec.schema.fieldIndex("alpha"))
+    val seedI = if (spec.schema.fieldNames.contains("seed"))
+      spec.schema.fieldIndex("seed") else idI
     fanOut(spec).mapPartitions { rows =>
       val codecs = new ImageCodecs
       rows.map { r =>
         val bytes = codecs.write("png",
-          pngImage(r.getInt(wI), r.getInt(hI), r.getBoolean(aI), r.getLong(idI)))
+          pngImage(r.getInt(wI), r.getInt(hI), r.getBoolean(aI), r.getLong(seedI)))
         Row(r.getLong(idI), bytes, Row("png", null, null, null))
       }
     }(enc)
@@ -514,6 +523,91 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** 64-bit difference hash (dHash) per image — the standard perceptual
+    * near-dup signature for image corpora: decode, nearest-neighbor
+    * downsample to a 9×8 luma grid (the SAME integer source-pixel
+    * arithmetic as [[resizeImages]] — `(⌊tx·W/9⌋, ⌊ty·H/8⌋)`, no
+    * platform rendering pipeline), integer luma
+    * `(299r + 587g + 114b) / 1000`, and one bit per horizontal luma
+    * gradient: bit `ty*8+tx` set iff `gray(tx,ty) < gray(tx+1,ty)`.
+    * Every step is integer arithmetic over losslessly-decoded pixels, so
+    * on PNG payloads the hash is a pure function of the RASTER, not the
+    * bytes — q210 hash-matches all 64 bits against a DuckDB
+    * recomputation from the synthesis spec, a value-level differential
+    * over the whole decode path. This is what byte dedup (md5, q34)
+    * cannot do: an RGBA and an RGB encode of the same raster have
+    * different payloads but the same dHash. Undecodable payloads
+    * quarantine as (dhash=0, ok=false), the [[decodeImages]] convention.
+    */
+  def imageDHash(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    fanOut(media).mapPartitions { rows =>
+      val codecs = new ImageCodecs
+      val gray = Array.ofDim[Int](8, 9) // reused across the partition
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          var hash = 0L
+          var ok = false
+          if (bytes != null) try {
+            val img = codecs.read(bytes)
+            if (img != null) {
+              val (sw, sh) = (img.getWidth, img.getHeight)
+              var ty = 0
+              while (ty < 8) {
+                val sy = (ty.toLong * sh / 8).toInt
+                var tx = 0
+                while (tx < 9) {
+                  val rgb = img.getRGB((tx.toLong * sw / 9).toInt, sy)
+                  gray(ty)(tx) = (299 * ((rgb >> 16) & 0xff) +
+                    587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                  tx += 1
+                }
+                ty += 1
+              }
+              ty = 0
+              while (ty < 8) {
+                var tx = 0
+                while (tx < 8) {
+                  if (gray(ty)(tx) < gray(ty)(tx + 1)) hash |= 1L << (ty * 8 + tx)
+                  tx += 1
+                }
+                ty += 1
+              }
+              ok = true
+            }
+            // NonFatal (see decodeImages): quarantine any reader exception
+          } catch { case scala.util.control.NonFatal(_) => hash = 0L; ok = false }
+          Row(r.getLong(idIdx), if (ok) hash else 0L, ok)
+        }
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs within `maxHamming` dHash bits: the
+    * signatures from [[imageDHash]] (quarantined rows excluded) through
+    * the SAME 16-bit-chunk pigeonhole blocking as text SimHash
+    * ([[Dedup.hammingPairs64]] — one blocking definition for every
+    * 64-bit signature family). For ≤3 bits the blocked join is EXACTLY
+    * the all-pairs result, which is how q211 gets a brute-force DuckDB
+    * oracle over the blocked plan. Scale shape: one codec pass, one
+    * 4×-explode equi-join on chunk keys — never |corpus|² and the
+    * payload bytes never shuffle (the hash is 8 bytes).
+    */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+      batchSize: Int = 256): DataFrame =
+    Dedup.hammingPairs64(
+      imageDHash(media, batchSize).filter(col("ok"))
+        .select(col("media_id").as("id"), col("dhash").as("sig")),
+      maxHamming)
 
   // =========================================================================
   // Audio: REAL WAV codec behind the same batched mapPartitions seam

@@ -124,6 +124,39 @@ class RelationalSpec extends SparkTestBase {
     assert(Multimodal.pixelProbe(bad, 0, 0).as[(Long, Option[Int])].head()._2.isEmpty)
   }
 
+  test("multimodal: dHash is a raster hash — re-encodes collide where byte hashes differ; blocked pairs == brute force") {
+    // 10/11: the SAME raster (seed 5) encoded RGB vs RGBA — byte-distinct
+    // payloads; 12: a different raster; 13: garbage bytes
+    val spec = Seq(
+      (10L, 20, 16, false, 5L), (11L, 20, 16, true, 5L), (12L, 20, 16, false, 6L)
+    ).toDF("media_id", "width", "height", "alpha", "seed")
+    val media = Multimodal.synthesizePngs(spec)
+      .unionByName(Seq((13L, Array[Byte](9, 9, 9))).toDF("media_id", "media")
+        .withColumn("meta", struct(lit("png").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("n_frames"))))
+    val hashes = Multimodal.imageDHash(media, batchSize = 2)
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // the re-encode pair collides on dHash…
+    assert(hashes(10L)._2 && hashes(11L)._2 && hashes(10L)._1 == hashes(11L)._1)
+    // …while byte-level md5 (what exact dedup sees) does NOT match
+    val md5s = Multimodal.byteStats(media.filter(col("media_id").isin(10L, 11L)))
+      .select("payload_md5").as[String].collect()
+    assert(md5s.distinct.length == 2)
+    // undecodable bytes quarantine, never throw
+    assert(hashes(13L) == ((0L, false)))
+    // pigeonhole-blocked pairs equal the brute-force all-pairs join
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+    val sig = Multimodal.imageDHash(media).filter(col("ok"))
+      .select(col("media_id").as("id"), col("dhash").as("sig"))
+    val brute = sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(rows(pairs) == rows(brute))
+    assert(rows(pairs).contains(Seq(10L, 11L, 0)))
+  }
+
   test("multimodal: JPEG encodes real JFIF bytes; mixed table dispatches by magic bytes") {
     // one table, two formats: decode goes through the ONE decodeImages
     // seam and javax.imageio picks the reader from payload magic, not
