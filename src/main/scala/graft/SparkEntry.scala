@@ -2733,8 +2733,60 @@ object SparkEntry {
       Multimodal.imageNearDupPairs(
         Multimodal.synthesizePngs(dhashSpec(t(s, dir, "documents"))),
         maxHamming = 3)
+    }),
+
+    // ---- Audio fingerprint (energy-delta bits over PCM windows): every
+    // doc_id pair (2k, 2k+1) is the SAME samples under a DIFFERENT
+    // container header (sample rate) — byte-distinct payloads, identical
+    // decoded PCM. n_frames ≥ 650 keeps all 64 delta bits defined at
+    // windowFrames=10. Oracle recomputes all 64 bits from the sample
+    // formula — a value-level differential over the WAV decode path.
+    "q212_audio_fingerprint" -> ((s, dir) => {
+      Multimodal.audioFingerprint(
+        Multimodal.synthesizeWavs(afpSpec(t(s, dir, "documents"))),
+        windowFrames = 10)
+        .select(col("media_id").as("doc_id"), col("afp"),
+          col("n_windows"), col("ok").as("decode_ok"))
+    }),
+
+    // ---- Audio near-dup pairs within hamming ≤ 3 of the fingerprint —
+    // the third signature family on the ONE hammingPairs64 blocking
+    // (text SimHash, image dHash, audio fingerprint). Brute-force
+    // all-pairs oracle, like q211.
+    "q213_audio_neardup" -> ((s, dir) => {
+      Multimodal.audioNearDupPairs(
+        Multimodal.synthesizeWavs(afpSpec(t(s, dir, "documents"))),
+        windowFrames = 10, maxHamming = 3)
+    }),
+
+    // ---- The COUNT-FACTORED audio near-dup quotient — the scale path
+    // for fingerprint-degenerate corpora (this synthetic one collapses
+    // 50k docs to 973 distinct fingerprints at the 10× replica, so the
+    // expanded q213 form is corpus-quadratic and its governor refuses at
+    // sf10 BY DESIGN). Pair mass per signature pair; the oracle
+    // recomputes the factorization brute-force over the distinct-hash
+    // quotient, and Σ n_pairs ties it to q213's expanded row count.
+    "q214_audio_neardup_factored" -> ((s, dir) => {
+      Multimodal.audioNearDupFactored(
+        Multimodal.synthesizeWavs(afpSpec(t(s, dir, "documents"))),
+        windowFrames = 10, maxHamming = 3)
     })
   )
+
+  /** Shared fixture spec for the audio-fingerprint family (q212/q213):
+    * consecutive doc_id pairs (2k, 2k+1) share the sample seed and frame
+    * count but differ in `sample_rate` — the same audio re-containered,
+    * the near-duplicate class byte-level dedup misses. Mono keeps frame
+    * index == global sample index (the [[graft.ext.Multimodal.wavSample]]
+    * alignment its oracle needs).
+    */
+  private def afpSpec(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      (lit(650) + pmod(expr("doc_id DIV 2") * 13, lit(62))).cast("int").as("n_frames"),
+      (lit(8000) + pmod(col("doc_id"), lit(2)) * 4000).cast("int").as("sample_rate"),
+      lit(1).cast("int").as("channels"),
+      expr("doc_id DIV 2").cast("long").as("seed"))
 
   /** Shared fixture spec for the perceptual-hash family (q210/q211):
     * consecutive doc_id pairs (2k, 2k+1) share seed and dimensions but
@@ -4913,7 +4965,109 @@ object SparkEntry {
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
       FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.h, b.h)) <= 3"""
+      WHERE bit_count(xor(a.h, b.h)) <= 3""",
+
+    // q212: all 64 energy-delta bits recomputed from the wavSample
+    // formula — per-window sum of |sample| (windowFrames=10), bit w =
+    // energy(w+1) > energy(w), summed as powers of two (bit 63 as the
+    // two's-complement constant, the q210 convention)
+    "q212_audio_fingerprint" -> """
+      WITH spec AS (
+        SELECT doc_id, doc_id // 2 AS seed,
+               650 + ((doc_id // 2) * 13) % 62 AS n_frames
+        FROM documents),
+      s AS (
+        SELECT doc_id, seed,
+               unnest(generate_series(0, n_frames - 1)) AS k
+        FROM spec),
+      e AS (
+        SELECT doc_id, k // 10 AS w,
+               SUM(abs(CASE WHEN (seed + k // 256) % 4 = 0 THEN 0
+                    ELSE ((seed * 7919 + k * 104729) % 65536) - 32768 END)) AS energy
+        FROM s GROUP BY 1, 2),
+      bits AS (
+        SELECT a.doc_id, a.w AS k
+        FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        WHERE a.w < 64 AND b.energy > a.energy),
+      hashes AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN k = 63
+            THEN -9223372036854775807 - 1
+            ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT) AS h
+        FROM bits GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS afp,
+             CAST((650 + ((d.doc_id // 2) * 13) % 62 + 9) // 10 AS INT) AS n_windows,
+             TRUE AS decode_ok
+      FROM documents d LEFT JOIN hashes h USING (doc_id)""",
+
+    // q213: brute-force all-pairs hamming join over the SQL-recomputed
+    // fingerprints — the pigeonhole-blocked plan must equal it exactly
+    "q213_audio_neardup" -> """
+      WITH spec AS (
+        SELECT doc_id, doc_id // 2 AS seed,
+               650 + ((doc_id // 2) * 13) % 62 AS n_frames
+        FROM documents),
+      s AS (
+        SELECT doc_id, seed,
+               unnest(generate_series(0, n_frames - 1)) AS k
+        FROM spec),
+      e AS (
+        SELECT doc_id, k // 10 AS w,
+               SUM(abs(CASE WHEN (seed + k // 256) % 4 = 0 THEN 0
+                    ELSE ((seed * 7919 + k * 104729) % 65536) - 32768 END)) AS energy
+        FROM s GROUP BY 1, 2),
+      bits AS (
+        SELECT a.doc_id, a.w AS k
+        FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        WHERE a.w < 64 AND b.energy > a.energy),
+      hashes AS (
+        SELECT d.doc_id, CAST(COALESCE((
+            SELECT CAST(SUM(CASE WHEN k = 63
+                THEN -9223372036854775807 - 1
+                ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT)
+            FROM bits b WHERE b.doc_id = d.doc_id), 0) AS BIGINT) AS h
+        FROM documents d)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+      FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3""",
+
+    // q214: the count-factored quotient recomputed brute-force — distinct
+    // fingerprints with multiplicities, cross-signature pair mass n_a*n_b
+    // within hamming <= 3, within-signature mass C(n,2)
+    "q214_audio_neardup_factored" -> """
+      WITH spec AS (
+        SELECT doc_id, doc_id // 2 AS seed,
+               650 + ((doc_id // 2) * 13) % 62 AS n_frames
+        FROM documents),
+      s AS (
+        SELECT doc_id, seed,
+               unnest(generate_series(0, n_frames - 1)) AS k
+        FROM spec),
+      e AS (
+        SELECT doc_id, k // 10 AS w,
+               SUM(abs(CASE WHEN (seed + k // 256) % 4 = 0 THEN 0
+                    ELSE ((seed * 7919 + k * 104729) % 65536) - 32768 END)) AS energy
+        FROM s GROUP BY 1, 2),
+      bits AS (
+        SELECT a.doc_id, a.w AS k
+        FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        WHERE a.w < 64 AND b.energy > a.energy),
+      hashes AS (
+        SELECT d.doc_id, CAST(COALESCE((
+            SELECT CAST(SUM(CASE WHEN k = 63
+                THEN -9223372036854775807 - 1
+                ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT)
+            FROM bits b WHERE b.doc_id = d.doc_id), 0) AS BIGINT) AS h
+        FROM documents d),
+      grp AS (SELECT h, COUNT(*) AS n FROM hashes GROUP BY h)
+      SELECT a.h AS sig_a, b.h AS sig_b,
+             CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming,
+             CAST(a.n * b.n AS BIGINT) AS n_pairs
+      FROM grp a JOIN grp b ON a.h < b.h
+      WHERE bit_count(xor(a.h, b.h)) <= 3
+      UNION ALL
+      SELECT h, h, 0, CAST(n * (n - 1) // 2 AS BIGINT)
+      FROM grp WHERE n > 1"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →

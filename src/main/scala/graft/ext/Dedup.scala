@@ -1033,25 +1033,95 @@ object Dedup {
     * least one chunk key — the blocked equi-join emits EXACTLY the
     * all-pairs result, not an approximation (q211's brute-force DuckDB
     * oracle checks that equality on the image-dHash instance). ONE
-    * blocking definition shared by text SimHash (q28) and image dHash
-    * ([[Multimodal.imageNearDupPairs]], q211) so signature families
+    * blocking definition shared by text SimHash (q28), image dHash
+    * ([[Multimodal.imageNearDupPairs]], q211) and audio fingerprints
+    * ([[Multimodal.audioNearDupPairs]], q213) so signature families
     * never desynchronize on candidate generation.
+    *
+    * BUDGET-GOVERNED (the q73/q174 contract): the signature frame is
+    * `localCheckpoint`ed (one upstream pass — signature derivation may
+    * be a whole codec stage — and the pre-flight reads the same blocks
+    * as the join), then the EXACT candidate volume Σ_bucket C(n,2) is
+    * counted from per-(chunk,key) bucket sizes and the call refuses with
+    * [[graft.ext.Similarity.PairBudgetExceededException]] above
+    * `budgetPairs`. The budget prices the candidate STREAM, not a
+    * materialization: the hamming filter runs INSIDE the join's codegen
+    * output stream, before the pair-dedup exchange, so candidates cost
+    * one xor+popcount each and only surviving pairs shuffle (with the
+    * filter after the distinct — the first-draft shape — the 10×-replica
+    * image corpus pushed 2.0 B candidate rows into the exchange). The
+    * default 10 B ≈ minutes of stream time; a corpus over it is either
+    * signature-degenerate with quadratic pair OUTPUT (the q213 audio
+    * fixture: 973 distinct fingerprints over 50 k docs, max group 844 —
+    * 33 B candidates at sf10, and the factored quotient form
+    * ([[hammingPairsFactored64]]) is the scale path) or needs per-family
+    * bucketing work. planes/tables in the exception report the
+    * 4-chunk/1-table blocking.
     */
-  def hammingPairs64(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def hammingPairs64(sig: DataFrame, maxHamming: Int = 3,
+      budgetPairs: Long = 10000000000L): DataFrame = {
     require(maxHamming <= 3, "blocking uses 4 x 16-bit chunks => hamming <= 3")
-    val chunked = sig.select(
+    val sigC = sig.localCheckpoint()
+    val chunked = sigC.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "key"))
+    val candidates = chunked.groupBy(col("chunk"), col("key"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("cand2"))
+      .head().getLong(0) / 2
+    if (candidates > budgetPairs)
+      throw new Similarity.PairBudgetExceededException(candidates, budgetPairs, 4, 1)
     val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the pair-dedup exchange: candidates stay in the
+      // join's codegen stream; only qualifying pairs shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The COUNT-FACTORED form of [[hammingPairs64]] — the scale path for
+    * duplicate-heavy corpora (the q144 source-overlap trick applied to
+    * hamming balls): collapse to the DISTINCT-signature quotient first
+    * (`(sig, n)` — bounded by signature entropy, not corpus size), run
+    * the same 16-bit-chunk blocking over the quotient, and emit pair
+    * MASS instead of pairs: `(sig_a, sig_b, hamming, n_pairs)` with
+    * `n_a·n_b` for cross-signature rows and `C(n,2)` identical-signature
+    * rows (`sig_a = sig_b`, hamming 0). Σ n_pairs equals the row count
+    * [[hammingPairs64]] would emit, but the output is
+    * O(distinct² within the ball), never corpus-quadratic — the audio
+    * fixture's 973-signature quotient makes this frame constant-size
+    * while the expanded form grows n². No member ids: expansion back to
+    * ids is a join against the quotient's member table, priced only when
+    * a consumer actually wants the pairs.
+    */
+  def hammingPairsFactored64(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "blocking uses 4 x 16-bit chunks => hamming <= 3")
+    val groups = sig.groupBy(col("sig")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val chunked = groups.select(
+      col("sig"), col("n"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "key"))
+    val l = chunked.select(col("chunk"), col("key"), col("sig").as("sig_a"), col("n").as("n_a"))
+    val r = chunked.select(col("chunk"), col("key"), col("sig").as("sig_b"), col("n").as("n_b"))
+    val cross = l.join(r, Seq("chunk", "key"))
+      .filter(col("sig_a") < col("sig_b"))
+      .select(col("sig_a"), col("sig_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"),
+        (col("n_a") * col("n_b")).as("n_pairs"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val within = groups.filter(col("n") > 1)
+      .select(col("sig").as("sig_a"), col("sig").as("sig_b"),
+        lit(0).as("hamming"), expr("n * (n - 1) DIV 2").as("n_pairs"))
+    cross.unionByName(within)
   }
 
   // --------------------------------------------------------------------------

@@ -689,9 +689,17 @@ object Multimodal {
     val (idI, nI, srI, chI) = (spec.schema.fieldIndex("media_id"),
       spec.schema.fieldIndex("n_frames"), spec.schema.fieldIndex("sample_rate"),
       spec.schema.fieldIndex("channels"))
+    // optional `seed` column decouples SAMPLE content from the row id
+    // (the [[synthesizePngs]] convention): rows sharing a seed but
+    // differing in `sample_rate` are the SAME samples under a different
+    // container header — byte-distinct payloads, identical decoded PCM,
+    // the re-encode near-dup fixture of the audio-fingerprint family
+    // (q212/q213)
+    val seedI = if (spec.schema.fieldNames.contains("seed"))
+      spec.schema.fieldIndex("seed") else idI
     fanOut(spec).mapPartitions { rows =>
       rows.map { r =>
-        val bytes = encodeWav(r.getInt(nI), r.getInt(srI), r.getInt(chI), r.getLong(idI))
+        val bytes = encodeWav(r.getInt(nI), r.getInt(srI), r.getInt(chI), r.getLong(seedI))
         Row(r.getLong(idI), bytes, Row("wav", null, null, Integer.valueOf(r.getInt(nI))))
       }
     }(enc)
@@ -863,6 +871,108 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** 64-bit audio fingerprint — the energy-delta signature (the shape of
+    * Chromaprint/Shazam-class fingerprints, reduced to the one feature
+    * the integer oracle can recompute exactly): decode mono 16-bit PCM,
+    * aggregate |sample| per `windowFrames`-frame window, and emit bit
+    * `w` = `energy(w+1) > energy(w)` for the first 64 window deltas.
+    * Integer arithmetic end-to-end over a lossless codec, so q212's
+    * DuckDB oracle recomputes all 64 bits from the synthesis formula —
+    * and a re-encode of the same samples under a different container
+    * header (sample rate) fingerprints identically while byte dedup sees
+    * two payloads. Media shorter than 65 windows leave high bits zero
+    * (`n_windows` records the defined range); non-mono, non-16-bit, or
+    * undecodable payloads quarantine as (afp=0, n_windows=0, ok=false).
+    */
+  def audioFingerprint(media: DataFrame, windowFrames: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(windowFrames >= 1, "windowFrames must be >= 1")
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = false),
+      StructField("n_windows", IntegerType, nullable = false),
+      StructField("ok", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    fanOut(media).mapPartitions { rows =>
+      val energies = new Array[Long](4096) // reused; windows beyond cap ignored
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          def fingerprint(pcm: Array[Byte], base: Int, nFrames: Int): Row = {
+            val nw = math.min((nFrames + windowFrames - 1) / windowFrames, energies.length)
+            java.util.Arrays.fill(energies, 0, nw, 0L)
+            var i = 0
+            val cap = math.min(nFrames, nw * windowFrames)
+            while (i < cap) {
+              energies(i / windowFrames) += math.abs(
+                ((pcm(base + i * 2) & 0xff) | (pcm(base + i * 2 + 1) << 8)).toShort.toInt)
+              i += 1
+            }
+            var hash = 0L
+            var w = 0
+            val lim = math.min(nw - 1, 64)
+            while (w < lim) {
+              if (energies(w + 1) > energies(w)) hash |= 1L << w
+              w += 1
+            }
+            Row(r.getLong(idIdx), hash, nw, true)
+          }
+          val bad = Row(r.getLong(idIdx), 0L, 0, false)
+          if (bytes == null) bad
+          else try parseWavPcm(bytes) match {
+            // lock-free canonical path (see parseWavPcm): mono 16-bit only
+            case Some((_, ch, bits, _, dOff, dLen)) =>
+              if (bits != 16 || ch != 1) bad
+              else fingerprint(bytes, dOff, dLen / 2)
+            case None =>
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                  fmt.getChannels != 1) bad
+              else {
+                val pcm = ais.readAllBytes()
+                fingerprint(pcm, 0, pcm.length / 2)
+              }
+          } catch { case scala.util.control.NonFatal(_) => bad }
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate pairs within `maxHamming` fingerprint bits:
+    * [[audioFingerprint]] signatures (quarantined rows excluded) through
+    * the SAME 16-bit-chunk pigeonhole blocking as text SimHash and image
+    * dHash ([[Dedup.hammingPairs64]]) — the third signature family on
+    * the one blocking definition, completing perceptual near-dup across
+    * text, image, and audio. q213's oracle is the brute-force all-pairs
+    * join (blocked == all-pairs for ≤3 bits).
+    */
+  def audioNearDupPairs(media: DataFrame, windowFrames: Int,
+      maxHamming: Int = 3, batchSize: Int = 64): DataFrame =
+    Dedup.hammingPairs64(
+      audioFingerprint(media, windowFrames, batchSize).filter(col("ok"))
+        .select(col("media_id").as("id"), col("afp").as("sig")),
+      maxHamming)
+
+  /** [[audioNearDupPairs]] in the COUNT-FACTORED quotient form
+    * ([[Dedup.hammingPairsFactored64]]) — the scale path when the
+    * corpus is fingerprint-degenerate and the expanded pair list would
+    * be quadratic (this synthetic corpus IS: 973 distinct fingerprints
+    * at the 10× replica). Output is pair mass per signature pair; Σ
+    * n_pairs == the expanded form's row count (q214's oracle checks the
+    * factorization against the same brute-force hashes).
+    */
+  def audioNearDupFactored(media: DataFrame, windowFrames: Int,
+      maxHamming: Int = 3, batchSize: Int = 64): DataFrame =
+    Dedup.hammingPairsFactored64(
+      audioFingerprint(media, windowFrames, batchSize).filter(col("ok"))
+        .select(col("media_id").as("id"), col("afp").as("sig")),
+      maxHamming)
 
   // =========================================================================
   // Video: animated GIF through javax.imageio — the third real codec behind

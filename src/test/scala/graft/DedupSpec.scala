@@ -135,6 +135,39 @@ class DedupSpec extends SparkTestBase {
     assert(got.contains((1L, 2L)) && got.contains((1L, 3L)))
   }
 
+  test("hammingPairs64: factored quotient mass ties out to expanded pairs; budget governor refuses with the exact count") {
+    // sigs with duplicate groups: {1,2,3} share sig A, {4,5} share B
+    // (hamming(A,B)=1), 6 is far away
+    val a = 0x00f0L; val b = 0x00f1L; val far = 0x7a3c9e1205b4ffL
+    val sig = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b), (6L, far))
+      .toDF("id", "sig")
+    val expanded = Dedup.hammingPairs64(sig, maxHamming = 3)
+    // expanded: C(3,2)=3 within A, C(2,2)=1 within B, 3*2 cross = 10 pairs
+    assert(expanded.count() == 10)
+    val factored = Dedup.hammingPairsFactored64(sig, maxHamming = 3)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(factored == Set((a, b, 1, 6L), (a, a, 0, 3L), (b, b, 0, 1L)))
+    // sum of pair mass == expanded row count
+    assert(factored.toSeq.map(_._4).sum == expanded.count())
+    // governor: pre-flight candidate count is exact (every pair shares
+    // all 4 chunks here -> sum over buckets counts each pair 4 times is
+    // NOT the contract; candidates are per-bucket C(n,2) sums)
+    val ex = intercept[graft.ext.Similarity.PairBudgetExceededException] {
+      Dedup.hammingPairs64(sig, maxHamming = 3, budgetPairs = 3L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // buckets: chunk0 {a,a,a}=3,{b,b}=1... exact candidate volume from
+    // the 4 chunk projections of this fixture
+    val chunks = (0 until 4).map { c =>
+      Seq(a, a, a, b, b, far).groupBy(s => (s >> (c * 16)) & 0xFFFF)
+        .values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    }.sum
+    assert(ex.estimatedCandidates == chunks)
+    // identical output under a sufficient budget
+    assert(rows(Dedup.hammingPairs64(sig, 3, budgetPairs = chunks)) ==
+      rows(expanded))
+  }
+
   test("randomized: prefix and counted paths both equal the naive result") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")

@@ -263,6 +263,43 @@ class RelationalSpec extends SparkTestBase {
     assert(Multimodal.audioWindowEnergy(Multimodal.synthesizeWavs(stereo), 256).count() == 0)
   }
 
+  test("multimodal: audio fingerprint — re-containered samples collide; bits match the energy recurrence") {
+    // 20/21: SAME samples (seed 5) under different sample-rate headers —
+    // byte-distinct payloads; 22: different samples; 23: stereo (excluded)
+    val spec = Seq(
+      (20L, 700, 8000, 1, 5L), (21L, 700, 12000, 1, 5L),
+      (22L, 700, 8000, 1, 6L), (23L, 700, 8000, 2, 5L)
+    ).toDF("media_id", "n_frames", "sample_rate", "channels", "seed")
+    val media = Multimodal.synthesizeWavs(spec)
+    val fp = Multimodal.audioFingerprint(media, windowFrames = 10, batchSize = 2)
+      .as[(Long, Long, Int, Boolean)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    // the re-container pair collides on the fingerprint, bytes differ
+    assert(fp(20L)._3 && fp(21L)._3 && fp(20L)._1 == fp(21L)._1)
+    assert(fp(20L)._2 == 70)
+    val payloads = media.filter(col("media_id").isin(20L, 21L))
+      .select("media").as[Array[Byte]].collect()
+    assert(!payloads(0).sameElements(payloads(1)))
+    // stereo quarantines (frame index != sample index would break alignment)
+    assert(fp(23L) == ((0L, 0, false)))
+    // bits match the wavSample energy recurrence exactly
+    def energy(seed: Long, w: Int): Long =
+      (w * 10 until math.min((w + 1) * 10, 700))
+        .map(k => math.abs(Multimodal.wavSample(seed, k)).toLong).sum
+    val expect = (0 until 64).foldLeft(0L) { (h, w) =>
+      if (energy(5L, w + 1) > energy(5L, w)) h | (1L << w) else h }
+    assert(fp(20L)._1 == expect)
+    // near-dup pairs: blocked == brute force, and the re-container pair is in
+    val pairs = Multimodal.audioNearDupPairs(media, windowFrames = 10, maxHamming = 3)
+    val sig = Multimodal.audioFingerprint(media, 10).filter(col("ok"))
+      .select(col("media_id").as("id"), col("afp").as("sig"))
+    val brute = sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(rows(pairs) == rows(brute))
+    assert(rows(pairs).contains(Seq(20L, 21L, 0)))
+  }
+
   test("multimodal: audio quarantine and cross-format dispatch") {
     // truncated RIFF header, a PNG payload fed to the audio decoder, null
     val riffJunk = Array[Byte]('R', 'I', 'F', 'F', 4, 0, 0, 0, 'W', 'A', 'V', 'E')
