@@ -2770,6 +2770,20 @@ object SparkEntry {
       Multimodal.audioNearDupFactored(
         Multimodal.synthesizeWavs(afpSpec(t(s, dir, "documents"))),
         windowFrames = 10, maxHamming = 3)
+    }),
+
+    // ---- Crawl-cadence image dedup: the EVEN-id images are the stored
+    // corpus (RGB encodes), the ODD-id batch arrives as RGBA re-encodes
+    // of the same rasters — every incoming image is a re-encode of a
+    // stored one, the "already crawled under another encode?" gate.
+    // Cross-frame blocking touches only shared chunk buckets; the store
+    // is never paired against itself. Brute-force cross-join oracle.
+    "q215_image_neardup_incremental" -> ((s, dir) => {
+      val media = Multimodal.synthesizePngs(dhashSpec(t(s, dir, "documents")))
+      Multimodal.imageNearDupIncremental(
+        media.filter(pmod(col("media_id"), lit(2)) === 0),
+        media.filter(pmod(col("media_id"), lit(2)) === 1),
+        maxHamming = 3)
     })
   )
 
@@ -5067,7 +5081,40 @@ object SparkEntry {
       WHERE bit_count(xor(a.h, b.h)) <= 3
       UNION ALL
       SELECT h, h, 0, CAST(n * (n - 1) // 2 AS BIGINT)
-      FROM grp WHERE n > 1"""
+      FROM grp WHERE n > 1""",
+
+    // q215: brute-force CROSS join (stored even ids × incoming odd ids)
+    // over the SQL-recomputed dHashes — the cross-frame blocked plan
+    // must equal it exactly
+    "q215_image_neardup_incremental" -> """
+      WITH g AS (
+        SELECT doc_id, ty, tx,
+          (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+            + 114 * (v & 255)) // 1000 AS gray
+        FROM (
+          SELECT doc_id, t.ty, x.tx,
+            1099511628211 * (doc_id // 2)
+              + ((t.ty * (16 + ((doc_id // 2) * 7) % 24)) // 8)
+                  * (16 + (doc_id // 2) % 32)
+              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9) AS v
+          FROM documents, range(8) t(ty), range(9) x(tx))),
+      bits AS (
+        SELECT a.doc_id, a.ty * 8 + a.tx AS k
+        FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.ty = b.ty
+          AND b.tx = a.tx + 1
+        WHERE a.tx < 8 AND a.gray < b.gray),
+      hashes AS (
+        SELECT d.doc_id, CAST(COALESCE((
+            SELECT CAST(SUM(CASE WHEN k = 63
+                THEN -9223372036854775807 - 1
+                ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT)
+            FROM bits b WHERE b.doc_id = d.doc_id), 0) AS BIGINT) AS h
+        FROM documents d)
+      SELECT e.doc_id AS existing_id, i.doc_id AS incoming_id,
+             CAST(bit_count(xor(e.h, i.h)) AS INT) AS hamming
+      FROM hashes e JOIN hashes i
+        ON e.doc_id % 2 = 0 AND i.doc_id % 2 = 1
+      WHERE bit_count(xor(e.h, i.h)) <= 3"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →

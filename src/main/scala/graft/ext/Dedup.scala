@@ -1085,6 +1085,48 @@ object Dedup {
       .distinct()
   }
 
+  /** CROSS-FRAME [[hammingPairs64]] — the crawl-cadence form: candidates
+    * come from 16-bit chunk keys shared BETWEEN the stored and incoming
+    * signature frames, so a batch probe against a corpus-scale signature
+    * store pays O(|batch| + matched buckets), never re-pairs the store
+    * against itself (the [[minhashLshPairsIncremental]] discipline,
+    * applied to the 64-bit signature families: image dHash, audio
+    * fingerprint, text SimHash). Emits only (existing_id, incoming_id,
+    * hamming) cross pairs within `maxHamming`; the same pigeonhole
+    * argument makes the blocked join exactly the all-pairs cross result
+    * (q215's brute-force oracle checks it). Budget pre-flight counts the
+    * exact cross-candidate volume Σ_bucket n_exist·n_inc from the two
+    * bucket histograms — the only frames it materializes are the two
+    * (≤4·n)-row chunk projections, both already needed for the join.
+    */
+  def hammingPairsIncremental64(existing: DataFrame, incoming: DataFrame,
+      maxHamming: Int = 3, budgetPairs: Long = 10000000000L): DataFrame = {
+    require(maxHamming <= 3, "blocking uses 4 x 16-bit chunks => hamming <= 3")
+    def chunked(df: DataFrame): DataFrame = df.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "key"))
+    val ce = chunked(existing.localCheckpoint())
+    val ci = chunked(incoming.localCheckpoint())
+    val candidates = ce.groupBy(col("chunk"), col("key"))
+      .agg(count(lit(1)).as("ne"))
+      .join(ci.groupBy(col("chunk"), col("key")).agg(count(lit(1)).as("ni")),
+        Seq("chunk", "key"))
+      .agg(coalesce(sum(col("ne") * col("ni")), lit(0L)).as("cand"))
+      .head().getLong(0)
+    if (candidates > budgetPairs)
+      throw new Similarity.PairBudgetExceededException(candidates, budgetPairs, 4, 1)
+    ce.select(col("chunk"), col("key"), col("id").as("existing_id"), col("sig").as("sig_e"))
+      .join(ci.select(col("chunk"), col("key"), col("id").as("incoming_id"), col("sig").as("sig_i")),
+        Seq("chunk", "key"))
+      .select(col("existing_id"), col("incoming_id"),
+        bit_count(col("sig_e").bitwiseXOR(col("sig_i"))).as("hamming"))
+      // filter BEFORE the pair-dedup exchange (the hammingPairs64 shape)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** The COUNT-FACTORED form of [[hammingPairs64]] — the scale path for
     * duplicate-heavy corpora (the q144 source-overlap trick applied to
     * hamming balls): collapse to the DISTINCT-signature quotient first

@@ -609,6 +609,24 @@ object Multimodal {
         .select(col("media_id").as("id"), col("dhash").as("sig")),
       maxHamming)
 
+  /** Crawl-cadence image near-dup: incoming media probed against a
+    * STORED corpus by dHash through the cross-frame blocking
+    * ([[Dedup.hammingPairsIncremental64]]) — O(|batch| + matched
+    * buckets), the store is never paired against itself. Emits
+    * (existing_id, incoming_id, hamming) for every incoming image
+    * within `maxHamming` bits of a stored one — the "have we already
+    * crawled this image (under any re-encode)?" gate. q215's oracle is
+    * the brute-force cross join over SQL-recomputed hashes.
+    */
+  def imageNearDupIncremental(existingMedia: DataFrame, incomingMedia: DataFrame,
+      maxHamming: Int = 3, batchSize: Int = 256): DataFrame = {
+    def sigOf(media: DataFrame): DataFrame =
+      imageDHash(media, batchSize).filter(col("ok"))
+        .select(col("media_id").as("id"), col("dhash").as("sig"))
+    Dedup.hammingPairsIncremental64(sigOf(existingMedia), sigOf(incomingMedia),
+      maxHamming)
+  }
+
   // =========================================================================
   // Audio: REAL WAV codec behind the same batched mapPartitions seam
   // =========================================================================

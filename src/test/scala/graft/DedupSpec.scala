@@ -168,6 +168,27 @@ class DedupSpec extends SparkTestBase {
       rows(expanded))
   }
 
+  test("hammingPairsIncremental64 emits only cross-frame pairs; budget counts cross candidates") {
+    val a = 0x0ff0L; val b = 0x0ff1L; val far = 0x5c19e3a4077d2L
+    // existing {1:a, 2:a, 3:far}; incoming {10:a, 11:b, 12:far^high-bits}
+    val ex = Seq((1L, a), (2L, a), (3L, far)).toDF("id", "sig")
+    val inc = Seq((10L, a), (11L, b), (12L, far ^ 0xe000000000000000L)).toDF("id", "sig")
+    val got = Dedup.hammingPairsIncremental64(ex, inc, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // cross pairs only: within-existing (1,2) MUST NOT appear; 12 is 3
+    // bits from far (top chunk), found via the 3 untouched chunks
+    assert(got == Set((1L, 10L, 0), (2L, 10L, 0), (1L, 11L, 1), (2L, 11L, 1),
+      (3L, 12L, 3)))
+    // budget: cross-candidate volume only (within-frame mass is free)
+    val exc = intercept[graft.ext.Similarity.PairBudgetExceededException] {
+      Dedup.hammingPairsIncremental64(ex, inc, maxHamming = 3, budgetPairs = 1L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(exc.estimatedCandidates > 1L)
+    assert(rows(Dedup.hammingPairsIncremental64(ex, inc, 3,
+      budgetPairs = exc.estimatedCandidates)) == got.map(t => Seq(t._1, t._2, t._3)))
+  }
+
   test("randomized: prefix and counted paths both equal the naive result") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
