@@ -47,7 +47,8 @@ object Bench {
         // and the direct in-memory operator it must equal (symmetric diff)
         "q201_ivf_index_check", "q203_ivf_ingest_check",
         "q205_dedup_index_check", "q206_dedup_index_compact",
-        "q207_ivf_index_compact", "q209_semantic_index_check")
+        "q207_ivf_index_compact", "q209_semantic_index_check",
+        "q217_signature_index_check", "q218_signature_index_compact")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

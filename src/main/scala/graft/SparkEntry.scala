@@ -2784,8 +2784,66 @@ object SparkEntry {
         media.filter(pmod(col("media_id"), lit(2)) === 0),
         media.filter(pmod(col("media_id"), lit(2)) === 1),
         maxHamming = 3)
+    }),
+
+    // ---- Persisted signature index: build on the even-id dHashes
+    // (signatures stored in the blocking's own hive-bucket layout),
+    // probe the odd-id batch — the day-2 form of q215 with the SAME
+    // brute-force oracle: the index path must reproduce the in-memory
+    // cross join exactly, through a parquet round-trip and a
+    // partition-pruned read.
+    "q216_signature_index" -> ((s, dir) => {
+      val sig = dhashSigs(s, dir)
+      val idx = sigIndexDir(dir)
+      Dedup.buildSignatureIndex(sig.filter(pmod(col("id"), lit(2)) === 0), idx)
+      Dedup.signatureIndexProbe(s, idx, sig.filter(pmod(col("id"), lit(2)) === 1))
+    }),
+
+    // ---- q216 companion lifecycle: build on ids ≡ 0 (mod 4), INGEST
+    // ids ≡ 2 (mod 4) (together: all even), probe the odd batch — the
+    // grown index is row-identical to the direct cross-frame recompute
+    // over all even signatures. Symmetric diff, WHERE FALSE oracle.
+    "q217_signature_index_check" -> ((s, dir) => {
+      val sig = dhashSigs(s, dir)
+      val idx = sigIndexDir(dir) + "_ing"
+      val even = sig.filter(pmod(col("id"), lit(2)) === 0)
+      val odd = sig.filter(pmod(col("id"), lit(2)) === 1)
+      Dedup.buildSignatureIndex(sig.filter(pmod(col("id"), lit(4)) === 0), idx)
+      Dedup.signatureIndexIngest(s, idx, sig.filter(pmod(col("id"), lit(4)) === 2))
+      val fromIndex = Dedup.signatureIndexProbe(s, idx, odd)
+      val direct = Dedup.hammingPairsIncremental64(even, odd)
+      fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
+    }),
+
+    // ---- q216 compaction witness: a REPLAYED ingest appends duplicate
+    // rows; compaction dedupes and re-clusters the buckets, and the
+    // probe is row-identical before/after. Symmetric diff, WHERE FALSE
+    // oracle (the q206/q207 convention for the third index family).
+    "q218_signature_index_compact" -> ((s, dir) => {
+      val sig = dhashSigs(s, dir)
+      val idx = sigIndexDir(dir) + "_cmp"
+      val even = sig.filter(pmod(col("id"), lit(2)) === 0)
+      val odd = sig.filter(pmod(col("id"), lit(2)) === 1).localCheckpoint()
+      Dedup.buildSignatureIndex(even, idx)
+      Dedup.signatureIndexIngest(s, idx, even) // replayed append
+      val before = Dedup.signatureIndexProbe(s, idx, odd).localCheckpoint()
+      Dedup.signatureIndexCompact(s, idx)
+      val after = Dedup.signatureIndexProbe(s, idx, odd)
+      before.exceptAll(after).unionByName(after.exceptAll(before))
     })
   )
+
+  /** dHash signature frame over the q210 fixture — the shared input of
+    * the signature-index lifecycle queries (q216-q218).
+    */
+  private def dhashSigs(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDHash(
+      Multimodal.synthesizePngs(dhashSpec(t(s, dir, "documents"))))
+      .filter(col("ok"))
+      .select(col("media_id").as("id"), col("dhash").as("sig"))
+
+  private def sigIndexDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sig_index_${new java.io.File(dir).getName}"
 
   /** Shared fixture spec for the audio-fingerprint family (q212/q213):
     * consecutive doc_id pairs (2k, 2k+1) share the sample seed and frame
@@ -5114,7 +5172,55 @@ object SparkEntry {
              CAST(bit_count(xor(e.h, i.h)) AS INT) AS hamming
       FROM hashes e JOIN hashes i
         ON e.doc_id % 2 = 0 AND i.doc_id % 2 = 1
-      WHERE bit_count(xor(e.h, i.h)) <= 3"""
+      WHERE bit_count(xor(e.h, i.h)) <= 3""",
+
+    // q216: the persisted-index probe must reproduce q215's in-memory
+    // cross join exactly — same brute-force oracle
+    "q216_signature_index" -> """
+      WITH g AS (
+        SELECT doc_id, ty, tx,
+          (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+            + 114 * (v & 255)) // 1000 AS gray
+        FROM (
+          SELECT doc_id, t.ty, x.tx,
+            1099511628211 * (doc_id // 2)
+              + ((t.ty * (16 + ((doc_id // 2) * 7) % 24)) // 8)
+                  * (16 + (doc_id // 2) % 32)
+              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9) AS v
+          FROM documents, range(8) t(ty), range(9) x(tx))),
+      bits AS (
+        SELECT a.doc_id, a.ty * 8 + a.tx AS k
+        FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.ty = b.ty
+          AND b.tx = a.tx + 1
+        WHERE a.tx < 8 AND a.gray < b.gray),
+      hashes AS (
+        SELECT d.doc_id, CAST(COALESCE((
+            SELECT CAST(SUM(CASE WHEN k = 63
+                THEN -9223372036854775807 - 1
+                ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT)
+            FROM bits b WHERE b.doc_id = d.doc_id), 0) AS BIGINT) AS h
+        FROM documents d)
+      SELECT e.doc_id AS existing_id, i.doc_id AS incoming_id,
+             CAST(bit_count(xor(e.h, i.h)) AS INT) AS hamming
+      FROM hashes e JOIN hashes i
+        ON e.doc_id % 2 = 0 AND i.doc_id % 2 = 1
+      WHERE bit_count(xor(e.h, i.h)) <= 3""",
+
+    // q217: grown index probe equals the direct cross-frame recompute —
+    // empty symmetric diff, WHERE FALSE oracle
+    "q217_signature_index_check" -> """
+      SELECT CAST(doc_id AS BIGINT) AS existing_id,
+             CAST(doc_id AS BIGINT) AS incoming_id,
+             CAST(0 AS INT) AS hamming
+      FROM documents WHERE FALSE""",
+
+    // q218: probe identical before/after compaction of a replayed
+    // ingest — empty symmetric diff, WHERE FALSE oracle
+    "q218_signature_index_compact" -> """
+      SELECT CAST(doc_id AS BIGINT) AS existing_id,
+             CAST(doc_id AS BIGINT) AS incoming_id,
+             CAST(0 AS INT) AS hamming
+      FROM documents WHERE FALSE"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →

@@ -1127,6 +1127,100 @@ object Dedup {
       .distinct()
   }
 
+  // --------------------------------------------------------------------------
+  // Persisted 64-bit signature index: the materialized store side of
+  // [[hammingPairsIncremental64]] — the third persisted-index family
+  // (MinHash sets for text, IVF cells for vectors, chunk-bucketed
+  // signatures for perceptual hashes). Day-to-day crawl dedup never
+  // re-hashes the corpus: signatures live on disk in the blocking's own
+  // layout, every batch pays |batch| signature passes + a bucket-pruned
+  // equi-join + one append.
+  // --------------------------------------------------------------------------
+
+  /** The ONE chunk projection shared by the signature index's build,
+    * ingest, and probe: 4 rows per signature — (chunk 0..3, key = the
+    * chunk's 16 bits, kb = key's top 6 bits, id, sig). `(chunk, kb)` is
+    * the index's hive-partition pair (256 dirs), so a probe joining on
+    * (chunk, kb, key) dynamically prunes the store read to the ≤
+    * 4·|batch| buckets the batch actually touches — the signature twin
+    * of the IVF index's DPP cell reads. kb is cast to int to match the
+    * type hive partition discovery infers on read-back (a long/int
+    * mismatch would put a cast under the join key and defeat pruning).
+    */
+  private def sigIndexChunks(sig: DataFrame): DataFrame = sig.select(
+    col("id"), col("sig"),
+    posexplode(array((0 until 4).map(c =>
+      shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+    .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "key"))
+    .withColumn("kb", shiftright(col("key"), 10).cast("int"))
+
+  /** Build the index under `indexDir`: one table `sigs/` holding the
+    * [[sigIndexChunks]] projection hive-partitioned by `(chunk, kb)` —
+    * the storage layout IS the blocking, so the probe needs no
+    * index-side filtering code at all. `repartition` by the partition
+    * pair keeps each bucket a contiguous file set.
+    */
+  def buildSignatureIndex(sig: DataFrame, indexDir: String): Unit =
+    sigIndexChunks(sig).repartition(col("chunk"), col("kb"))
+      .write.mode("overwrite").partitionBy("chunk", "kb")
+      .parquet(s"$indexDir/sigs")
+
+  /** Append a batch's signatures into the index (no rebuild): the same
+    * [[sigIndexChunks]] projection, appended into the bucket layout.
+    * Replayed appends create bit-identical duplicate rows — harmless to
+    * probes (pair output is distinct) and removed by
+    * [[signatureIndexCompact]], the IVF-ingest convention.
+    */
+  def signatureIndexIngest(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, incoming: DataFrame): Unit =
+    sigIndexChunks(incoming).repartition(col("chunk"), col("kb"))
+      .write.mode("append").partitionBy("chunk", "kb")
+      .parquet(s"$indexDir/sigs")
+
+  /** Probe a batch against the index: equi-join on `(chunk, kb, key)` —
+    * partition pruning restricts the store read to the batch's buckets,
+    * so per-batch cost is O(|batch| + matched buckets), independent of
+    * store size. Output contract of [[hammingPairsIncremental64]]:
+    * (existing_id, incoming_id, hamming ≤ maxHamming) cross pairs,
+    * hamming filtered INSIDE the join stream before the pair-dedup
+    * exchange. Row-identical to the direct in-memory recompute over the
+    * same stored signatures (q217 pins that).
+    */
+  def signatureIndexProbe(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, incoming: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "blocking uses 4 x 16-bit chunks => hamming <= 3")
+    val store = spark.read.parquet(s"$indexDir/sigs")
+      .select(col("chunk"), col("kb"), col("key"),
+        col("id").as("existing_id"), col("sig").as("sig_e"))
+    // NO checkpoint on the batch side: it feeds the join once, and
+    // hiding its filters behind a LogicalRDD would defeat the dynamic
+    // partition pruning this layout exists for (DPP's benefit check
+    // needs the build side's selective predicate visible)
+    sigIndexChunks(incoming)
+      .select(col("chunk"), col("kb"), col("key"),
+        col("id").as("incoming_id"), col("sig").as("sig_i"))
+      .join(store, Seq("chunk", "kb", "key"))
+      .select(col("existing_id"), col("incoming_id"),
+        bit_count(col("sig_e").bitwiseXOR(col("sig_i"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Compact the signature index: crawl-cadence ingests accumulate ≥1
+    * file per touched bucket per batch plus replayed duplicate rows; one
+    * rewrite dedupes and re-clusters each bucket into a single file set
+    * via a sibling `_compacting` dir and a rename swap. Probe results
+    * identical before/after (q218 drives the witness).
+    */
+  def signatureIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val tmp = s"$indexDir/sigs_compacting"
+    spark.read.parquet(s"$indexDir/sigs").dropDuplicates()
+      .repartition(col("chunk"), col("kb"))
+      .write.mode("overwrite").partitionBy("chunk", "kb").parquet(tmp)
+    swapIn(spark, tmp, s"$indexDir/sigs")
+  }
+
   /** The COUNT-FACTORED form of [[hammingPairs64]] — the scale path for
     * duplicate-heavy corpora (the q144 source-overlap trick applied to
     * hamming balls): collapse to the DISTINCT-signature quotient first

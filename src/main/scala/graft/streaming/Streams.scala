@@ -548,6 +548,71 @@ object Streams {
       }
       .start()
 
+  /** Streaming crawl ingest gated by the persisted SIGNATURE index — the
+    * third indexed crawl sink (text MinHash:
+    * [[indexedNearDedupIngestSink]], vectors:
+    * [[indexedSemanticIngestSink]], 64-bit perceptual signatures: this).
+    * The stream carries `(idCol, sigCol)` rows — signatures computed
+    * upstream by whichever family applies (image dHash, audio
+    * fingerprint, text SimHash); the sink is family-agnostic because the
+    * blocking is. Per micro-batch: one bucket-pruned probe
+    * ([[graft.ext.Dedup.signatureIndexProbe]] — O(|batch| + matched
+    * buckets), store size never scanned), rows within `maxHamming` of a
+    * stored signature are dropped, survivors land in a
+    * `batch_id=`-partitioned dynamic-overwrite store (replay-idempotent)
+    * and append into the index
+    * ([[graft.ext.Dedup.signatureIndexIngest]]); replayed appends are
+    * probe-tolerated duplicates removed by
+    * [[graft.ext.Dedup.signatureIndexCompact]].
+    */
+  def indexedSignatureIngestSink(
+      df: DataFrame,
+      targetPath: String,
+      indexDir: String,
+      idCol: String,
+      sigCol: String,
+      checkpointDir: String,
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // at-least-once sources repeat rows; min-id survivor per distinct
+        // signature (two batch rows within the ball of the same stored
+        // signature are near-dups of each other too, but the contract is
+        // the indexed gate — intra-batch near-dups resolve on the NEXT
+        // batch once the survivor is indexed, the crawl-cadence trade
+        // every indexed sink here makes)
+        val b = batch.toDF()
+          .groupBy(col(sigCol))
+          .agg(min(col(idCol)).as(idCol))
+          .select(col(idCol), col(sigCol))
+        def asSig(df: DataFrame): DataFrame =
+          df.select(col(idCol).as("id"), col(sigCol).as("sig"))
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sigs"))
+        val accepted = (if (!hasIndex) b
+          else {
+            val blocked = graft.ext.Dedup.signatureIndexProbe(
+                spark, indexDir, asSig(b), maxHamming)
+              .select(col("incoming_id").as(idCol)).distinct()
+            b.join(blocked, Seq(idCol), "left_anti")
+          }).localCheckpoint()
+        if (!accepted.isEmpty) {
+          accepted.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(targetPath)
+          if (hasIndex)
+            graft.ext.Dedup.signatureIndexIngest(spark, indexDir, asSig(accepted))
+          else graft.ext.Dedup.buildSignatureIndex(asSig(accepted), indexDir)
+        }
+      }
+      .start()
+
   /** Streaming distribution-drift monitor — the q152 event-mix entropy on
     * a live stream: per event-time window, the Shannon entropy of the
     * event-type distribution (6-dp decimal terms, the batch operator's

@@ -189,6 +189,48 @@ class DedupSpec extends SparkTestBase {
       budgetPairs = exc.estimatedCandidates)) == got.map(t => Seq(t._1, t._2, t._3)))
   }
 
+  test("persisted signature index: bucket layout, DPP probe, ingest grows it, compact dedupes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    // ids < 10 form a near-dup cluster (pairwise hamming 2: base with one
+    // distinct bit flipped each); the rest are hash-spread
+    val base = 0x123456789abcdef0L
+    val sig = spark.range(0, 200).select(col("id"),
+      when(col("id") < 10,
+        expr(s"${base}L ^ shiftleft(1L, cast(id as int))"))
+        .otherwise(xxhash64(col("id"))).as("sig"))
+    val even = sig.filter(pmod(col("id"), lit(2)) === 0)
+    val odd = sig.filter(pmod(col("id"), lit(2)) === 1)
+    Dedup.buildSignatureIndex(even, dir)
+    // the layout IS the blocking: hive dirs chunk=0..3, kb buckets inside
+    val chunkDirs = new java.io.File(s"$dir/sigs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+    assert(chunkDirs.length == 4)
+    assert(chunkDirs.forall(_.listFiles().exists(_.getName.startsWith("kb="))))
+    val fromIndex = Dedup.signatureIndexProbe(spark, dir, odd)
+    val direct = Dedup.hammingPairsIncremental64(even, odd)
+    assert(rows(fromIndex) == rows(direct))
+    // the 5x5 cross cluster is found through the parquet round-trip
+    assert(fromIndex.count() >= 25)
+    // a probed batch must NOT read every bucket: dynamic pruning on the
+    // partition pair (the IVF-index assertion, third family)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+    // ingest: rebuild from a quarter, grow to all evens, probe unchanged
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sigidx2").toString
+    Dedup.buildSignatureIndex(sig.filter(pmod(col("id"), lit(4)) === 0), dir2)
+    Dedup.signatureIndexIngest(spark, dir2, sig.filter(pmod(col("id"), lit(4)) === 2))
+    assert(rows(Dedup.signatureIndexProbe(spark, dir2, odd)) == rows(direct))
+    // replayed ingest appends duplicate rows; compact removes them and
+    // the probe is row-identical
+    Dedup.signatureIndexIngest(spark, dir2, sig.filter(pmod(col("id"), lit(4)) === 2))
+    val distinctRows = spark.read.parquet(s"$dir2/sigs").distinct().count()
+    assert(spark.read.parquet(s"$dir2/sigs").count() > distinctRows)
+    Dedup.signatureIndexCompact(spark, dir2)
+    assert(spark.read.parquet(s"$dir2/sigs").count() == distinctRows)
+    assert(rows(Dedup.signatureIndexProbe(spark, dir2, odd)) == rows(direct))
+  }
+
   test("randomized: prefix and counted paths both equal the naive result") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")

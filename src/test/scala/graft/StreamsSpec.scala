@@ -315,6 +315,36 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("indexedSignatureIngestSink gates by hamming against the persisted index across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxsig").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_idxsig_cp").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.indexedSignatureIngestSink(
+      input.toDS().toDF("media_id", "dhash"), s"$dir/t", s"$dir/idx",
+      "media_id", "dhash", cp, maxHamming = 3)
+    try {
+      val base = 0x0f0f0f0f0f0f0f0fL
+      // batch 1 bootstraps store and index
+      input.addData((1L, base), (2L, base ^ 0xff00ff00L)) // far apart
+      q.processAllAvailable()
+      // batch 2: 3 within 2 bits of indexed 1 -> blocked; 4 far -> accepted
+      input.addData((3L, base ^ 3L), (4L, 0x123456789abcdef0L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/t")
+        .select("media_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+      // batch 3: within 1 bit of batch-2-ACCEPTED 4 -> blocked by the
+      // ingested index rows, store never rescanned
+      input.addData((5L, 0x123456789abcdef1L))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/t")
+        .select("media_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+      // the index holds exactly the accepted signatures (4 chunk rows each)
+      assert(spark.read.parquet(s"$dir/idx/sigs")
+        .select("id").distinct().as[Long].collect().toSet == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("semanticIngestSink blocks near-dup vectors; a replayed micro-batch is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_semingest").toString
