@@ -2815,6 +2815,23 @@ object SparkEntry {
       fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
     }),
 
+    // ---- END-TO-END image dedup under re-encodes: dHash once → blocked
+    // near-dup pairs → connected components (pointer doubling) → keep
+    // one representative per cluster. Every (2k, 2k+1) re-encode pair
+    // collapses to one kept image; hamming-3 chains merge transitively,
+    // which is why the oracle needs a RECURSIVE closure, not q61's
+    // fingerprint partition. Fully oracle-checked end to end.
+    "q219_image_dedup_materialize" -> ((s, dir) => {
+      val sig = Multimodal.imageDHash(
+          Multimodal.synthesizePngs(dhashSpec(t(s, dir, "documents"))))
+        .filter(col("ok")).localCheckpoint()
+      val pairs = Dedup.hammingPairs64(
+        sig.select(col("media_id").as("id"), col("dhash").as("sig")),
+        maxHamming = 3)
+      Dedup.connectedComponents(sig, "media_id", pairs)
+        .withColumn("keep", col("media_id") === col("rep"))
+    }),
+
     // ---- q216 compaction witness: a REPLAYED ingest appends duplicate
     // rows; compaction dedupes and re-clusters the buckets, and the
     // probe is row-identical before/after. Symmetric diff, WHERE FALSE
@@ -5220,7 +5237,46 @@ object SparkEntry {
       SELECT CAST(doc_id AS BIGINT) AS existing_id,
              CAST(doc_id AS BIGINT) AS incoming_id,
              CAST(0 AS INT) AS hamming
-      FROM documents WHERE FALSE"""
+      FROM documents WHERE FALSE""",
+
+    // q219: components by RECURSIVE closure over the brute-force
+    // hamming graph (hamming-3 chains merge transitively — a
+    // fingerprint partition would under-merge), rep = min reachable id
+    "q219_image_dedup_materialize" -> """
+      WITH RECURSIVE g AS (
+        SELECT doc_id, ty, tx,
+          (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+            + 114 * (v & 255)) // 1000 AS gray
+        FROM (
+          SELECT doc_id, t.ty, x.tx,
+            1099511628211 * (doc_id // 2)
+              + ((t.ty * (16 + ((doc_id // 2) * 7) % 24)) // 8)
+                  * (16 + (doc_id // 2) % 32)
+              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9) AS v
+          FROM documents, range(8) t(ty), range(9) x(tx))),
+      bits AS (
+        SELECT a.doc_id, a.ty * 8 + a.tx AS k
+        FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.ty = b.ty
+          AND b.tx = a.tx + 1
+        WHERE a.tx < 8 AND a.gray < b.gray),
+      hashes AS (
+        SELECT d.doc_id, CAST(COALESCE((
+            SELECT CAST(SUM(CASE WHEN k = 63
+                THEN -9223372036854775807 - 1
+                ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT)
+            FROM bits b WHERE b.doc_id = d.doc_id), 0) AS BIGINT) AS h
+        FROM documents d),
+      edges AS (
+        SELECT a.doc_id AS s, b.doc_id AS t FROM hashes a JOIN hashes b
+        ON a.doc_id <> b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 3),
+      reach(id, anc) AS (
+        SELECT doc_id, doc_id FROM hashes
+        UNION
+        SELECT r.id, e.t FROM reach r JOIN edges e ON e.s = r.anc)
+      SELECT id AS media_id, MIN(anc) AS rep,
+             (id = MIN(anc)) AS keep
+      FROM reach GROUP BY id"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →
