@@ -231,6 +231,45 @@ class DedupSpec extends SparkTestBase {
     assert(rows(Dedup.signatureIndexProbe(spark, dir2, odd)) == rows(direct))
   }
 
+  test("randomized: every hamming-family form equals brute force at every maxHamming") {
+    val rnd = new scala.util.Random(11)
+    // 60 sigs: spread bases, exact dups, and near-dups within 1-3 flipped bits
+    val bases = Array.fill(20)(rnd.nextLong())
+    val sigsSeq = (0 until 60).map { i =>
+      val b = bases(i % 20)
+      val s = (i / 20) match {
+        case 0 => b                                   // original
+        case 1 => if (i % 3 == 0) b else rnd.nextLong() // some exact dups
+        case _ =>                                     // flip 1-3 random bits
+          (0 until 1 + rnd.nextInt(3)).foldLeft(b)((x, _) => x ^ (1L << rnd.nextInt(64)))
+      }
+      (i.toLong, s)
+    }
+    val sig = sigsSeq.toDF("id", "sig")
+    def brute(maxH: Int): Set[Seq[Any]] =
+      (for {
+        (ia, sa) <- sigsSeq; (ib, sb) <- sigsSeq if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield Seq(ia, ib, h)).toSet
+    for (maxH <- 0 to 3) {
+      val blocked = rows(Dedup.hammingPairs64(sig, maxH))
+      assert(blocked == brute(maxH), s"blocked != brute at maxHamming=$maxH")
+      // factored: pair mass over the quotient ties to the expanded count
+      val mass = Dedup.hammingPairsFactored64(sig, maxH)
+        .agg(sum(col("n_pairs"))).head().getLong(0)
+      assert(mass == brute(maxH).size, s"factored mass at maxHamming=$maxH")
+      // incremental: exactly the cross subset of brute pairs
+      val ex = sig.filter(col("id") < 30)
+      val inc = sig.filter(col("id") >= 30)
+      val cross = rows(Dedup.hammingPairsIncremental64(ex, inc, maxH))
+      val bruteCross = (for {
+        (ia, sa) <- sigsSeq if ia < 30; (ib, sb) <- sigsSeq if ib >= 30
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+      } yield Seq(ia, ib, h)).toSet
+      assert(cross == bruteCross, s"incremental != brute cross at maxHamming=$maxH")
+    }
+  }
+
   test("randomized: prefix and counted paths both equal the naive result") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
