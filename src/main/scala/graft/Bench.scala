@@ -170,12 +170,14 @@ object Bench {
     // own CPU + GC (or that overlapped a detected VM stall) was measured
     // during contamination, not at operator cost — re-time it once and
     // keep the MINIMUM, recording both runs in the artifact ("retried").
-    // Bounded to the worst 30 so a storm cannot double the bench.
+    // Bounded to the worst 50 so a storm cannot double the bench. Floor at
+    // 1.0 s: round 11's 2.0 s floor let 1-2.2 s contaminated rows (q171
+    // 2.20 s vs 0.38-0.96 s re-timed, q189, q192) ship uncorrected.
     val suspect = firstPass.filter { r =>
       val opBound = r.cpu / 1000.0 / cores + r.gc / 1000.0
       !failed.contains(r.name) &&
-        ((r.sec > 2.0 && r.sec > 3 * opBound + 1.0) || r.stallMs > 500)
-    }.sortBy(-_.sec).take(30)
+        ((r.sec > 1.0 && r.sec > 3 * opBound + 0.5) || r.stallMs > 500)
+    }.sortBy(-_.sec).take(50)
     if (suspect.nonEmpty)
       System.err.println(s"[bench] retrying ${suspect.size} contaminated-looking queries: " +
         suspect.map(_.name).mkString(", "))

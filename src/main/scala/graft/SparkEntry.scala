@@ -356,7 +356,8 @@ object SparkEntry {
 
     // ---- Dedup: SimHash near-dup pairs (no oracle: engine hash) --------------
     "q28_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, budgetPairs = 10000000000L)
     }),
 
     // ---- Similarity: brute-force cosine top-k ---------------------------------
@@ -890,7 +891,8 @@ object SparkEntry {
       val dup = d.as("a").join(d.as("b"),
           col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3,
+          budgetPairs = 10000000000L)
         .select(col("id_a"), col("id_b"))
         .join(dup, Seq("id_a", "id_b"))
     }),
@@ -2732,7 +2734,7 @@ object SparkEntry {
     "q211_image_neardup" -> ((s, dir) => {
       Multimodal.imageNearDupPairs(
         Multimodal.synthesizePngs(dhashSpec(t(s, dir, "documents"))),
-        maxHamming = 3)
+        maxHamming = 3, budgetPairs = 10000000000L)
     }),
 
     // ---- Audio fingerprint (energy-delta bits over PCM windows): every
@@ -2756,7 +2758,7 @@ object SparkEntry {
     "q213_audio_neardup" -> ((s, dir) => {
       Multimodal.audioNearDupPairs(
         Multimodal.synthesizeWavs(afpSpec(t(s, dir, "documents"))),
-        windowFrames = 10, maxHamming = 3)
+        windowFrames = 10, maxHamming = 3, budgetPairs = 10000000000L)
     }),
 
     // ---- The COUNT-FACTORED audio near-dup quotient — the scale path
@@ -2783,7 +2785,7 @@ object SparkEntry {
       Multimodal.imageNearDupIncremental(
         media.filter(pmod(col("media_id"), lit(2)) === 0),
         media.filter(pmod(col("media_id"), lit(2)) === 1),
-        maxHamming = 3)
+        maxHamming = 3, budgetPairs = 10000000000L)
     }),
 
     // ---- Persisted signature index: build on the even-id dHashes
@@ -2827,7 +2829,7 @@ object SparkEntry {
         .filter(col("ok")).localCheckpoint()
       val pairs = Dedup.hammingPairs64(
         sig.select(col("media_id").as("id"), col("dhash").as("sig")),
-        maxHamming = 3)
+        maxHamming = 3, budgetPairs = 10000000000L)
       Dedup.connectedComponents(sig, "media_id", pairs)
         .withColumn("keep", col("media_id") === col("rep"))
     }),
@@ -4994,11 +4996,14 @@ object SparkEntry {
       FROM embeddings WHERE FALSE""",
 
     // q210: the full 64-bit dHash recomputed from the synthesis spec in
-    // SQL — pixel v = seed·FNV + sy·w + sx (only the low 24 bits reach
-    // RGB, so 64-bit arithmetic matches the int32 truncation), nearest-
-    // neighbor 9×8 grid, integer luma, horizontal-gradient bits summed
-    // as powers of two (bit 63 added as the two's-complement constant;
-    // DuckDB refuses 1<<63)
+    // SQL — pixel v = seed·FNV + sy·w + sx reduced mod 2^24 WITH REDUCED
+    // OPERANDS (only the low 24 bits reach RGB, and (a·b) mod 2^24 =
+    // ((a mod 2^24)·(b mod 2^24)) mod 2^24 — the naked product would
+    // hard-error on DuckDB's checked signed-64 arithmetic once
+    // doc_id//2 exceeds ~8.4M, while Spark intentionally wraps via
+    // .toInt), nearest-neighbor 9×8 grid, integer luma, horizontal-
+    // gradient bits summed as powers of two (bit 63 added as the
+    // two's-complement constant; DuckDB refuses 1<<63)
     "q210_image_dhash" -> s"""
       WITH g AS (
         SELECT doc_id, ty, tx,
@@ -5006,10 +5011,10 @@ object SparkEntry {
             + 114 * (v & 255)) // 1000 AS gray
         FROM (
           SELECT doc_id, t.ty, x.tx,
-            1099511628211 * (doc_id // 2)
+            ((1099511628211 % 16777216) * ((doc_id // 2) % 16777216)
               + ((t.ty * (16 + ((doc_id // 2) * 7) % 24)) // 8)
                   * (16 + (doc_id // 2) % 32)
-              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9) AS v
+              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9)) % 16777216 AS v
           FROM documents, range(8) t(ty), range(9) x(tx))),
       bits AS (
         SELECT a.doc_id, a.ty * 8 + a.tx AS k
@@ -5034,10 +5039,10 @@ object SparkEntry {
             + 114 * (v & 255)) // 1000 AS gray
         FROM (
           SELECT doc_id, t.ty, x.tx,
-            1099511628211 * (doc_id // 2)
+            ((1099511628211 % 16777216) * ((doc_id // 2) % 16777216)
               + ((t.ty * (16 + ((doc_id // 2) * 7) % 24)) // 8)
                   * (16 + (doc_id // 2) % 32)
-              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9) AS v
+              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9)) % 16777216 AS v
           FROM documents, range(8) t(ty), range(9) x(tx))),
       bits AS (
         SELECT a.doc_id, a.ty * 8 + a.tx AS k
@@ -5168,10 +5173,10 @@ object SparkEntry {
             + 114 * (v & 255)) // 1000 AS gray
         FROM (
           SELECT doc_id, t.ty, x.tx,
-            1099511628211 * (doc_id // 2)
+            ((1099511628211 % 16777216) * ((doc_id // 2) % 16777216)
               + ((t.ty * (16 + ((doc_id // 2) * 7) % 24)) // 8)
                   * (16 + (doc_id // 2) % 32)
-              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9) AS v
+              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9)) % 16777216 AS v
           FROM documents, range(8) t(ty), range(9) x(tx))),
       bits AS (
         SELECT a.doc_id, a.ty * 8 + a.tx AS k
@@ -5200,10 +5205,10 @@ object SparkEntry {
             + 114 * (v & 255)) // 1000 AS gray
         FROM (
           SELECT doc_id, t.ty, x.tx,
-            1099511628211 * (doc_id // 2)
+            ((1099511628211 % 16777216) * ((doc_id // 2) % 16777216)
               + ((t.ty * (16 + ((doc_id // 2) * 7) % 24)) // 8)
                   * (16 + (doc_id // 2) % 32)
-              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9) AS v
+              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9)) % 16777216 AS v
           FROM documents, range(8) t(ty), range(9) x(tx))),
       bits AS (
         SELECT a.doc_id, a.ty * 8 + a.tx AS k
@@ -5249,10 +5254,10 @@ object SparkEntry {
             + 114 * (v & 255)) // 1000 AS gray
         FROM (
           SELECT doc_id, t.ty, x.tx,
-            1099511628211 * (doc_id // 2)
+            ((1099511628211 % 16777216) * ((doc_id // 2) % 16777216)
               + ((t.ty * (16 + ((doc_id // 2) * 7) % 24)) // 8)
                   * (16 + (doc_id // 2) % 32)
-              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9) AS v
+              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9)) % 16777216 AS v
           FROM documents, range(8) t(ty), range(9) x(tx))),
       bits AS (
         SELECT a.doc_id, a.ty * 8 + a.tx AS k

@@ -1022,10 +1022,11 @@ object Dedup {
     * chunks (pigeonhole: pairs within k bits share at least one of k+1
     * chunks — standard simhash blocking, avoids the all-pairs join).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, budgetPairs: Long = Long.MaxValue): DataFrame =
     hammingPairs64(
       simhash(df, idCol, textCol).select(col("id"), col("simhash").as("sig")),
-      maxHamming)
+      maxHamming, budgetPairs)
 
   /** Hamming-ball pair generation over ANY 64-bit signature frame
     * `(id, sig)`, blocked by 16-bit chunks. Pigeonhole: ≤3 differing
@@ -1038,41 +1039,55 @@ object Dedup {
     * ([[Multimodal.audioNearDupPairs]], q213) so signature families
     * never desynchronize on candidate generation.
     *
-    * BUDGET-GOVERNED (the q73/q174 contract): the signature frame is
-    * `localCheckpoint`ed (one upstream pass — signature derivation may
-    * be a whole codec stage — and the pre-flight reads the same blocks
-    * as the join), then the EXACT candidate volume Σ_bucket C(n,2) is
-    * counted from per-(chunk,key) bucket sizes and the call refuses with
+    * BUDGET-GOVERNED when a finite `budgetPairs` is passed (the q73/q174
+    * contract): the signature frame is `localCheckpoint`ed (one upstream
+    * pass — signature derivation may be a whole codec stage — and the
+    * pre-flight reads the same blocks as the join), then the EXACT
+    * candidate volume Σ_bucket C(n,2) is counted from per-(chunk,key)
+    * bucket sizes and the call refuses with
     * [[graft.ext.Similarity.PairBudgetExceededException]] above
     * `budgetPairs`. The budget prices the candidate STREAM, not a
-    * materialization: the hamming filter runs INSIDE the join's codegen
-    * output stream, before the pair-dedup exchange, so candidates cost
-    * one xor+popcount each and only surviving pairs shuffle (with the
-    * filter after the distinct — the first-draft shape — the 10×-replica
-    * image corpus pushed 2.0 B candidate rows into the exchange). The
-    * default 10 B ≈ minutes of stream time; a corpus over it is either
+    * materialization OR a distinct-pair count: a pair whose signatures
+    * share k chunk keys appears k times in the join stream (up to 4×),
+    * so the governor can refuse up to 4× before the distinct-pair
+    * volume alone would cross the budget — the safe direction, and the
+    * honest one, because the stream is what costs time. The hamming
+    * filter runs INSIDE the join's codegen output stream, before the
+    * pair-dedup exchange, so candidates cost one xor+popcount each and
+    * only surviving pairs shuffle (with the filter after the distinct —
+    * the first-draft shape — the 10×-replica image corpus pushed 2.0 B
+    * candidate rows into the exchange). 10 B ≈ minutes of stream time
+    * (what the catalog entries pass); a corpus over it is either
     * signature-degenerate with quadratic pair OUTPUT (the q213 audio
     * fixture: 973 distinct fingerprints over 50 k docs, max group 844 —
     * 33 B candidates at sf10, and the factored quotient form
     * ([[hammingPairsFactored64]]) is the scale path) or needs per-family
     * bucketing work. planes/tables in the exception report the
-    * 4-chunk/1-table blocking.
+    * 4-chunk/1-table blocking. The DEFAULT `Long.MaxValue` keeps the
+    * library convention (ngramJaccardPairs, cosineNearDupPairs):
+    * ungated calls build a lazy plan with ZERO extra jobs at
+    * construction time — no checkpoint, no count.
     */
   def hammingPairs64(sig: DataFrame, maxHamming: Int = 3,
-      budgetPairs: Long = 10000000000L): DataFrame = {
+      budgetPairs: Long = Long.MaxValue): DataFrame = {
     require(maxHamming <= 3, "blocking uses 4 x 16-bit chunks => hamming <= 3")
-    val sigC = sig.localCheckpoint()
+    val sigC = if (budgetPairs < Long.MaxValue) sig.localCheckpoint() else sig
     val chunked = sigC.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "key"))
-    val candidates = chunked.groupBy(col("chunk"), col("key"))
-      .agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("cand2"))
-      .head().getLong(0) / 2
-    if (candidates > budgetPairs)
-      throw new Similarity.PairBudgetExceededException(candidates, budgetPairs, 4, 1)
+    if (budgetPairs < Long.MaxValue) {
+      val candidates = chunked.groupBy(col("chunk"), col("key"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("cand2"))
+        .head().getLong(0) / 2
+      if (candidates > budgetPairs)
+        throw new Similarity.PairBudgetExceededException(candidates, budgetPairs, 4, 1,
+          "the count is bucket-candidate STREAM size — a pair sharing k " +
+          "chunk keys is counted k times (up to 4x), so refusal can fire " +
+          "up to 4x before the distinct-pair volume crosses the budget")
+    }
     val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "key"))
@@ -1094,29 +1109,38 @@ object Dedup {
     * fingerprint, text SimHash). Emits only (existing_id, incoming_id,
     * hamming) cross pairs within `maxHamming`; the same pigeonhole
     * argument makes the blocked join exactly the all-pairs cross result
-    * (q215's brute-force oracle checks it). Budget pre-flight counts the
-    * exact cross-candidate volume Σ_bucket n_exist·n_inc from the two
-    * bucket histograms — the only frames it materializes are the two
-    * (≤4·n)-row chunk projections, both already needed for the join.
+    * (q215's brute-force oracle checks it). With a finite budget the
+    * pre-flight counts the exact cross-candidate STREAM volume Σ_bucket
+    * n_exist·n_inc from the two bucket histograms (a pair sharing k
+    * chunks counts k times — the [[hammingPairs64]] stream-pricing rule);
+    * the only frames it materializes are the two (≤4·n)-row chunk
+    * projections, both already needed for the join. The `Long.MaxValue`
+    * default keeps ungated calls lazy (zero jobs at construction).
     */
   def hammingPairsIncremental64(existing: DataFrame, incoming: DataFrame,
-      maxHamming: Int = 3, budgetPairs: Long = 10000000000L): DataFrame = {
+      maxHamming: Int = 3, budgetPairs: Long = Long.MaxValue): DataFrame = {
     require(maxHamming <= 3, "blocking uses 4 x 16-bit chunks => hamming <= 3")
     def chunked(df: DataFrame): DataFrame = df.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "key"))
-    val ce = chunked(existing.localCheckpoint())
-    val ci = chunked(incoming.localCheckpoint())
-    val candidates = ce.groupBy(col("chunk"), col("key"))
-      .agg(count(lit(1)).as("ne"))
-      .join(ci.groupBy(col("chunk"), col("key")).agg(count(lit(1)).as("ni")),
-        Seq("chunk", "key"))
-      .agg(coalesce(sum(col("ne") * col("ni")), lit(0L)).as("cand"))
-      .head().getLong(0)
-    if (candidates > budgetPairs)
-      throw new Similarity.PairBudgetExceededException(candidates, budgetPairs, 4, 1)
+    val gated = budgetPairs < Long.MaxValue
+    val ce = chunked(if (gated) existing.localCheckpoint() else existing)
+    val ci = chunked(if (gated) incoming.localCheckpoint() else incoming)
+    if (gated) {
+      val candidates = ce.groupBy(col("chunk"), col("key"))
+        .agg(count(lit(1)).as("ne"))
+        .join(ci.groupBy(col("chunk"), col("key")).agg(count(lit(1)).as("ni")),
+          Seq("chunk", "key"))
+        .agg(coalesce(sum(col("ne") * col("ni")), lit(0L)).as("cand"))
+        .head().getLong(0)
+      if (candidates > budgetPairs)
+        throw new Similarity.PairBudgetExceededException(candidates, budgetPairs, 4, 1,
+          "the count is bucket-candidate STREAM size — a pair sharing k " +
+          "chunk keys is counted k times (up to 4x), so refusal can fire " +
+          "up to 4x before the distinct-pair volume crosses the budget")
+    }
     ce.select(col("chunk"), col("key"), col("id").as("existing_id"), col("sig").as("sig_e"))
       .join(ci.select(col("chunk"), col("key"), col("id").as("incoming_id"), col("sig").as("sig_i")),
         Seq("chunk", "key"))
@@ -1363,8 +1387,13 @@ object Dedup {
     * dropped (sets by skey — the payload is identical by construction;
     * bands and members by full row) and the layout re-bounded to
     * `targetPartitions` files (defaultParallelism when 0). Rewrites go to
-    * a sibling `_compacting` dir then swap in via rename, so a crash never
-    * leaves a half-written table where the live one was. Probe results are
+    * a sibling `_compacting` dir then swap in via the backup-rename
+    * [[swapIn]], so a crash never leaves a table that cannot be recovered
+    * (mid-swap the old data survives at `_backup`). Compaction must NOT
+    * run concurrently with the indexed ingest sinks: an append landing
+    * between the compactor's read and its swap is dropped with the old
+    * dir — quiesce ingest first (the maintenance-window contract every
+    * rewrite-in-place compactor carries). Probe results are
     * IDENTICAL before and after (q206 drives the witness): the probe
     * already dropDuplicates/distincts these tables on read — compaction
     * moves that work out of every future probe.
@@ -1384,15 +1413,27 @@ object Dedup {
     one("members", _.distinct())
   }
 
-  /** Atomic-as-the-filesystem-allows table swap: delete the live dir,
-    * rename the freshly written one in. Shared by the index compactors.
+  /** Atomic-as-the-filesystem-allows table swap, recoverable at every
+    * step: rename live -> `_backup`, rename tmp -> live, delete backup.
+    * A crash between the two renames leaves the table recoverable from
+    * `_backup` (the first-draft delete-then-rename left NO live table in
+    * that window); a crash before the backup delete leaves both, and the
+    * next compaction clears the stale backup first. NOT safe against a
+    * CONCURRENT writer: an ingest appending between the compactor's read
+    * and the swap has its rows dropped with the old dir — compaction must
+    * not run concurrently with the indexed ingest sinks (documented on
+    * [[dedupIndexCompact]]).
     */
   private[ext] def swapIn(spark: org.apache.spark.sql.SparkSession,
       tmp: String, dst: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dst)
+    val bak = new org.apache.hadoop.fs.Path(dst + "_backup")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(p, true)
+    fs.delete(bak, true) // stale backup from an earlier crashed swap
+    if (fs.exists(p))
+      require(fs.rename(p, bak), s"compaction swap failed: $dst -> $bak")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"compaction swap failed: $tmp -> $dst")
+      s"compaction swap failed: $tmp -> $dst (live preserved at $bak)")
+    fs.delete(bak, true): Unit
   }
 }

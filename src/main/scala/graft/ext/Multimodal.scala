@@ -121,7 +121,17 @@ object Multimodal {
       finally { try rd.setInput(null) catch { case _: Throwable => () }; iis.close() }
     }
 
-    /** Encode through a pooled writer and a reused output buffer. */
+    private def dropWriter(fmt: String): Unit = {
+      val w = writers.remove(fmt)
+      if (w != null) try w.dispose() catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+    /** Encode through a pooled writer and a reused output buffer. Encode
+      * failures propagate with the possibly-corrupt writer dropped first
+      * (the [[read]] discipline — callers like resizeImages quarantine
+      * per row, so a writer left in the pool after a mid-encode throw
+      * would be reused for every later row in the partition).
+      */
     def write(fmt: String, img: java.awt.image.BufferedImage): Array[Byte] = {
       var w = writers.get(fmt)
       if (w == null) {
@@ -131,6 +141,7 @@ object Multimodal {
       bos.reset()
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       try { w.setOutput(ios); w.write(img) }
+      catch { case e: Throwable => dropWriter(fmt); throw e }
       finally { try w.setOutput(null) catch { case _: Throwable => () }; ios.close() }
       // MemoryCacheImageOutputStream flushes on close(); toByteArray after
       bos.toByteArray
@@ -156,7 +167,8 @@ object Multimodal {
           f += 1
         }
         w.endWriteSequence()
-      } finally { try w.setOutput(null) catch { case _: Throwable => () }; ios.close() }
+      } catch { case e: Throwable => dropWriter("gif"); throw e }
+      finally { try w.setOutput(null) catch { case _: Throwable => () }; ios.close() }
       bos.toByteArray
     }
   }
@@ -603,11 +615,11 @@ object Multimodal {
     * payload bytes never shuffle (the hash is 8 bytes).
     */
   def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
-      batchSize: Int = 256): DataFrame =
+      batchSize: Int = 256, budgetPairs: Long = Long.MaxValue): DataFrame =
     Dedup.hammingPairs64(
       imageDHash(media, batchSize).filter(col("ok"))
         .select(col("media_id").as("id"), col("dhash").as("sig")),
-      maxHamming)
+      maxHamming, budgetPairs)
 
   /** Crawl-cadence image near-dup: incoming media probed against a
     * STORED corpus by dHash through the cross-frame blocking
@@ -619,12 +631,13 @@ object Multimodal {
     * the brute-force cross join over SQL-recomputed hashes.
     */
   def imageNearDupIncremental(existingMedia: DataFrame, incomingMedia: DataFrame,
-      maxHamming: Int = 3, batchSize: Int = 256): DataFrame = {
+      maxHamming: Int = 3, batchSize: Int = 256,
+      budgetPairs: Long = Long.MaxValue): DataFrame = {
     def sigOf(media: DataFrame): DataFrame =
       imageDHash(media, batchSize).filter(col("ok"))
         .select(col("media_id").as("id"), col("dhash").as("sig"))
     Dedup.hammingPairsIncremental64(sigOf(existingMedia), sigOf(incomingMedia),
-      maxHamming)
+      maxHamming, budgetPairs)
   }
 
   // =========================================================================
@@ -971,11 +984,12 @@ object Multimodal {
     * join (blocked == all-pairs for ≤3 bits).
     */
   def audioNearDupPairs(media: DataFrame, windowFrames: Int,
-      maxHamming: Int = 3, batchSize: Int = 64): DataFrame =
+      maxHamming: Int = 3, batchSize: Int = 64,
+      budgetPairs: Long = Long.MaxValue): DataFrame =
     Dedup.hammingPairs64(
       audioFingerprint(media, windowFrames, batchSize).filter(col("ok"))
         .select(col("media_id").as("id"), col("afp").as("sig")),
-      maxHamming)
+      maxHamming, budgetPairs)
 
   /** [[audioNearDupPairs]] in the COUNT-FACTORED quotient form
     * ([[Dedup.hammingPairsFactored64]]) — the scale path when the

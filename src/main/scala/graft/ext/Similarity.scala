@@ -419,13 +419,14 @@ object Similarity {
     */
   final class PairBudgetExceededException(
       val estimatedCandidates: Long, val budgetPairs: Long,
-      val planes: Int, val tables: Int)
+      val planes: Int, val tables: Int, val note: String = "")
     extends IllegalStateException(
       s"pair enumeration refused: estimated $estimatedCandidates candidate " +
       s"pairs (planes=$planes, tables=$tables) exceed budgetPairs=" +
       s"$budgetPairs — raise the budget, raise the threshold, or route " +
       "through cell-pruned discovery (semanticDedupAuto) / top-k " +
-      "(lshSq8TopK) instead of exhaustive pair materialization")
+      "(lshSq8TopK) instead of exhaustive pair materialization" +
+      (if (note.isEmpty) "" else s". Note: $note"))
 
   /** EXACT candidate-pair volume of the bucketed generator at
     * `(numPlanes, tables)` — Σ over (table, bucket) of c·(c−1)/2, one

@@ -377,7 +377,12 @@ object Streams {
     * [[graft.ext.Dedup.dedupIndexCompact]] removes. Bootstrap: the first
     * non-empty batch builds the index; pre-existing plain stores should be
     * indexed once with `buildDedupIndex` (plus a `hashes/` backfill of
-    * `md5(text)`) before attaching the sink.
+    * `md5(text)`) before attaching the sink. Crash recovery: `sets/` and
+    * `hashes/` are gated INDEPENDENTLY (hashes/ lands last in a batch), so
+    * a crash that leaves the index half-written replays cleanly — the
+    * replayed batch's texts are already in the near-dup index and block
+    * themselves at jaccard 1, and the store overwrite is per-partition
+    * idempotent either way.
     */
   def indexedNearDedupIngestSink(
       df: DataFrame,
@@ -399,6 +404,12 @@ object Streams {
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
         val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sets"))
+        // gated SEPARATELY from sets/: hashes/ is written LAST in the
+        // batch, so a crash between the index build and the hashes append
+        // leaves sets/ present with hashes/ missing — keying the exact
+        // anti-join on sets/ would make the replay throw PATH_NOT_FOUND
+        // forever (the batch would wedge, contradicting replay-idempotence)
+        val hasHashes = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/hashes"))
         // one survivor per distinct text, chosen deterministically (min id):
         // at-least-once sources repeat rows, and two batch rows with the
         // same text are exact dups of each other
@@ -408,7 +419,7 @@ object Streams {
           .agg(min_by(struct(b.columns.map(col): _*), col(idCol)).as("__r"))
           .select(col("__ch"), col("__r.*"))
         val exactKept =
-          if (!hasIndex) hashed
+          if (!hasHashes) hashed
           else hashed.join(
             spark.read.parquet(s"$indexDir/hashes").select(col("ch").as("__ch")),
             Seq("__ch"), "left_anti")
