@@ -2834,6 +2834,32 @@ object SparkEntry {
         .withColumn("keep", col("media_id") === col("rep"))
     }),
 
+    // ---- Perceptual VIDEO signature: per-frame dHash over decoded
+    // patterned-GIF frames, folded by per-bit temporal majority. Every
+    // doc_id pair (2k, 2k+1) is the SAME frame sequence encoded with a
+    // straight vs reversed palette — byte-distinct containers, identical
+    // decoded rasters. The oracle recomputes ALL 64 BITS from the
+    // synthesis spec in SQL — a value-level differential over container
+    // walk → frame decode → resample → luma → gradient → majority.
+    "q220_video_signature" -> ((s, dir) => {
+      Multimodal.videoSignature(
+        Multimodal.synthesizePatternGifs(videoSpec(t(s, dir, "documents"))))
+        .select(col("media_id").as("doc_id"), col("vsig"),
+          col("n_frames"), col("ok").as("decode_ok"))
+    }),
+
+    // ---- Video near-dup pairs within hamming ≤ 3 of the majority
+    // signature — the FOURTH signature family on the ONE hammingPairs64
+    // blocking (text SimHash, image dHash, audio fingerprint, video
+    // majority), completing the perceptual triad with a real blocked
+    // join. Brute-force all-pairs oracle, like q211/q213: for ≤3 bits
+    // the pigeonhole-blocked plan must equal all-pairs exactly.
+    "q221_video_neardup" -> ((s, dir) => {
+      Multimodal.videoNearDupPairs(
+        Multimodal.synthesizePatternGifs(videoSpec(t(s, dir, "documents"))),
+        maxHamming = 3, budgetPairs = 10000000000L)
+    }),
+
     // ---- q216 compaction witness: a REPLAYED ingest appends duplicate
     // rows; compaction dedupes and re-clusters the buckets, and the
     // probe is row-identical before/after. Symmetric diff, WHERE FALSE
@@ -2891,6 +2917,22 @@ object SparkEntry {
       (lit(16) + pmod(expr("doc_id DIV 2") * 7, lit(24))).cast("int").as("height"),
       (pmod(col("doc_id"), lit(2)) === 1).as("alpha"),
       expr("doc_id DIV 2").cast("long").as("seed"))
+
+  /** Shared fixture spec for the perceptual VIDEO family (q220/q221):
+    * [[dhashSpec]]'s dimensions, 5-10 patterned frames, and consecutive
+    * doc_id pairs (2k, 2k+1) sharing seed/geometry but differing in
+    * `inverted` — the same frame sequence encoded straight vs
+    * reversed-palette, byte-distinct containers with identical decoded
+    * rasters.
+    */
+  private def videoSpec(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      (lit(16) + pmod(expr("doc_id DIV 2"), lit(32))).cast("int").as("width"),
+      (lit(16) + pmod(expr("doc_id DIV 2") * 7, lit(24))).cast("int").as("height"),
+      (lit(5) + pmod(expr("doc_id DIV 2") * 13, lit(6))).cast("int").as("n_frames"),
+      expr("doc_id DIV 2").cast("long").as("seed"),
+      (pmod(col("doc_id"), lit(2)) === 1).as("inverted"))
 
   /** Deterministic per-SF location of the q200/q201 index build (under the
     * JVM tmpdir, keyed by the sf dir's basename so replicas don't collide;
@@ -5056,6 +5098,94 @@ object SparkEntry {
                 ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT)
             FROM bits b WHERE b.doc_id = d.doc_id), 0) AS BIGINT) AS h
         FROM documents d)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+      FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h, b.h)) <= 3""",
+
+    // q220: the full 64-bit VIDEO majority signature recomputed from the
+    // synthesis spec in SQL — per-frame pixel v in the mod-2^24-reduced
+    // form (the q210 convention), 9×8 grid, luma, per-frame gradient
+    // bits, then PER-BIT MAJORITY across frames (2·count > n_frames;
+    // ties clear), summed as powers of two (bit 63 as the
+    // two's-complement constant)
+    "q220_video_signature" -> s"""
+      WITH spec AS (
+        SELECT doc_id, doc_id // 2 AS seed,
+               16 + (doc_id // 2) % 32 AS w,
+               16 + ((doc_id // 2) * 7) % 24 AS h,
+               5 + ((doc_id // 2) * 13) % 6 AS nf
+        FROM documents),
+      g AS (
+        SELECT doc_id, nf, f, ty, tx,
+          (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+            + 114 * (v & 255)) // 1000 AS gray
+        FROM (
+          SELECT doc_id, nf, f.f AS f, t.ty AS ty, x.tx AS tx,
+            ((1099511628211 % 16777216) * (seed % 16777216)
+              + f.f * 7368787
+              + ((t.ty * h) // 8) * w
+              + ((x.tx * w) // 9)) % 16777216 AS v
+          FROM spec, range(10) f(f), range(8) t(ty), range(9) x(tx)
+          WHERE f.f < nf)),
+      bits AS (
+        SELECT a.doc_id, a.f, a.ty * 8 + a.tx AS k
+        FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.f = b.f
+          AND a.ty = b.ty AND b.tx = a.tx + 1
+        WHERE a.tx < 8 AND a.gray < b.gray),
+      maj AS (
+        SELECT c.doc_id, c.k
+        FROM (SELECT doc_id, k, COUNT(*) AS cnt FROM bits GROUP BY doc_id, k) c
+          JOIN spec s ON c.doc_id = s.doc_id
+        WHERE 2 * c.cnt > s.nf),
+      hashes AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN k = 63
+            THEN -9223372036854775807 - 1
+            ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT) AS vs
+        FROM maj GROUP BY doc_id)
+      SELECT s.doc_id, CAST(COALESCE(h.vs, 0) AS BIGINT) AS vsig,
+             CAST(s.nf AS INT) AS n_frames, TRUE AS decode_ok
+      FROM spec s LEFT JOIN hashes h USING (doc_id)""",
+
+    // q221: BRUTE-FORCE all-pairs hamming join over the SQL-recomputed
+    // video majority signatures — the pigeonhole-blocked Spark plan must
+    // equal it exactly (the q211 check, fourth signature family)
+    "q221_video_neardup" -> s"""
+      WITH spec AS (
+        SELECT doc_id, doc_id // 2 AS seed,
+               16 + (doc_id // 2) % 32 AS w,
+               16 + ((doc_id // 2) * 7) % 24 AS h,
+               5 + ((doc_id // 2) * 13) % 6 AS nf
+        FROM documents),
+      g AS (
+        SELECT doc_id, nf, f, ty, tx,
+          (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+            + 114 * (v & 255)) // 1000 AS gray
+        FROM (
+          SELECT doc_id, nf, f.f AS f, t.ty AS ty, x.tx AS tx,
+            ((1099511628211 % 16777216) * (seed % 16777216)
+              + f.f * 7368787
+              + ((t.ty * h) // 8) * w
+              + ((x.tx * w) // 9)) % 16777216 AS v
+          FROM spec, range(10) f(f), range(8) t(ty), range(9) x(tx)
+          WHERE f.f < nf)),
+      bits AS (
+        SELECT a.doc_id, a.f, a.ty * 8 + a.tx AS k
+        FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.f = b.f
+          AND a.ty = b.ty AND b.tx = a.tx + 1
+        WHERE a.tx < 8 AND a.gray < b.gray),
+      maj AS (
+        SELECT c.doc_id, c.k
+        FROM (SELECT doc_id, k, COUNT(*) AS cnt FROM bits GROUP BY doc_id, k) c
+          JOIN spec s ON c.doc_id = s.doc_id
+        WHERE 2 * c.cnt > s.nf),
+      hashes AS (
+        SELECT s.doc_id, CAST(COALESCE((
+            SELECT CAST(SUM(CASE WHEN k = 63
+                THEN -9223372036854775807 - 1
+                ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT)
+            FROM maj m WHERE m.doc_id = s.doc_id), 0) AS BIGINT) AS h
+        FROM spec s)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
       FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id

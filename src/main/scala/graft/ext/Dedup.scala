@@ -314,6 +314,19 @@ object Dedup {
     * edge, stability forces rep(u) <= rep(v) and rep(v) <= rep(u)) — the
     * accelerator changes the round count, never the converged output.
     * `nodes` supplies isolated documents (components of size 1).
+    *
+    * SPARSE-GRAPH SHAPE: only nodes incident to a pair can ever leave
+    * `rep = id`, so the iteration runs over the TOUCHED node set (edge
+    * endpoints ∩ nodes) and isolated nodes come back as `rep = id` via
+    * ONE anti-join at the end. Near-dup pair graphs are tiny next to the
+    * corpus (q219's image graph: ~half the ids after exact-dup collapse,
+    * most corpora far less), and the first-draft full-corpus labels frame
+    * paid a corpus-scale join + checkpoint EVERY round — the fixed
+    * per-round floor that dominated q219's sf1 cost (20.3 s, mostly
+    * round overhead on a small pair set). Endpoints outside `nodes` are
+    * excluded from the touched set, preserving the original contract
+    * that foreign edge endpoints neither appear in the output nor
+    * propagate labels.
     */
   def connectedComponents(
       nodes: DataFrame,
@@ -328,8 +341,11 @@ object Dedup {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id")).withColumn("rep", col("id"))
+    val nodeIds = nodes.select(col(idCol).as("id"))
+    val touched = sym.select(col("src").as("id")).distinct()
+      .join(nodeIds, Seq("id"), "left_semi")
       .localCheckpoint()
+    var labels = touched.select(col("id"), col("id").as("rep"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -363,7 +379,11 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"connectedComponents: NOT converged after $maxIter iterations; " +
           "labels may be intermediate. Raise maxIter (diameter exceeds it).")
-    labels.select(col("id").as(idCol), col("rep"))
+    // isolated nodes never iterate: one anti-join, rep = id
+    val isolated = nodeIds.join(touched, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("rep"))
+    labels.select(col("id"), col("rep")).unionByName(isolated)
+      .select(col("id").as(idCol), col("rep"))
   }
 
   /** Leakage-free train/val/test split: near-duplicate documents must land
@@ -1339,13 +1359,49 @@ object Dedup {
     * three index reads instead of a corpus recompute. The candidate join
     * ships only (skey, band, bucket) rows; the full sets are fetched BY
     * SKEY for the ≤ candidate-count verify joins.
+    *
+    * REGIME DISPATCH (measured, tools/IndexBenefit at the 10× replica):
+    * the probe wins at crawl cadence (0.1%-of-corpus batch: 4.4× faster
+    * than recompute — candidates touch few corpus sets, so the verify
+    * decodes a sliver of `sets/`) but LOSES at bulk cadence (10% batch:
+    * 3.9× SLOWER — candidates touch nearly every corpus set and decoding
+    * corpus-scale `array<long>` shingle parquet costs more than
+    * re-shingling the corpus text does). Pass the corpus frame as
+    * `corpusForBulk` and the call pre-flights the batch/corpus doc-count
+    * ratio (one count of the incoming frame + one slim `members/` scan),
+    * routing batches above `bulkDispatchRatio` to the
+    * [[minhashLshPairsIncremental]] recompute — output row-identical
+    * either way (q205's invariant), choice logged. With the default
+    * `corpusForBulk = None` no dispatch (and no extra pre-flight job)
+    * happens — the streaming sinks call at crawl cadence every batch and
+    * must not pay a members-scan per micro-batch.
     */
   def minhashLshPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, incoming: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      verifyThreshold: Double = 0.7): DataFrame = {
+      verifyThreshold: Double = 0.7,
+      corpusForBulk: Option[DataFrame] = None,
+      bulkDispatchRatio: Double = 0.02): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(spark)
+    val bulkRoute: Option[DataFrame] = corpusForBulk.flatMap { corpus =>
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      val incomingDocs = incoming.count()
+      val indexDocs = spark.read.parquet(s"$indexDir/members").count()
+      if (incomingDocs > bulkDispatchRatio * indexDocs) {
+        log.info(s"dedup-index dispatch: BULK batch ($incomingDocs docs vs " +
+          s"$indexDocs indexed, ratio > $bulkDispatchRatio) — routing to " +
+          "direct recompute (minhashLshPairsIncremental); the index probe " +
+          "is measured slower in this regime")
+        Some(minhashLshPairsIncremental(corpus, incoming, idCol, textCol,
+          n, numHashes, bands, verifyThreshold))
+      } else {
+        log.info(s"dedup-index dispatch: crawl-cadence batch ($incomingDocs " +
+          s"docs vs $indexDocs indexed) — probing the persisted index")
+        None
+      }
+    }
+    if (bulkRoute.isDefined) return bulkRoute.get
     val idxBands = spark.read.parquet(s"$indexDir/bands")
       .withColumnsRenamed(Map("skey" -> "skey_e"))
     val idxSets = spark.read.parquet(s"$indexDir/sets")

@@ -536,6 +536,40 @@ object Multimodal {
     }(enc)
   }
 
+  /** The raster→64-bit dHash kernel shared by [[imageDHash]] (one still
+    * per payload) and [[videoSignature]] (one hash per decoded FRAME):
+    * nearest-neighbor 9×8 luma grid, integer luma, horizontal-gradient
+    * bit-pack. `gray` is an 8×9 caller-owned scratch (reused across a
+    * partition — no allocation per frame).
+    */
+  private def dhash64(img: java.awt.image.BufferedImage,
+      gray: Array[Array[Int]]): Long = {
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    var hash = 0L
+    var ty = 0
+    while (ty < 8) {
+      val sy = (ty.toLong * sh / 8).toInt
+      var tx = 0
+      while (tx < 9) {
+        val rgb = img.getRGB((tx.toLong * sw / 9).toInt, sy)
+        gray(ty)(tx) = (299 * ((rgb >> 16) & 0xff) +
+          587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+        tx += 1
+      }
+      ty += 1
+    }
+    ty = 0
+    while (ty < 8) {
+      var tx = 0
+      while (tx < 8) {
+        if (gray(ty)(tx) < gray(ty)(tx + 1)) hash |= 1L << (ty * 8 + tx)
+        tx += 1
+      }
+      ty += 1
+    }
+    hash
+  }
+
   /** 64-bit difference hash (dHash) per image — the standard perceptual
     * near-dup signature for image corpora: decode, nearest-neighbor
     * downsample to a 9×8 luma grid (the SAME integer source-pixel
@@ -572,28 +606,7 @@ object Multimodal {
           if (bytes != null) try {
             val img = codecs.read(bytes)
             if (img != null) {
-              val (sw, sh) = (img.getWidth, img.getHeight)
-              var ty = 0
-              while (ty < 8) {
-                val sy = (ty.toLong * sh / 8).toInt
-                var tx = 0
-                while (tx < 9) {
-                  val rgb = img.getRGB((tx.toLong * sw / 9).toInt, sy)
-                  gray(ty)(tx) = (299 * ((rgb >> 16) & 0xff) +
-                    587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
-                  tx += 1
-                }
-                ty += 1
-              }
-              ty = 0
-              while (ty < 8) {
-                var tx = 0
-                while (tx < 8) {
-                  if (gray(ty)(tx) < gray(ty)(tx + 1)) hash |= 1L << (ty * 8 + tx)
-                  tx += 1
-                }
-                ty += 1
-              }
+              hash = dhash64(img, gray)
               ok = true
             }
             // NonFatal (see decodeImages): quarantine any reader exception
@@ -1194,6 +1207,186 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // =========================================================================
+  // Patterned video: the perceptual near-dup fixture for the VIDEO family.
+  // The flat-gray GIFs above are the TEMPORAL fixture (black-frame scene
+  // structure for q179-q181) but are signature-degenerate (193 distinct
+  // gray patterns over 25k seeds — useless for near-dup blocking); these
+  // frames carry per-PIXEL content so per-frame dHashes have full
+  // 64-bit entropy, completing the perceptual triad (text SimHash, image
+  // dHash, audio fingerprint, video signature) on the ONE hammingPairs64
+  // blocking.
+  // =========================================================================
+
+  /** Per-pixel gray shared by the patterned-GIF synthesis and its DuckDB
+    * oracle — the image family's [[pngImage]] mix applied per frame, in
+    * the mod-2^24-reduced form both engines evaluate without overflow:
+    *
+    * {{{ v(seed,f,y,x) = (435·(seed mod 2^24) + f·7368787 + y·width + x) mod 2^24
+    *     gray = (299·((v>>16)&255) + 587·((v>>8)&255) + 114·(v&255)) / 1000 }}}
+    *
+    * where 435 = 1099511628211 mod 2^24 (the FNV seed mix — reduced
+    * operands keep DuckDB's checked signed-64 arithmetic exact at any
+    * seed) and 7368787 is a prime with a rich low-24-bit footprint so
+    * consecutive frames differ everywhere, not by a uniform shift. The
+    * luma fold of three v-bytes makes gray nonlinear in (seed, f, y, x);
+    * measured over the sf0.1 seed range the per-video majority signature
+    * is near-unique (no q1015-style degeneracy). Pure non-negative
+    * integer arithmetic; DuckDB reproduces it with `%` and `//`.
+    */
+  def patternFrameGray(seed: Long, f: Int, y: Int, x: Int, width: Int): Int = {
+    val v = ((1099511628211L % 16777216L) * (seed % 16777216L) +
+      f.toLong * 7368787L + y.toLong * width + x) % 16777216L
+    ((299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) + 114 * (v & 0xff)) / 1000).toInt
+  }
+
+  /** Reversed 256-gray palette: entry i decodes to gray 255−i. A frame
+    * written with index 255−gray against THIS palette decodes to the
+    * same pixels as index gray against [[gifGrayPalette]] — the video
+    * twin of the RGBA-vs-RGB image re-encode: byte-distinct payloads
+    * (different color table AND different LZW index stream), identical
+    * decoded rasters, so the video signatures match at hamming 0.
+    */
+  private lazy val gifGrayPaletteInv: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(i => (255 - i).toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** One patterned frame (straight or inverted-palette encoding — the
+    * decoded pixels are identical either way).
+    */
+  private def patternGifFrame(width: Int, height: Int, seed: Long, f: Int,
+      inverted: Boolean): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+      if (inverted) gifGrayPaletteInv else gifGrayPalette)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = patternFrameGray(seed, f, y, x, width)
+        raster.setSample(x, y, 0, if (inverted) 255 - g else g)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Synthesize patterned animated GIFs from a spec frame `(media_id
+    * long, width int, height int, n_frames int, seed long, inverted
+    * boolean)` — same mapPartitions discipline as [[synthesizeGifs]]:
+    * payload bytes are born in the executor partition and never shuffle.
+    * Rows sharing `seed` but differing in `inverted` are the SAME frame
+    * sequence under two byte-distinct encodings (straight vs reversed
+    * palette), the re-encode near-duplicate class [[videoSignature]]
+    * exists to catch.
+    */
+  def synthesizePatternGifs(spec: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val (idI, wI, hI, nI) = (spec.schema.fieldIndex("media_id"),
+      spec.schema.fieldIndex("width"), spec.schema.fieldIndex("height"),
+      spec.schema.fieldIndex("n_frames"))
+    val seedI = spec.schema.fieldIndex("seed")
+    val invI = spec.schema.fieldIndex("inverted")
+    fanOut(spec).mapPartitions { rows =>
+      val codecs = new ImageCodecs
+      rows.map { r =>
+        require(r.getInt(wI) > 0 && r.getInt(hI) > 0 && r.getInt(nI) > 0,
+          "positive GIF geometry")
+        val (w, h) = (r.getInt(wI), r.getInt(hI))
+        val (seed, inv) = (r.getLong(seedI), r.getBoolean(invI))
+        val bytes = codecs.writeGifSequence(r.getInt(nI))(f =>
+          patternGifFrame(w, h, seed, f, inv))
+        Row(r.getLong(idI), bytes,
+          Row("gif", Integer.valueOf(w), Integer.valueOf(h),
+            Integer.valueOf(r.getInt(nI))))
+      }
+    }(enc)
+  }
+
+  /** 64-bit perceptual VIDEO signature: per-frame [[dhash64]] over the
+    * decoded GIF frames, folded by PER-BIT MAJORITY (bit k of the
+    * signature is set iff more than half the frames set bit k of their
+    * frame dHash) — the temporal analog of SimHash's coordinate-wise
+    * majority, robust to a minority of differing frames (an inserted
+    * title card, a re-rendered end card) while staying a pure integer
+    * function of the decoded rasters, so q220's DuckDB oracle recomputes
+    * ALL 64 BITS from the synthesis spec: a value-level differential
+    * over container walk → per-frame decode → 9×8 resample → luma →
+    * gradient bits → temporal majority. Ties (2·count == n_frames) clear
+    * the bit in both engines. Undecodable / empty payloads quarantine as
+    * (vsig=0, n_frames=0, ok=false) — the [[decodeImages]] convention.
+    * Scale shape: one codec pass, 8 bytes out per video; payloads never
+    * shuffle, frames never become rows.
+    */
+  def videoSignature(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("vsig", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("ok", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mediaIdx = media.schema.fieldIndex("media")
+    fanOut(media).mapPartitions { rows =>
+      val codecs = new ImageCodecs
+      val gray = Array.ofDim[Int](8, 9)
+      val cnt = new Array[Int](64)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](mediaIdx)
+          var vsig = 0L
+          var nf = 0
+          var ok = false
+          if (bytes != null) try codecs.withGif(bytes) { rd =>
+            val n = rd.getNumImages(/* allowSearch = */ true)
+            if (n >= 1) {
+              java.util.Arrays.fill(cnt, 0)
+              var f = 0
+              while (f < n) {
+                val h = dhash64(rd.read(f), gray)
+                var k = 0
+                while (k < 64) {
+                  if (((h >>> k) & 1L) == 1L) cnt(k) += 1
+                  k += 1
+                }
+                f += 1
+              }
+              var k = 0
+              while (k < 64) {
+                if (2 * cnt(k) > n) vsig |= 1L << k
+                k += 1
+              }
+              nf = n
+              ok = true
+            }
+          } catch { case scala.util.control.NonFatal(_) =>
+            vsig = 0L; nf = 0; ok = false
+          }
+          Row(r.getLong(idIdx), if (ok) vsig else 0L, nf, ok)
+        }
+      }
+    }(enc)
+  }
+
+  /** Video near-duplicate pairs within `maxHamming` signature bits:
+    * [[videoSignature]] majorities (quarantined rows excluded) through
+    * the SAME 16-bit-chunk pigeonhole blocking as text SimHash, image
+    * dHash and audio fingerprints ([[Dedup.hammingPairs64]]) — the
+    * fourth signature family on the one blocking definition. q221's
+    * oracle is the brute-force all-pairs join (blocked == all-pairs for
+    * ≤3 bits).
+    */
+  def videoNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+      batchSize: Int = 64, budgetPairs: Long = Long.MaxValue): DataFrame =
+    Dedup.hammingPairs64(
+      videoSignature(media, batchSize).filter(col("ok"))
+        .select(col("media_id").as("id"), col("vsig").as("sig")),
+      maxHamming, budgetPairs)
 
   /** The batched inference contract for payload → embedding extraction —
     * the production shape of a model forward pass: one call per batch of

@@ -593,4 +593,47 @@ class DedupSpec extends SparkTestBase {
     // have none
     assert(factored == Map(3L -> 4L, 0L -> 2L))
   }
+
+  test("hammingPairs64 budget prices the candidate STREAM: a multi-chunk pair counts once per shared chunk") {
+    // the two sigs differ ONLY in chunk 0 (low 16 bits) -> they share
+    // chunks 1, 2, 3, so the ONE distinct qualifying pair rides the join
+    // stream three times and the pre-flight counts all three (the safe,
+    // stream-priced direction — refusal can fire up to 4x before the
+    // distinct-pair volume alone would cross the budget)
+    val sig = Seq((1L, 0x1111222233330000L), (2L, 0x1111222233330001L))
+      .toDF("id", "sig")
+    val ex = intercept[graft.ext.Similarity.PairBudgetExceededException] {
+      Dedup.hammingPairs64(sig, maxHamming = 3, budgetPairs = 2L)
+    }
+    assert(ex.estimatedCandidates == 3L, "1 pair x 3 shared chunks")
+    assert(ex.getMessage.contains("STREAM"))
+    // the distinct output is still the single pair once the budget admits
+    // the 3-candidate stream
+    assert(rows(Dedup.hammingPairs64(sig, 3, budgetPairs = 3L)) ==
+      Set(Seq[Any](1L, 2L, 1)))
+  }
+
+  test("dedup-index probe auto-dispatch: bulk batches route to recompute, both regimes row-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_disp").toString
+    val corpus = docs.filter(col("doc_id") <= 4)
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", dir,
+      n = 1, numHashes = 16, bands = 4)
+    val batch = Seq((10L, "the quick brown fox"), (11L, "brand new content"))
+      .toDF("doc_id", "text")
+    val direct = rows(Dedup.minhashLshPairsIncremental(corpus, batch,
+      "doc_id", "text", n = 1, numHashes = 16, bands = 4, verifyThreshold = 0.7))
+    // no corpus passed: plain probe (the streaming-sink path, no dispatch)
+    val probe = rows(Dedup.minhashLshPairsAgainstIndex(spark, dir, batch,
+      "doc_id", "text", n = 1, numHashes = 16, bands = 4, verifyThreshold = 0.7))
+    // ratio 0 forces the BULK route (every non-empty batch is "bulk")
+    val viaBulk = rows(Dedup.minhashLshPairsAgainstIndex(spark, dir, batch,
+      "doc_id", "text", n = 1, numHashes = 16, bands = 4, verifyThreshold = 0.7,
+      corpusForBulk = Some(corpus), bulkDispatchRatio = 0.0))
+    // huge ratio forces the PROBE route with dispatch armed
+    val viaProbe = rows(Dedup.minhashLshPairsAgainstIndex(spark, dir, batch,
+      "doc_id", "text", n = 1, numHashes = 16, bands = 4, verifyThreshold = 0.7,
+      corpusForBulk = Some(corpus), bulkDispatchRatio = 1e9))
+    assert(direct.nonEmpty && direct == probe && direct == viaBulk &&
+      direct == viaProbe)
+  }
 }

@@ -379,6 +379,61 @@ class RelationalSpec extends SparkTestBase {
       .select("decoded.ok").as[Boolean].head())
   }
 
+  test("multimodal: video majority signature — palette re-encodes collide; blocked pairs == brute force") {
+    // 20/21: the SAME patterned frame sequence (seed 5) encoded with the
+    // straight vs reversed palette — byte-distinct payloads, identical
+    // decoded rasters; 22: a different seed; 23: garbage bytes
+    val spec = Seq(
+      (20L, 20, 16, 7, 5L, false), (21L, 20, 16, 7, 5L, true),
+      (22L, 20, 16, 7, 6L, false)
+    ).toDF("media_id", "width", "height", "n_frames", "seed", "inverted")
+    val media = Multimodal.synthesizePatternGifs(spec)
+      .unionByName(Seq((23L, Array[Byte](9, 9, 9))).toDF("media_id", "media")
+        .withColumn("meta", struct(lit("gif").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("n_frames"))))
+    val sigs = Multimodal.videoSignature(media, batchSize = 2)
+      .as[(Long, Long, Int, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    // the palette re-encode pair collides on the video signature…
+    assert(sigs(20L)._3 && sigs(21L)._3 && sigs(20L)._1 == sigs(21L)._1)
+    assert(sigs(20L)._2 == 7)
+    // …while byte-level md5 does NOT match (different palette + index stream)
+    val md5s = Multimodal.byteStats(media.filter(col("media_id").isin(20L, 21L)))
+      .select("payload_md5").as[String].collect()
+    assert(md5s.distinct.length == 2)
+    // garbage quarantines, never throws
+    assert(sigs(23L) == ((0L, 0, false)))
+    // signatures have entropy: a different seed gives a different majority
+    assert(sigs(20L)._1 != sigs(22L)._1)
+    // full value check: recompute from the shared formula — per-frame 9×8
+    // grid dHash, then per-bit temporal majority (a value-level check of
+    // container walk → decode → resample → luma → gradient → majority)
+    def expectedVsig(seed: Long, w: Int, h: Int, n: Int): Long = {
+      val cnt = new Array[Int](64)
+      for (f <- 0 until n) {
+        val gray = Array.tabulate(8, 9)((ty, tx) =>
+          Multimodal.patternFrameGray(seed, f, ty * h / 8, tx * w / 9, w))
+        for (ty <- 0 until 8; tx <- 0 until 8)
+          if (gray(ty)(tx) < gray(ty)(tx + 1)) cnt(ty * 8 + tx) += 1
+      }
+      (0 until 64).foldLeft(0L)((acc, k) =>
+        if (2 * cnt(k) > n) acc | (1L << k) else acc)
+    }
+    assert(sigs(20L)._1 == expectedVsig(5L, 20, 16, 7))
+    assert(sigs(22L)._1 == expectedVsig(6L, 20, 16, 7))
+    // pigeonhole-blocked pairs equal the brute-force all-pairs join
+    val pairs = Multimodal.videoNearDupPairs(media, maxHamming = 3)
+    val sig = Multimodal.videoSignature(media).filter(col("ok"))
+      .select(col("media_id").as("id"), col("vsig").as("sig"))
+    val brute = sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    assert(rows(pairs) == rows(brute))
+    assert(rows(pairs).contains(Seq(20L, 21L, 0)))
+  }
+
   test("multimodal: extractFeaturesBatched is deterministic and feeds similarity ops") {
     val media = Multimodal.asMediaTable(
       Seq((1L, "abcdef"), (2L, "abcdef"), (3L, "zzzzzz")).toDF("id", "p"), "id", "p", "img")
