@@ -2818,19 +2818,24 @@ object SparkEntry {
     }),
 
     // ---- END-TO-END image dedup under re-encodes: dHash once → blocked
-    // near-dup pairs → connected components (pointer doubling) → keep
-    // one representative per cluster. Every (2k, 2k+1) re-encode pair
-    // collapses to one kept image; hamming-3 chains merge transitively,
-    // which is why the oracle needs a RECURSIVE closure, not q61's
-    // fingerprint partition. Fully oracle-checked end to end.
+    // near-dup pairs → connected components → keep one representative
+    // per cluster. Every (2k, 2k+1) re-encode pair collapses to one kept
+    // image; hamming-3 chains merge transitively, which is why the
+    // oracle needs a RECURSIVE closure, not q61's fingerprint partition.
+    // CC runs on the distinct-signature CLASS quotient
+    // (signatureComponents): the expanded pair multigraph at the 100×
+    // replica is 17.3 M rows (identical-hash classes contribute C(k,2)
+    // pairs each) while the class graph CC joins are ~10⁴ rows — exact
+    // same output, measured 114 s → seconds at sf10. Fully
+    // oracle-checked end to end.
     "q219_image_dedup_materialize" -> ((s, dir) => {
       val sig = Multimodal.imageDHash(
           Multimodal.synthesizePngs(dhashSpec(t(s, dir, "documents"))))
-        .filter(col("ok")).localCheckpoint()
-      val pairs = Dedup.hammingPairs64(
-        sig.select(col("media_id").as("id"), col("dhash").as("sig")),
-        maxHamming = 3, budgetPairs = 10000000000L)
-      Dedup.connectedComponents(sig, "media_id", pairs)
+        .filter(col("ok"))
+      Dedup.signatureComponents(
+          sig.select(col("media_id").as("id"), col("dhash").as("sig")),
+          maxHamming = 3, budgetPairs = 10000000000L)
+        .select(col("id").as("media_id"), col("rep"))
         .withColumn("keep", col("media_id") === col("rep"))
     }),
 
@@ -5123,7 +5128,7 @@ object SparkEntry {
         FROM (
           SELECT doc_id, nf, f.f AS f, t.ty AS ty, x.tx AS tx,
             ((1099511628211 % 16777216) * (seed % 16777216)
-              + f.f * 7368787
+              + CASE WHEN t.ty = 5 THEN f.f * 7368787 ELSE 0 END
               + ((t.ty * h) // 8) * w
               + ((x.tx * w) // 9)) % 16777216 AS v
           FROM spec, range(10) f(f), range(8) t(ty), range(9) x(tx)
@@ -5164,7 +5169,7 @@ object SparkEntry {
         FROM (
           SELECT doc_id, nf, f.f AS f, t.ty AS ty, x.tx AS tx,
             ((1099511628211 % 16777216) * (seed % 16777216)
-              + f.f * 7368787
+              + CASE WHEN t.ty = 5 THEN f.f * 7368787 ELSE 0 END
               + ((t.ty * h) // 8) * w
               + ((x.tx * w) // 9)) % 16777216 AS v
           FROM spec, range(10) f(f), range(8) t(ty), range(9) x(tx)

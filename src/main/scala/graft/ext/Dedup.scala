@@ -1304,6 +1304,39 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Connected components over a 64-bit signature frame `(id, sig)` by
+    * hamming ball — the EXACT quotient of [[hammingPairs64]] +
+    * [[connectedComponents]]: identical signatures collapse to one class
+    * (rep = min member id) BEFORE pair generation, CC runs on the
+    * class graph, and members expand back at the end. Equivalence: the
+    * expanded pair graph is precisely the blow-up of the class graph
+    * (hamming is a function of the signatures, so every member of class
+    * A pairs with every member of class B iff the classes are within
+    * `maxHamming`), components correspond one-to-one, and min-id reps
+    * agree (min over a cluster's classes of each class's min member =
+    * the cluster's global min). Cost: CC joins scale with CLASS-graph
+    * edges, not the C(k,2)-per-class expanded multigraph — at the 100×
+    * image replica the expanded graph is 17.3 M pairs while the class
+    * graph is ~10⁴ edges, which is the difference between ~25 s and
+    * sub-second per pointer-doubling round. Emits (id, rep).
+    */
+  def signatureComponents(sig: DataFrame, maxHamming: Int = 3,
+      budgetPairs: Long = Long.MaxValue, maxIter: Int = 20): DataFrame = {
+    // one pass over the (possibly codec-derived) signature frame serves
+    // class collapse, pair generation, and the final expansion join
+    val sigC = sig.localCheckpoint()
+    val classes = sigC.groupBy(col("sig")).agg(min(col("id")).as("cid"))
+      .localCheckpoint()
+    val classPairs = hammingPairs64(
+      classes.select(col("cid").as("id"), col("sig")), maxHamming, budgetPairs)
+    val comp = connectedComponents(
+      classes.select(col("cid").as("id")), "id", classPairs, maxIter)
+      .withColumnsRenamed(Map("id" -> "cid"))
+    sigC.join(classes, Seq("sig"))
+      .join(comp, Seq("cid"))
+      .select(col("id"), col("rep"))
+  }
+
   // --------------------------------------------------------------------------
   // Persisted MinHash dedup index: the materialized form of
   // [[minhashLshPairsIncremental]]'s existing side. Day-to-day dedup of a

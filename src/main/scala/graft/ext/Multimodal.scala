@@ -1223,21 +1223,32 @@ object Multimodal {
     * oracle — the image family's [[pngImage]] mix applied per frame, in
     * the mod-2^24-reduced form both engines evaluate without overflow:
     *
-    * {{{ v(seed,f,y,x) = (435·(seed mod 2^24) + f·7368787 + y·width + x) mod 2^24
+    * {{{ ticker(y) = f·7368787 if y == 5·height/8 else 0
+    *     v(seed,f,y,x) = (435·(seed mod 2^24) + ticker(y) + y·width + x) mod 2^24
     *     gray = (299·((v>>16)&255) + 587·((v>>8)&255) + 114·(v&255)) / 1000 }}}
     *
     * where 435 = 1099511628211 mod 2^24 (the FNV seed mix — reduced
     * operands keep DuckDB's checked signed-64 arithmetic exact at any
-    * seed) and 7368787 is a prime with a rich low-24-bit footprint so
-    * consecutive frames differ everywhere, not by a uniform shift. The
-    * luma fold of three v-bytes makes gray nonlinear in (seed, f, y, x);
-    * measured over the sf0.1 seed range the per-video majority signature
-    * is near-unique (no q1015-style degeneracy). Pure non-negative
-    * integer arithmetic; DuckDB reproduces it with `%` and `//`.
+    * seed). The content is STATIC per seed except one frame-varying
+    * "ticker" row — the row dHash grid row 5 samples — modeling real
+    * video structure (a shot's frames are near-identical; a ticker /
+    * timestamp band moves): per-frame dHashes agree on 56 bits and
+    * disagree on up to 8, so the temporal majority genuinely suppresses
+    * the moving band and keeps the stable content. A first-draft
+    * all-pixels-vary formula made frame hashes independent noise, the
+    * majority collapsed toward sparse signatures (14 k docs on vsig=0
+    * at the 100× replica — a quadratic near-dup class that pushed
+    * q221's blocked join to 1,394 s), and the blocking's 0-chunk
+    * buckets flooded; with the ticker form signatures carry 56
+    * seed-rich stable bits and classes stay near-singleton. Pure
+    * non-negative integer arithmetic; DuckDB reproduces it with `%`
+    * and `//`.
     */
-  def patternFrameGray(seed: Long, f: Int, y: Int, x: Int, width: Int): Int = {
+  def patternFrameGray(seed: Long, f: Int, y: Int, x: Int, width: Int,
+      height: Int): Int = {
+    val ticker = if (y == 5 * height / 8) f.toLong * 7368787L else 0L
     val v = ((1099511628211L % 16777216L) * (seed % 16777216L) +
-      f.toLong * 7368787L + y.toLong * width + x) % 16777216L
+      ticker + y.toLong * width + x) % 16777216L
     ((299 * ((v >> 16) & 0xff) + 587 * ((v >> 8) & 0xff) + 114 * (v & 0xff)) / 1000).toInt
   }
 
@@ -1266,7 +1277,7 @@ object Multimodal {
     while (y < height) {
       var x = 0
       while (x < width) {
-        val g = patternFrameGray(seed, f, y, x, width)
+        val g = patternFrameGray(seed, f, y, x, width, height)
         raster.setSample(x, y, 0, if (inverted) 255 - g else g)
         x += 1
       }

@@ -413,7 +413,7 @@ class RelationalSpec extends SparkTestBase {
       val cnt = new Array[Int](64)
       for (f <- 0 until n) {
         val gray = Array.tabulate(8, 9)((ty, tx) =>
-          Multimodal.patternFrameGray(seed, f, ty * h / 8, tx * w / 9, w))
+          Multimodal.patternFrameGray(seed, f, ty * h / 8, tx * w / 9, w, h))
         for (ty <- 0 until 8; tx <- 0 until 8)
           if (gray(ty)(tx) < gray(ty)(tx + 1)) cnt(ty * 8 + tx) += 1
       }
