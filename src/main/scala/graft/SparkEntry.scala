@@ -2865,6 +2865,22 @@ object SparkEntry {
         maxHamming = 3, budgetPairs = 10000000000L)
     }),
 
+    // ---- Crawl-cadence video dedup: the EVEN-id videos are the stored
+    // corpus (straight-palette encodes), the ODD-id batch arrives as
+    // reversed-palette re-encodes of the same frame sequences — every
+    // incoming video is a re-encode of a stored one, the "already
+    // crawled under another encode?" gate (q215's shape for the fourth
+    // family). Cross-frame blocking touches only shared chunk buckets;
+    // the store is never paired against itself. Brute-force cross-join
+    // oracle.
+    "q222_video_neardup_incremental" -> ((s, dir) => {
+      val media = Multimodal.synthesizePatternGifs(videoSpec(t(s, dir, "documents")))
+      Multimodal.videoNearDupIncremental(
+        media.filter(pmod(col("media_id"), lit(2)) === 0),
+        media.filter(pmod(col("media_id"), lit(2)) === 1),
+        maxHamming = 3, budgetPairs = 10000000000L)
+    }),
+
     // ---- q216 compaction witness: a REPLAYED ingest appends duplicate
     // rows; compaction dedupes and re-clusters the buckets, and the
     // probe is row-identical before/after. Symmetric diff, WHERE FALSE
@@ -5195,6 +5211,51 @@ object SparkEntry {
              CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
       FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.h, b.h)) <= 3""",
+
+    // q222: brute-force CROSS join (even store x odd batch) over the
+    // SQL-recomputed video majorities — the q215 shape for the fourth
+    // signature family
+    "q222_video_neardup_incremental" -> s"""
+      WITH spec AS (
+        SELECT doc_id, doc_id // 2 AS seed,
+               16 + (doc_id // 2) % 32 AS w,
+               16 + ((doc_id // 2) * 7) % 24 AS h,
+               5 + ((doc_id // 2) * 13) % 6 AS nf
+        FROM documents),
+      g AS (
+        SELECT doc_id, nf, f, ty, tx,
+          (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+            + 114 * (v & 255)) // 1000 AS gray
+        FROM (
+          SELECT doc_id, nf, f.f AS f, t.ty AS ty, x.tx AS tx,
+            ((1099511628211 % 16777216) * (seed % 16777216)
+              + CASE WHEN t.ty = 5 THEN f.f * 7368787 ELSE 0 END
+              + ((t.ty * h) // 8) * w
+              + ((x.tx * w) // 9)) % 16777216 AS v
+          FROM spec, range(10) f(f), range(8) t(ty), range(9) x(tx)
+          WHERE f.f < nf)),
+      bits AS (
+        SELECT a.doc_id, a.f, a.ty * 8 + a.tx AS k
+        FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.f = b.f
+          AND a.ty = b.ty AND b.tx = a.tx + 1
+        WHERE a.tx < 8 AND a.gray < b.gray),
+      maj AS (
+        SELECT c.doc_id, c.k
+        FROM (SELECT doc_id, k, COUNT(*) AS cnt FROM bits GROUP BY doc_id, k) c
+          JOIN spec s ON c.doc_id = s.doc_id
+        WHERE 2 * c.cnt > s.nf),
+      hashes AS (
+        SELECT s.doc_id, CAST(COALESCE((
+            SELECT CAST(SUM(CASE WHEN k = 63
+                THEN -9223372036854775807 - 1
+                ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT)
+            FROM maj m WHERE m.doc_id = s.doc_id), 0) AS BIGINT) AS h
+        FROM spec s)
+      SELECT e.doc_id AS existing_id, i.doc_id AS incoming_id,
+             CAST(bit_count(xor(e.h, i.h)) AS INT) AS hamming
+      FROM hashes e JOIN hashes i
+        ON e.doc_id % 2 = 0 AND i.doc_id % 2 = 1
+      WHERE bit_count(xor(e.h, i.h)) <= 3""",
 
     // q212: all 64 energy-delta bits recomputed from the wavSample
     // formula — per-window sum of |sample| (windowFrames=10), bit w =

@@ -1399,6 +1399,27 @@ object Multimodal {
         .select(col("media_id").as("id"), col("vsig").as("sig")),
       maxHamming, budgetPairs)
 
+  /** Crawl-cadence video near-dup: incoming videos probed against a
+    * STORED corpus by majority signature through the cross-frame
+    * blocking ([[Dedup.hammingPairsIncremental64]]) — O(|batch| +
+    * matched buckets), the store is never paired against itself; the
+    * "have we already crawled this video (under any re-encode)?" gate,
+    * completing the video family's lifecycle symmetry with images
+    * (q215) and the persisted signature index (q216-q218, which is
+    * signature-family-agnostic and serves video signatures unchanged).
+    * q222's oracle is the brute-force cross join over SQL-recomputed
+    * majorities.
+    */
+  def videoNearDupIncremental(existingMedia: DataFrame, incomingMedia: DataFrame,
+      maxHamming: Int = 3, batchSize: Int = 64,
+      budgetPairs: Long = Long.MaxValue): DataFrame = {
+    def sigOf(media: DataFrame): DataFrame =
+      videoSignature(media, batchSize).filter(col("ok"))
+        .select(col("media_id").as("id"), col("vsig").as("sig"))
+    Dedup.hammingPairsIncremental64(sigOf(existingMedia), sigOf(incomingMedia),
+      maxHamming, budgetPairs)
+  }
+
   /** The batched inference contract for payload → embedding extraction —
     * the production shape of a model forward pass: one call per batch of
     * payloads (a GPU/ONNX session wants batches, one session init per

@@ -32,6 +32,32 @@ class CompactionSpec extends SparkTestBase {
       "atomic swap must clean up its temp and backup dirs")
   }
 
+  test("index-compaction swap is backup-recoverable: stale _backup dirs are cleared, live never orphaned") {
+    val root = Files.createTempDirectory("graft_swapin").toString
+    val docs = Seq((1L, "the quick brown fox"), (2L, "lazy dogs sleep here"))
+      .toDF("doc_id", "text")
+    graft.ext.Dedup.buildDedupIndex(docs, "doc_id", "text", root,
+      n = 1, numHashes = 16, bands = 4)
+    def probe() = rows(graft.ext.Dedup.minhashLshPairsAgainstIndex(spark, root,
+      Seq((9L, "the quick brown fox")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 1, numHashes = 16, bands = 4, verifyThreshold = 0.9))
+    val before = probe()
+    assert(before.nonEmpty)
+    // simulate an earlier CRASHED swap: a stale sets_backup left behind
+    // (the crash window between rename-to-backup and backup delete)
+    val stale = new java.io.File(s"$root/sets_backup")
+    assert(stale.mkdir())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/sets_backup/junk.txt"), "stale")
+    graft.ext.Dedup.dedupIndexCompact(spark, root, targetPartitions = 1)
+    // compaction cleared the stale backup, swapped the fresh table in,
+    // left no _compacting or _backup leftovers, and the probe is unchanged
+    val leftovers = new java.io.File(root).listFiles()
+      .filter(f => f.getName.endsWith("_backup") || f.getName.endsWith("_compacting"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    assert(probe() == before)
+  }
+
   test("compact to a large target yields one file") {
     val dir = Files.createTempDirectory("graft_compact1").toString + "/t"
     (1 to 100).toDF("k").repartition(7).write.mode("overwrite").parquet(dir)

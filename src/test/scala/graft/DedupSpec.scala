@@ -594,6 +594,23 @@ class DedupSpec extends SparkTestBase {
     assert(factored == Map(3L -> 4L, 0L -> 2L))
   }
 
+  test("signatureComponents equals expanded hammingPairs64 + connectedComponents, reps are global minima") {
+    // classes {10,3,7} on sig a, {4,5} on b with hamming(a,b)=1 (one
+    // cluster of 5), and 6 isolated on a far signature
+    val a = 0x00f0L; val b = 0x00f1L; val far = 0x7a3c9e1205b4ffL
+    val sig = Seq((10L, a), (3L, a), (7L, a), (4L, b), (5L, b), (6L, far))
+      .toDF("id", "sig")
+    val expanded = Dedup.connectedComponents(
+      sig.select("id"), "id", Dedup.hammingPairs64(sig, maxHamming = 3))
+    val quotient = Dedup.signatureComponents(sig, maxHamming = 3)
+    assert(rows(quotient) == rows(expanded))
+    // the a∪b cluster's rep is the GLOBAL min member (3, which is not
+    // the min of its own class's pair list alone); isolated keeps itself
+    assert(rows(quotient) == Set[Seq[Any]](
+      Seq(10L, 3L), Seq(3L, 3L), Seq(7L, 3L), Seq(4L, 3L), Seq(5L, 3L),
+      Seq(6L, 6L)))
+  }
+
   test("hammingPairs64 budget prices the candidate STREAM: a multi-chunk pair counts once per shared chunk") {
     // the two sigs differ ONLY in chunk 0 (low 16 bits) -> they share
     // chunks 1, 2, 3, so the ONE distinct qualifying pair rides the join

@@ -285,6 +285,36 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("indexedNearDedupIngestSink recovers from a sets-present/hashes-missing bootstrap crash") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxcrash").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_idxcrash_cp").toString
+    val doc1 = "alpha beta gamma delta epsilon zeta eta theta iota"
+    // simulate the crash window: the bootstrap batch built sets/bands/
+    // members (buildDedupIndex) but died BEFORE the hashes/ append — the
+    // first-draft sink keyed the hashes read on sets/ existence and the
+    // replay wedged forever on PATH_NOT_FOUND
+    graft.ext.Dedup.buildDedupIndex(
+      Seq((1L, doc1)).toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", n = 1, numHashes = 64, bands = 16)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.indexedNearDedupIngestSink(
+      input.toDS().toDF("doc_id", "text"), s"$dir/t", s"$dir/idx",
+      "doc_id", "text", cp, n = 1, threshold = 0.7)
+    try {
+      // the replayed batch: its text is already in the near-dup index, so
+      // it blocks ITSELF at jaccard 1 (nothing lands in the store — the
+      // pre-crash attempt's store write is per-partition idempotent); a
+      // novel doc in the same batch must still be accepted
+      input.addData((1L, doc1), (9L, "p q r s t u v w x y"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/t")
+        .select("doc_id").as[Long].collect().toSet == Set(9L))
+      // and the hashes table exists again after the batch (written last)
+      assert(spark.read.parquet(s"$dir/idx/hashes").count() == 1)
+    } finally q.stop()
+  }
+
   test("indexedSemanticIngestSink gates against the persisted index; ingested vectors block later batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_idxsem").toString
