@@ -2896,6 +2896,74 @@ object SparkEntry {
       Dedup.signatureIndexCompact(s, idx)
       val after = Dedup.signatureIndexProbe(s, idx, odd)
       before.exceptAll(after).unionByName(after.exceptAll(before))
+    }),
+
+    // ---- PERSISTED COMPONENTS INDEX: cluster assignment maintained at
+    // crawl cadence as a lazy union-find (append-only comps/ + tiny
+    // merges/ union-event table, resolved through one broadcast map).
+    // Build on the even half, ingest the odd half as a crawl batch, read
+    // the assignment — the DuckDB oracle recomputes the FULL corpus CC by
+    // recursive closure, so the hash check pins incremental maintenance
+    // ≡ full recompute end to end (every (2k, 2k+1) re-encode pair must
+    // land in one component without ever re-running corpus-scale CC).
+    "q223_components_index" -> ((s, dir) => {
+      val sig = dhashSigs(s, dir)
+      val idx = sigIndexDir(dir) + "_cc"
+      Dedup.buildComponentsIndex(
+        sig.filter(pmod(col("id"), lit(2)) === 0), idx,
+        maxHamming = 3, budgetPairs = 10000000000L)
+      Dedup.componentsIngest(s,
+        sig.filter(pmod(col("id"), lit(2)) === 1), idx,
+        maxHamming = 3, budgetPairs = 10000000000L)
+      Dedup.componentsTable(s, idx)
+    }),
+
+    // ---- q223 companion: CHAINED waves — build on ids ≡ 0 (mod 4),
+    // ingest ids ≡ 2 (mod 4), then the odds; merge events from wave 2
+    // must resolve through wave 1's (flattenMerges chain). Assignment
+    // row-identical to the one-shot signatureComponents over everything.
+    // Symmetric diff, WHERE FALSE oracle.
+    "q224_components_index_check" -> ((s, dir) => {
+      val sig = dhashSigs(s, dir).localCheckpoint()
+      val idx = sigIndexDir(dir) + "_ccw"
+      Dedup.buildComponentsIndex(
+        sig.filter(pmod(col("id"), lit(4)) === 0), idx,
+        maxHamming = 3, budgetPairs = 10000000000L)
+      Dedup.componentsIngest(s,
+        sig.filter(pmod(col("id"), lit(4)) === 2), idx,
+        maxHamming = 3, budgetPairs = 10000000000L)
+      Dedup.componentsIngest(s,
+        sig.filter(pmod(col("id"), lit(2)) === 1), idx,
+        maxHamming = 3, budgetPairs = 10000000000L)
+      val fromIndex = Dedup.componentsTable(s, idx)
+      val direct = Dedup.signatureComponents(sig,
+        maxHamming = 3, budgetPairs = 10000000000L)
+      fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
+    }),
+
+    // ---- q223 compaction witness: a REPLAYED ingest appends duplicate
+    // assignment rows; compaction folds the merge map into comps/,
+    // clears merges/, and re-clusters — the assignment is row-identical
+    // before/after AND the merge table is empty (its survivors are
+    // unioned into the diff). Symmetric diff, WHERE FALSE oracle.
+    "q225_components_compact" -> ((s, dir) => {
+      val sig = dhashSigs(s, dir)
+      val idx = sigIndexDir(dir) + "_ccc"
+      val odd = sig.filter(pmod(col("id"), lit(2)) === 1).localCheckpoint()
+      Dedup.buildComponentsIndex(
+        sig.filter(pmod(col("id"), lit(2)) === 0), idx,
+        maxHamming = 3, budgetPairs = 10000000000L)
+      Dedup.componentsIngest(s, odd, idx,
+        maxHamming = 3, budgetPairs = 10000000000L)
+      Dedup.componentsIngest(s, odd, idx, // replayed crawl batch
+        maxHamming = 3, budgetPairs = 10000000000L)
+      val before = Dedup.componentsTable(s, idx).localCheckpoint()
+      Dedup.componentsIndexCompact(s, idx)
+      val after = Dedup.componentsTable(s, idx)
+      val leftoverMerges = s.read.parquet(s"$idx/merges")
+        .select(col("old_rep").as("id"), col("new_rep").as("rep"))
+      before.exceptAll(after).unionByName(after.exceptAll(before))
+        .unionByName(leftoverMerges)
     })
   )
 
@@ -5477,7 +5545,56 @@ object SparkEntry {
         SELECT r.id, e.t FROM reach r JOIN edges e ON e.s = r.anc)
       SELECT id AS media_id, MIN(anc) AS rep,
              (id = MIN(anc)) AS keep
-      FROM reach GROUP BY id"""
+      FROM reach GROUP BY id""",
+
+    // q223: the incrementally-maintained assignment must equal the FULL
+    // corpus CC — recursive closure over the brute-force hamming graph,
+    // rep = min reachable id (the q219 oracle reshaped to (id, rep))
+    "q223_components_index" -> """
+      WITH RECURSIVE g AS (
+        SELECT doc_id, ty, tx,
+          (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+            + 114 * (v & 255)) // 1000 AS gray
+        FROM (
+          SELECT doc_id, t.ty, x.tx,
+            ((1099511628211 % 16777216) * ((doc_id // 2) % 16777216)
+              + ((t.ty * (16 + ((doc_id // 2) * 7) % 24)) // 8)
+                  * (16 + (doc_id // 2) % 32)
+              + ((x.tx * (16 + (doc_id // 2) % 32)) // 9)) % 16777216 AS v
+          FROM documents, range(8) t(ty), range(9) x(tx))),
+      bits AS (
+        SELECT a.doc_id, a.ty * 8 + a.tx AS k
+        FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.ty = b.ty
+          AND b.tx = a.tx + 1
+        WHERE a.tx < 8 AND a.gray < b.gray),
+      hashes AS (
+        SELECT d.doc_id, CAST(COALESCE((
+            SELECT CAST(SUM(CASE WHEN k = 63
+                THEN -9223372036854775807 - 1
+                ELSE (1::BIGINT << CAST(k AS INT)) END) AS BIGINT)
+            FROM bits b WHERE b.doc_id = d.doc_id), 0) AS BIGINT) AS h
+        FROM documents d),
+      edges AS (
+        SELECT a.doc_id AS s, b.doc_id AS t FROM hashes a JOIN hashes b
+        ON a.doc_id <> b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 3),
+      reach(id, anc) AS (
+        SELECT doc_id, doc_id FROM hashes
+        UNION
+        SELECT r.id, e.t FROM reach r JOIN edges e ON e.s = r.anc)
+      SELECT id, MIN(anc) AS rep FROM reach GROUP BY id""",
+
+    // q224: chained-wave maintenance equals one-shot CC — empty
+    // symmetric diff, WHERE FALSE oracle
+    "q224_components_index_check" -> """
+      SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id AS BIGINT) AS rep
+      FROM documents WHERE FALSE""",
+
+    // q225: assignment identical before/after compaction of a replayed
+    // ingest AND merges/ emptied — empty union, WHERE FALSE oracle
+    "q225_components_compact" -> """
+      SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id AS BIGINT) AS rep
+      FROM documents WHERE FALSE"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →

@@ -1502,6 +1502,182 @@ object Dedup {
     one("members", _.distinct())
   }
 
+  // --------------------------------------------------------------------------
+  // Persisted connected-components index: the materialized form of
+  // [[signatureComponents]]. Dedup clustering of a 100-TB corpus never
+  // re-runs corpus-scale CC — the assignment lives on disk as a lazy
+  // union-find: an append-only `comps/` table of (id, rep-at-append-time)
+  // rows plus a TINY append-only `merges/` table of (old_rep, new_rep)
+  // union events, resolved at read time through one broadcast joined
+  // flattened map. Every crawl batch pays O(|batch|) work: one
+  // bucket-pruned probe against the co-located signature index, CC over
+  // the CONTRACTED graph (batch classes x touched corpus reps — a few
+  // rows, never the corpus), one comps append, and one merges append.
+  // Compaction folds merges into comps and clears them.
+  // --------------------------------------------------------------------------
+
+  /** comps/ is hive-partitioned by `ib = pmod(id, COMP_BUCKETS)` so the
+    * ingest's rep-lookup of probe-matched existing ids prunes to matched
+    * buckets (DPP) instead of scanning the corpus-scale assignment.
+    */
+  private[ext] val COMP_BUCKETS = 64
+
+  /** Build the index under `indexDir`, three tables: `sigs/` (the
+    * [[buildSignatureIndex]] chunk/key-bucket layout — probes co-located
+    * with the assignment), `comps/` ((id, rep) — [[signatureComponents]]
+    * over the corpus, hive-partitioned by id bucket), `merges/` (empty;
+    * grows one slim row per component-union event at ingest).
+    */
+  def buildComponentsIndex(sig: DataFrame, indexDir: String,
+      maxHamming: Int = 3, budgetPairs: Long = Long.MaxValue): Unit = {
+    // one pass over the (possibly codec-derived) signature frame serves
+    // both the signature index and the CC build
+    val sigC = sig.select(col("id"), col("sig")).localCheckpoint()
+    buildSignatureIndex(sigC, indexDir)
+    signatureComponents(sigC, maxHamming, budgetPairs)
+      .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
+      .write.mode("overwrite").partitionBy("ib").parquet(s"$indexDir/comps")
+    emptyMerges(sigC.sparkSession)
+      .write.mode("overwrite").parquet(s"$indexDir/merges")
+  }
+
+  // repartition(1) forces one (empty) part file so the parquet dir always
+  // carries a readable schema — range(0) alone can plan zero tasks
+  private def emptyMerges(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(0).repartition(1)
+      .select(col("id").as("old_rep"), col("id").as("new_rep"))
+
+  /** Flatten the merges chain (old_rep -> new_rep) to direct pointers by
+    * pointer doubling — merge events chain across batches (r2 merged into
+    * r1 in one crawl, r1 into r0 in a later one), and resolution must
+    * follow the whole path. The table is component-UNION-event sized
+    * (tiny next to the corpus; empty until two stored components first
+    * merge), so the handful of self-joins are sub-second; each round
+    * halves the longest unresolved path. Replayed duplicate events
+    * collapse in the leading distinct.
+    */
+  private def flattenMerges(merges: DataFrame, maxIter: Int = 20): DataFrame = {
+    var m = merges.select(col("old_rep"), col("new_rep")).distinct()
+      .localCheckpoint()
+    var converged = m.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = m.select(col("old_rep").as("hop_old"), col("new_rep").as("hop_new"))
+      val hopped = m.join(next, m("new_rep") === next("hop_old"), "left")
+        .select(col("old_rep"),
+          coalesce(col("hop_new"), col("new_rep")).as("new_rep"),
+          col("new_rep").as("prev"))
+        .localCheckpoint()
+      converged = hopped.filter(col("new_rep") =!= col("prev")).count() == 0
+      m = hopped.select(col("old_rep"), col("new_rep"))
+      iter += 1
+    }
+    m
+  }
+
+  /** The current full assignment (id, rep): comps rows resolved through
+    * the flattened merge map (broadcast — union events, not corpus rows),
+    * deduped by id (replayed ingests append bit-identical duplicate rows,
+    * the tolerated-append convention of every index here). The dedup is a
+    * hash-agg over 16-byte rows; [[componentsIndexCompact]] folds merges
+    * in so steady-state reads resolve through an empty map.
+    */
+  def componentsTable(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    resolveReps(spark.read.parquet(s"$indexDir/comps").select(col("id"), col("rep")),
+      flattenMerges(spark.read.parquet(s"$indexDir/merges")))
+      .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+
+  private def resolveReps(assign: DataFrame, flat: DataFrame): DataFrame =
+    assign.join(broadcast(flat.withColumnsRenamed(Map("old_rep" -> "rep"))),
+        Seq("rep"), "left")
+      .select(col("id"), coalesce(col("new_rep"), col("rep")).as("rep"))
+
+  /** Ingest a crawl batch `(id, sig)` into the components index,
+    * maintaining the invariant that [[componentsTable]] equals
+    * [[signatureComponents]] over everything ever ingested (q223/q224 pin
+    * this, including chained merges across waves). Batch ids must be new.
+    *
+    * Per batch: (1) batch-internal CC on the batch's class quotient;
+    * (2) one bucket-pruned [[signatureIndexProbe]] for batch-to-corpus
+    * edges; (3) rep lookup of the matched existing ids against comps/ —
+    * DPP-pruned to the matched id buckets, resolved through the merge
+    * map; (4) CC on the CONTRACTED graph (touched corpus reps x batch
+    * class reps — rows, not the corpus; corpus reps are component min
+    * ids and batch reps batch-class min ids, so the contracted min IS
+    * the global min); (5) append union events to merges/ (self-merges
+    * filtered — replays append nothing new), batch assignments to
+    * comps/, and LAST the batch signatures into sigs/, so any signature
+    * a future probe can match already has its assignment row. A replayed
+    * batch recomputes bit-identical appends (dedup at read).
+    */
+  def componentsIngest(spark: org.apache.spark.sql.SparkSession,
+      incoming: DataFrame, indexDir: String,
+      maxHamming: Int = 3, budgetPairs: Long = Long.MaxValue): Unit = {
+    val inc = incoming.select(col("id"), col("sig")).localCheckpoint()
+    val batchComp = signatureComponents(inc, maxHamming, budgetPairs)
+      .withColumnsRenamed(Map("rep" -> "brep")).localCheckpoint()
+    val cross = signatureIndexProbe(spark, indexDir, inc, maxHamming)
+    // rep lookup restricted to matched ids BEFORE the corpus-scale table:
+    // join on (ib, id) so partition pruning reaches the comps/ scan
+    val need = cross.select(col("existing_id").as("id")).distinct()
+      .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
+    val flat = flattenMerges(spark.read.parquet(s"$indexDir/merges"))
+    val curReps = resolveReps(
+      spark.read.parquet(s"$indexDir/comps").join(need, Seq("ib", "id"))
+        .groupBy(col("id")).agg(min(col("rep")).as("rep")),
+      flat)
+    val crossReps = cross
+      .join(curReps.withColumnsRenamed(Map("id" -> "existing_id", "rep" -> "crep")),
+        Seq("existing_id"))
+      .join(batchComp.withColumnsRenamed(Map("id" -> "incoming_id")),
+        Seq("incoming_id"))
+      .select(col("crep"), col("brep")).distinct().localCheckpoint()
+    val nodes = crossReps.select(col("crep").as("id"))
+      .unionByName(batchComp.select(col("brep").as("id")))
+      .distinct()
+    val merged = connectedComponents(nodes, "id",
+      crossReps.select(col("crep").as("id_a"), col("brep").as("id_b")))
+      .localCheckpoint()
+    // union events: corpus reps whose component grew a smaller min.
+    // merges/ FIRST: a crash after it leaves the corpus consistent and
+    // the replay's self-merge filter makes the re-append a no-op.
+    merged.join(crossReps.select(col("crep").as("id")).distinct(), Seq("id"), "left_semi")
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as("old_rep"), col("rep").as("new_rep"))
+      .write.mode("append").parquet(s"$indexDir/merges")
+    batchComp
+      .join(merged.withColumnsRenamed(Map("id" -> "brep", "rep" -> "frep")),
+        Seq("brep"), "left")
+      .select(col("id"), coalesce(col("frep"), col("brep")).as("rep"))
+      .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
+      .write.mode("append").partitionBy("ib").parquet(s"$indexDir/comps")
+    signatureIndexIngest(spark, indexDir, inc)
+  }
+
+  /** Compact the components index: fold the merge map into comps/ (one
+    * resolved, deduped rewrite), then clear merges/, then compact sigs/.
+    * Order matters for crash recovery: comps first — re-applying the
+    * still-present map to already-resolved reps is the identity (a final
+    * rep is never an old_rep key), so a crash between the two swaps
+    * leaves reads correct; clearing merges first would lose the events a
+    * crashed comps rewrite still needs. NOT safe against a concurrent
+    * ingest (the [[dedupIndexCompact]] restriction).
+    */
+  def componentsIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val tmp = s"$indexDir/comps_compacting"
+    componentsTable(spark, indexDir)
+      .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
+      .repartition(col("ib"))
+      .write.mode("overwrite").partitionBy("ib").parquet(tmp)
+    swapIn(spark, tmp, s"$indexDir/comps")
+    val mtmp = s"$indexDir/merges_compacting"
+    emptyMerges(spark).write.mode("overwrite").parquet(mtmp)
+    swapIn(spark, mtmp, s"$indexDir/merges")
+    signatureIndexCompact(spark, indexDir)
+  }
+
   /** Atomic-as-the-filesystem-allows table swap, recoverable at every
     * step: rename live -> `_backup`, rename tmp -> live, delete backup.
     * A crash between the two renames leaves the table recoverable from

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Persisted components index: incremental crawl-cadence maintenance of the
+  * cluster assignment must equal one-shot [[Dedup.signatureComponents]] over
+  * everything ingested — including merge events that CHAIN across waves
+  * (rep 10 merged into 5 by wave 1, 5 into 2 by wave 2: resolution must
+  * follow the whole path through the merges table).
+  *
+  * Signature design (hamming distances annotated):
+  *   A=0x00 (id 10)  B=0x1F (id 20)  far (id 50)      — corpus build
+  *   C=0x01 (id 30, d(C,A)=1)  D=0x02 (id 5, d(D,A)=1) — wave 1: rep 10→5
+  *   E=0x07 (id 40, d(E,C)=2, d(E,B)=2)  F=0x04 (id 2) — wave 2: bridges the
+  *     B component into the A component AND lowers the rep to 2: events
+  *     (5→2) and (20→2), so resolving id 10 needs the 10→5→2 chain.
+  */
+class ComponentsIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val far = 0xFFFFFFFF00000000L
+  private def corpus = Seq((10L, 0x00L), (20L, 0x1FL), (50L, far)).toDF("id", "sig")
+  private def wave1 = Seq((30L, 0x01L), (5L, 0x02L)).toDF("id", "sig")
+  private def wave2 = Seq((40L, 0x07L), (2L, 0x04L)).toDF("id", "sig")
+  private def all = corpus.unionByName(wave1).unionByName(wave2)
+
+  private def assignment(df: DataFrame): Map[Long, Long] =
+    df.select("id", "rep").as[(Long, Long)].collect().toMap
+
+  private def freshIndex(): String =
+    Files.createTempDirectory("graft_ccidx").toString + "/idx"
+
+  private def buildAndIngestWaves(idx: String): Unit = {
+    Dedup.buildComponentsIndex(corpus, idx)
+    Dedup.componentsIngest(spark, wave1, idx)
+    Dedup.componentsIngest(spark, wave2, idx)
+  }
+
+  test("chained-wave maintenance equals one-shot CC, rep chain resolved") {
+    val idx = freshIndex()
+    buildAndIngestWaves(idx)
+    val got = assignment(Dedup.componentsTable(spark, idx))
+    val oneShot = assignment(Dedup.signatureComponents(all))
+    assert(got == oneShot)
+    // every doc except the far outlier collapses to global-min rep 2
+    assert(got == Map(2L -> 2L, 5L -> 2L, 10L -> 2L, 20L -> 2L,
+      30L -> 2L, 40L -> 2L, 50L -> 50L))
+  }
+
+  test("merges table records the union events and the chain") {
+    val idx = freshIndex()
+    buildAndIngestWaves(idx)
+    val events = spark.read.parquet(s"$idx/merges")
+      .as[(Long, Long)].collect().toSet
+    // wave 1 lowered comp(10) to 5; wave 2 lowered 5 and bridged-in 20 to 2.
+    // (20 -> 2) directly — wave 2's lookup already resolves 10's comp to 5.
+    assert(events == Set((10L, 5L), (5L, 2L), (20L, 2L)))
+  }
+
+  test("replayed ingest appends tolerated duplicates, assignment unchanged") {
+    val idx = freshIndex()
+    buildAndIngestWaves(idx)
+    val before = assignment(Dedup.componentsTable(spark, idx))
+    Dedup.componentsIngest(spark, wave2, idx) // replay of the last batch
+    assert(assignment(Dedup.componentsTable(spark, idx)) == before)
+  }
+
+  test("compaction folds merges into comps, clears them, keeps the table") {
+    val idx = freshIndex()
+    buildAndIngestWaves(idx)
+    val before = assignment(Dedup.componentsTable(spark, idx))
+    Dedup.componentsIndexCompact(spark, idx)
+    assert(assignment(Dedup.componentsTable(spark, idx)) == before)
+    assert(spark.read.parquet(s"$idx/merges").isEmpty)
+    // no duplicate assignment rows survive compaction
+    val raw = spark.read.parquet(s"$idx/comps")
+    assert(raw.count() == raw.select("id").distinct().count())
+  }
+
+  test("batch with no corpus matches stays isolated, no merge events") {
+    val idx = freshIndex()
+    Dedup.buildComponentsIndex(corpus, idx)
+    val lone = Seq((99L, 0x0F00000000000000L)).toDF("id", "sig")
+    Dedup.componentsIngest(spark, lone, idx)
+    val got = assignment(Dedup.componentsTable(spark, idx))
+    assert(got(99L) == 99L && got(10L) == 10L && got(20L) == 20L)
+    assert(spark.read.parquet(s"$idx/merges").isEmpty)
+  }
+}
