@@ -624,6 +624,45 @@ object Streams {
       }
       .start()
 
+  /** Streaming CLUSTER-ASSIGNMENT maintenance — the fourth indexed crawl
+    * sink: where [[indexedSignatureIngestSink]] drops near-dups at the
+    * gate, this one keeps every row and maintains the persisted
+    * connected-components assignment
+    * ([[graft.ext.Dedup.componentsIngest]]) so "which cluster is this
+    * document in?" is a table read at any moment, never a corpus-scale CC
+    * re-run. Per micro-batch: batch-class CC, one bucket-pruned probe,
+    * CC on the contracted rep graph, two slim appends — O(|batch|).
+    * Bootstrap is gated on `merges/`, the LAST table
+    * [[graft.ext.Dedup.buildComponentsIndex]] writes, so a crash mid-build
+    * re-runs the (overwrite-mode, idempotent) build instead of wedging on
+    * a half-present index; replayed ingests append bit-identical rows,
+    * deduped at read and by [[graft.ext.Dedup.componentsIndexCompact]].
+    */
+  def indexedComponentsIngestSink(
+      df: DataFrame,
+      indexDir: String,
+      idCol: String,
+      sigCol: String,
+      checkpointDir: String,
+      maxHamming: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        // at-least-once sources repeat rows within a batch
+        val b = batch.toDF()
+          .select(col(idCol).as("id"), col(sigCol).as("sig"))
+          .dropDuplicates("id")
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val bootstrapped = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$indexDir/merges"))
+        if (!bootstrapped) graft.ext.Dedup.buildComponentsIndex(b, indexDir, maxHamming)
+        else graft.ext.Dedup.componentsIngest(spark, b, indexDir, maxHamming)
+      }
+      .start()
+
   /** Streaming distribution-drift monitor — the q152 event-mix entropy on
     * a live stream: per event-time window, the Shannon entropy of the
     * event-type distribution (6-dp decimal terms, the batch operator's

@@ -512,4 +512,30 @@ class StreamsSpec extends SparkTestBase {
       assert(spark.table("dedup_out").count() == 2)
     } finally q.stop()
   }
+
+  test("indexedComponentsIngestSink maintains the cluster assignment across chained micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxcc").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_idxcc_cp").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = Streams.indexedComponentsIngestSink(
+      input.toDS().toDF("media_id", "dhash"), s"$dir/idx",
+      "media_id", "dhash", cp, maxHamming = 3)
+    try {
+      // the ComponentsIndexSpec chain fixture as three micro-batches:
+      // batch 1 bootstraps; batch 2 lowers comp(10)'s rep to 5; batch 3
+      // bridges comp(20) in and lowers the rep to 2 — resolution must
+      // follow the 10 -> 5 -> 2 merge chain written across batches
+      input.addData((10L, 0x00L), (20L, 0x1FL), (50L, 0xFFFFFFFF00000000L))
+      q.processAllAvailable()
+      input.addData((30L, 0x01L), (5L, 0x02L))
+      q.processAllAvailable()
+      input.addData((40L, 0x07L), (2L, 0x04L))
+      q.processAllAvailable()
+      val got = graft.ext.Dedup.componentsTable(spark, s"$dir/idx")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(2L -> 2L, 5L -> 2L, 10L -> 2L, 20L -> 2L,
+        30L -> 2L, 40L -> 2L, 50L -> 50L))
+    } finally q.stop()
+  }
 }
