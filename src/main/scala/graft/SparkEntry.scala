@@ -2964,6 +2964,57 @@ object SparkEntry {
         .select(col("old_rep").as("id"), col("new_rep").as("rep"))
       before.exceptAll(after).unionByName(after.exceptAll(before))
         .unionByName(leftoverMerges)
+    }),
+
+    // ---- TEXT-family persisted components: the q223 lifecycle over the
+    // MinHash dedup index — edges are banded-LSH candidates exact-verified
+    // at jaccard >= 0.7 instead of a hamming ball. Banding is not
+    // SQL-expressible, so this is a PINNED no-oracle entry (the q27
+    // convention) and q227 is the oracle-checked witness.
+    "q226_text_components_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = sigIndexDir(dir) + "_tcc"
+      Dedup.buildDedupComponentsIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", idx)
+      Dedup.dedupComponentsIngest(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", idx)
+      Dedup.componentsTable(s, idx)
+    }),
+
+    // ---- q226 witness: chained waves (quarter build + two ingests)
+    // vs the one-shot class-quotient CC over the SAME banded pair
+    // generator. Symmetric diff, WHERE FALSE oracle.
+    "q227_text_components_check" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").localCheckpoint()
+      val idx = sigIndexDir(dir) + "_tccw"
+      Dedup.buildDedupComponentsIndex(
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text", idx)
+      Dedup.dedupComponentsIngest(s,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 2), "doc_id", "text", idx)
+      Dedup.dedupComponentsIngest(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", idx)
+      val fromIndex = Dedup.componentsTable(s, idx)
+      val direct = Dedup.minhashComponents(docs, "doc_id", "text")
+      fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
+    }),
+
+    // ---- q226 compaction witness: replayed ingest + compact; assignment
+    // unchanged, merges emptied. Symmetric diff, WHERE FALSE oracle.
+    "q228_text_components_compact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = sigIndexDir(dir) + "_tccc"
+      val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1).localCheckpoint()
+      Dedup.buildDedupComponentsIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", idx)
+      Dedup.dedupComponentsIngest(s, odd, "doc_id", "text", idx)
+      Dedup.dedupComponentsIngest(s, odd, "doc_id", "text", idx) // replay
+      val before = Dedup.componentsTable(s, idx).localCheckpoint()
+      Dedup.dedupComponentsCompact(s, idx)
+      val after = Dedup.componentsTable(s, idx)
+      val leftoverMerges = s.read.parquet(s"$idx/merges")
+        .select(col("old_rep").as("id"), col("new_rep").as("rep"))
+      before.exceptAll(after).unionByName(after.exceptAll(before))
+        .unionByName(leftoverMerges)
     })
   )
 
@@ -5594,6 +5645,18 @@ object SparkEntry {
     // ingest AND merges/ emptied — empty union, WHERE FALSE oracle
     "q225_components_compact" -> """
       SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id AS BIGINT) AS rep
+      FROM documents WHERE FALSE""",
+
+    // q227: text-family chained-wave maintenance equals the one-shot
+    // class-quotient CC — empty symmetric diff, WHERE FALSE oracle
+    "q227_text_components_check" -> """
+      SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id AS BIGINT) AS rep
+      FROM documents WHERE FALSE""",
+
+    // q228: text-family assignment identical before/after compaction of
+    // a replayed ingest AND merges/ emptied — WHERE FALSE oracle
+    "q228_text_components_compact" -> """
+      SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id AS BIGINT) AS rep
       FROM documents WHERE FALSE"""
   )
 
@@ -5719,9 +5782,11 @@ object SparkEntry {
       "q200_ivf_index_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int",
       "q202_ivf_index_ingest" -> "query_id:bigint,neighbor_id:bigint,rank:int",
       "q204_dedup_index" -> "existing_id:bigint,incoming_id:bigint,jaccard:double",
-      "q208_semantic_ingest_index" -> "vec_id:bigint,accept:boolean,blocked_by:bigint")
+      "q208_semantic_ingest_index" -> "vec_id:bigint,accept:boolean,blocked_by:bigint",
+      "q226_text_components_index" -> "id:bigint,rep:bigint")
     val rows = Map(
       "sf0.001" -> Map(
+        "q226_text_components_index" -> 500L,
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17274L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
@@ -5735,6 +5800,7 @@ object SparkEntry {
         "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 531L,
         "q192_hll_intersect" -> 10L),
       "sf0.01" -> Map(
+        "q226_text_components_index" -> 500L,
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17037L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
@@ -5748,6 +5814,7 @@ object SparkEntry {
         "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L,
         "q192_hll_intersect" -> 10L),
       "sf0.1" -> Map(
+        "q226_text_components_index" -> 5000L,
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 1000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
@@ -5761,6 +5828,7 @@ object SparkEntry {
         "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L,
         "q192_hll_intersect" -> 10L),
       "sf1" -> Map(
+        "q226_text_components_index" -> 50000L,
         "q27_minhash_lsh" -> 29682497L, "q28_simhash" -> 6190L, "q30_lsh_topk" -> 50L,
         "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 10000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
@@ -5781,6 +5849,7 @@ object SparkEntry {
       // are pinned through sf1; at sf10 they are timed by ScaleBench, and
       // q73's governed path refuses by design.
       "sf10" -> Map(
+        "q226_text_components_index" -> 500000L,
         "q30_lsh_topk" -> 50L, "q53_approx_distinct" -> 3L,
         "q56_ivf_topk" -> 50L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 100000L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q87_sq8_topk" -> 50L,

@@ -1618,6 +1618,18 @@ object Dedup {
     val batchComp = signatureComponents(inc, maxHamming, budgetPairs)
       .withColumnsRenamed(Map("rep" -> "brep")).localCheckpoint()
     val cross = signatureIndexProbe(spark, indexDir, inc, maxHamming)
+    unionFindIngest(spark, batchComp, cross, indexDir)
+    signatureIndexIngest(spark, indexDir, inc)
+  }
+
+  /** The union-find update shared by the signature- and text-family
+    * components ingests — family-agnostic because it sees only the
+    * batch's internal assignment `(id, brep)` and the batch-to-corpus
+    * cross pairs `(existing_id, incoming_id)`; the caller supplies
+    * whichever pair generator defines the family's edges.
+    */
+  private def unionFindIngest(spark: org.apache.spark.sql.SparkSession,
+      batchComp: DataFrame, cross: DataFrame, indexDir: String): Unit = {
     // rep lookup restricted to matched ids BEFORE the corpus-scale table:
     // join on (ib, id) so partition pruning reaches the comps/ scan
     val need = cross.select(col("existing_id").as("id")).distinct()
@@ -1652,7 +1664,6 @@ object Dedup {
       .select(col("id"), coalesce(col("frep"), col("brep")).as("rep"))
       .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
       .write.mode("append").partitionBy("ib").parquet(s"$indexDir/comps")
-    signatureIndexIngest(spark, indexDir, inc)
   }
 
   /** Compact the components index: fold the merge map into comps/ (one
@@ -1666,6 +1677,12 @@ object Dedup {
     */
   def componentsIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
+    foldComponents(spark, indexDir)
+    signatureIndexCompact(spark, indexDir)
+  }
+
+  private def foldComponents(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
     val tmp = s"$indexDir/comps_compacting"
     componentsTable(spark, indexDir)
       .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
@@ -1675,7 +1692,103 @@ object Dedup {
     val mtmp = s"$indexDir/merges_compacting"
     emptyMerges(spark).write.mode("overwrite").parquet(mtmp)
     swapIn(spark, mtmp, s"$indexDir/merges")
-    signatureIndexCompact(spark, indexDir)
+  }
+
+  // --------------------------------------------------------------------------
+  // TEXT-family persisted components: the same lazy union-find layer
+  // (comps/ + merges/, [[componentsTable]] reads both families' layouts)
+  // over the MinHash dedup index — cluster maintenance for text corpora
+  // where the edge relation is banded-LSH candidates exact-verified at a
+  // jaccard threshold instead of a hamming ball. Edge-set equivalence to
+  // the one-shot CC holds exactly because banding is deterministic and
+  // shared: build-time edges = minhashLshPairs(corpus), cross edges =
+  // the index probe (row-identical to minhashLshPairsIncremental — q205),
+  // batch edges = minhashLshPairs(batch); together those are precisely
+  // minhashLshPairs(union)'s candidates split by ingest epoch.
+  // --------------------------------------------------------------------------
+
+  /** Connected components over banded-MinHash near-dup pairs — the
+    * text-family analog of [[signatureComponents]], and the same
+    * class-quotient argument: identical shingle sets pair identically
+    * (banding and jaccard are functions of the set), so CC runs on the
+    * DISTINCT-set graph contracted to per-class min doc ids and members
+    * expand back at the end. Dup-heavy corpora (the normal case) collapse
+    * their hottest classes to one node each instead of C(k,2) multigraph
+    * edges per identical-text cluster. Emits (id, rep), rep = global min
+    * doc id of the component — identical output to
+    * [[connectedComponents]] over [[minhashLshPairs]].
+    */
+  def minhashComponents(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      verifyThreshold: Double = 0.7): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val (reps, members) = setRepresentatives(df, idCol, textCol, n)
+    val repPairs = minhashRepPairs(df, textCol, n, reps, members,
+      numHashes, bands, verifyThreshold)
+    val classRep = members.groupBy(col("skey")).agg(min(col("id")).as("cid"))
+      .localCheckpoint()
+    val classPairs = repPairs
+      .join(classRep.select(col("skey").as("skey_a"), col("cid").as("id_a")),
+        Seq("skey_a"))
+      .join(classRep.select(col("skey").as("skey_b"), col("cid").as("id_b")),
+        Seq("skey_b"))
+      .select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(
+      classRep.select(col("cid").as("id")), "id", classPairs)
+      .withColumnsRenamed(Map("id" -> "cid"))
+    members.join(classRep, Seq("skey")).join(comp, Seq("cid"))
+      .select(col("id"), col("rep"))
+  }
+
+  /** Build under `indexDir`: the [[buildDedupIndex]] tables (sets/bands/
+    * members) plus comps/ (CC over the corpus's banded near-dup pairs)
+    * and an empty merges/.
+    */
+  def buildDedupComponentsIndex(corpus: DataFrame, idCol: String,
+      textCol: String, indexDir: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, verifyThreshold: Double = 0.7): Unit = {
+    val c = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+      .localCheckpoint()
+    buildDedupIndex(c, "id", "text", indexDir, n, numHashes, bands)
+    minhashComponents(c, "id", "text", n, numHashes, bands, verifyThreshold)
+      .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
+      .write.mode("overwrite").partitionBy("ib").parquet(s"$indexDir/comps")
+    emptyMerges(c.sparkSession)
+      .write.mode("overwrite").parquet(s"$indexDir/merges")
+  }
+
+  /** Ingest a crawl batch `(idCol, textCol)` into the text-family
+    * components index — [[componentsIngest]]'s contract with jaccard
+    * edges: [[componentsTable]] equals one-shot CC over
+    * [[minhashLshPairs]] of everything ever ingested. Per batch:
+    * batch-internal banded CC, one banded probe against the persisted
+    * index (crawl-cadence regime — the sink cadence this exists for),
+    * the shared [[unionFindIngest]] contraction, and a
+    * [[dedupIndexIngest]] append so future probes see this batch.
+    */
+  def dedupComponentsIngest(spark: org.apache.spark.sql.SparkSession,
+      incoming: DataFrame, idCol: String, textCol: String, indexDir: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      verifyThreshold: Double = 0.7): Unit = {
+    val inc = incoming.select(col(idCol).as("id"), col(textCol).as("text"))
+      .localCheckpoint()
+    val batchComp = minhashComponents(inc, "id", "text", n, numHashes, bands,
+      verifyThreshold)
+      .withColumnsRenamed(Map("rep" -> "brep")).localCheckpoint()
+    val cross = minhashLshPairsAgainstIndex(spark, indexDir, inc, "id", "text",
+      n, numHashes, bands, verifyThreshold)
+    unionFindIngest(spark, batchComp, cross, indexDir)
+    dedupIndexIngest(inc, "id", "text", indexDir, n, numHashes, bands)
+  }
+
+  /** [[componentsIndexCompact]] for the text family: fold merges into
+    * comps, then compact the MinHash tables. Same crash ordering and
+    * concurrent-ingest restriction.
+    */
+  def dedupComponentsCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    foldComponents(spark, indexDir)
+    dedupIndexCompact(spark, indexDir)
   }
 
   /** Atomic-as-the-filesystem-allows table swap, recoverable at every

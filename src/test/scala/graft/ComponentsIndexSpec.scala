@@ -82,6 +82,56 @@ class ComponentsIndexSpec extends SparkTestBase {
     assert(raw.count() == raw.select("id").distinct().count())
   }
 
+  // --- text family: same union-find layer, jaccard edges ---
+
+  private val wordsA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val wordsB = "one two three four five six seven eight nine ten"
+  private def textCorpus = Seq(
+    (10L, wordsA),
+    (20L, wordsB),
+    (50L, "completely unrelated content nothing shared here at all whatsoever really")
+  ).toDF("doc_id", "text")
+  // jaccard(doc5, A) = 9/11 ≈ 0.82 ≥ 0.7 — one word swapped
+  private def textWave1 = Seq(
+    (5L, wordsA.replace("kappa", "lambda"))).toDF("doc_id", "text")
+  // doc 2 near A (different swap), doc 3 near B: wave 2 lowers comp(A)'s
+  // rep 5 -> 2 (chaining with wave 1's 10 -> 5) and comp(B)'s 20 -> 3
+  private def textWave2 = Seq(
+    (2L, wordsA.replace("iota", "mu")),
+    (3L, wordsB.replace("ten", "eleven"))).toDF("doc_id", "text")
+  private def textAll = textCorpus.unionByName(textWave1).unionByName(textWave2)
+
+  test("text-family maintenance equals one-shot banded CC, chained reps resolved") {
+    val idx = freshIndex()
+    Dedup.buildDedupComponentsIndex(textCorpus, "doc_id", "text", idx, n = 1)
+    Dedup.dedupComponentsIngest(spark, textWave1, "doc_id", "text", idx, n = 1)
+    Dedup.dedupComponentsIngest(spark, textWave2, "doc_id", "text", idx, n = 1)
+    val got = assignment(Dedup.componentsTable(spark, idx))
+    val oneShot = assignment(Dedup.minhashComponents(textAll, "doc_id", "text", n = 1))
+    // the class-quotient CC equals CC over the expanded doc-pair graph
+    val expanded = assignment(Dedup.connectedComponents(
+      textAll.select(col("doc_id").as("id")), "id",
+      Dedup.minhashLshPairs(textAll, "doc_id", "text", n = 1)))
+    assert(oneShot == expanded)
+    assert(got == oneShot)
+    assert(got == Map(2L -> 2L, 5L -> 2L, 10L -> 2L, 20L -> 3L,
+      3L -> 3L, 50L -> 50L))
+    // wave 2 resolved wave 1's event: the chain is on disk
+    val events = spark.read.parquet(s"$idx/merges")
+      .as[(Long, Long)].collect().toSet
+    assert(events == Set((10L, 5L), (5L, 2L), (20L, 3L)))
+  }
+
+  test("text-family compaction folds and preserves the assignment") {
+    val idx = freshIndex()
+    Dedup.buildDedupComponentsIndex(textCorpus, "doc_id", "text", idx, n = 1)
+    Dedup.dedupComponentsIngest(spark, textWave1, "doc_id", "text", idx, n = 1)
+    val before = assignment(Dedup.componentsTable(spark, idx))
+    Dedup.dedupComponentsCompact(spark, idx)
+    assert(assignment(Dedup.componentsTable(spark, idx)) == before)
+    assert(spark.read.parquet(s"$idx/merges").isEmpty)
+  }
+
   test("batch with no corpus matches stays isolated, no merge events") {
     val idx = freshIndex()
     Dedup.buildComponentsIndex(corpus, idx)
