@@ -1769,14 +1769,20 @@ object Dedup {
   def dedupComponentsIngest(spark: org.apache.spark.sql.SparkSession,
       incoming: DataFrame, idCol: String, textCol: String, indexDir: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      verifyThreshold: Double = 0.7): Unit = {
+      verifyThreshold: Double = 0.7,
+      corpusForBulk: Option[DataFrame] = None): Unit = {
     val inc = incoming.select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint()
     val batchComp = minhashComponents(inc, "id", "text", n, numHashes, bands,
       verifyThreshold)
       .withColumnsRenamed(Map("rep" -> "brep")).localCheckpoint()
+    // corpusForBulk (id/text columns pre-normalized by the caller) enables
+    // the probe's measured regime dispatch: bulk-cadence batches route to
+    // the direct recompute, crawl-cadence ones probe the index
     val cross = minhashLshPairsAgainstIndex(spark, indexDir, inc, "id", "text",
-      n, numHashes, bands, verifyThreshold)
+      n, numHashes, bands, verifyThreshold,
+      corpusForBulk = corpusForBulk.map(
+        _.select(col(idCol).as("id"), col(textCol).as("text"))))
     unionFindIngest(spark, batchComp, cross, indexDir)
     dedupIndexIngest(inc, "id", "text", indexDir, n, numHashes, bands)
   }
