@@ -48,7 +48,12 @@ object Bench {
         "q201_ivf_index_check", "q203_ivf_ingest_check",
         "q205_dedup_index_check", "q206_dedup_index_compact",
         "q207_ivf_index_compact", "q209_semantic_index_check",
-        "q217_signature_index_check", "q218_signature_index_compact")
+        "q217_signature_index_check", "q218_signature_index_compact",
+        // components-index witnesses: chained-wave checks re-execute the
+        // one-shot CC they must equal; compaction witnesses run the whole
+        // build+ingest lifecycle twice around the compact
+        "q224_components_index_check", "q225_components_compact",
+        "q227_text_components_check", "q228_text_components_compact")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

@@ -328,6 +328,31 @@ object Dedup {
     * that foreign edge endpoints neither appear in the output nor
     * propagate labels.
     */
+  /** localCheckpoint + SIZE-ESTIMATE reset for iterative self-join loops.
+    *
+    * `LogicalRDD.fromDataset` SNAPSHOTS the original plan's size estimate
+    * into the checkpointed node, and the non-CBO stats visitor estimates
+    * every inner join as left×right — a PRODUCT. An iterative loop whose
+    * round output (a few self-joins over the previous labels) is
+    * checkpointed therefore compounds the estimate's DIGIT COUNT ~3× per
+    * round, and chaining a second loop on frames that inherited the first
+    * loop's estimate (q223's ingest: batch CC → contraction joins →
+    * contracted CC) pushed sizeInBytes to millions of digits — the sf10
+    * driver measured 40+ minutes inside BigInteger.multiply in
+    * SizeInBytesOnlyStatsPlanVisitor, doing statistics, not work.
+    * Rebuilding the frame from the checkpointed RDD drops the snapshot:
+    * the fresh leaf reports the session-default size, a CONSTANT, so
+    * estimates cannot compound across rounds. Join-strategy choice is
+    * unaffected in practice: AQE re-plans broadcast joins from REAL
+    * runtime sizes, which is the only place these slim loop frames'
+    * estimates mattered. Rows here are 2-3 longs — the InternalRow→Row
+    * hop is noise next to the joins it unblocks.
+    */
+  private def checkpointFlat(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   def connectedComponents(
       nodes: DataFrame,
       idCol: String,
@@ -337,7 +362,9 @@ object Dedup {
     // LOGICAL plan each round — Catalyst would re-analyze an ever-larger
     // tree and driver-side planning, not execution, becomes the cost.
     // Checkpointing truncates the lineage so every iteration plans against
-    // a flat scan of the previous labels.
+    // a flat scan of the previous labels. checkpointFlat (not plain
+    // localCheckpoint) also resets the size estimate each round — see its
+    // scaladoc for the BigInteger blowup plain checkpoints compound.
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -369,9 +396,9 @@ object Dedup {
             coalesce(col("repOfRep"), col("rep")),
             coalesce(col("minNeighborRep"), col("rep"))).as("rep"),
           col("rep").as("prevRep"))
-        .localCheckpoint()
-      val changed = updated.filter(col("rep") =!= col("prevRep")).count()
-      labels = updated.select(col("id"), col("rep"))
+      val checkpointed = checkpointFlat(updated)
+      val changed = checkpointed.filter(col("rep") =!= col("prevRep")).count()
+      labels = checkpointed.select(col("id"), col("rep"))
       converged = changed == 0
       iter += 1
     }
@@ -1557,17 +1584,16 @@ object Dedup {
     * collapse in the leading distinct.
     */
   private def flattenMerges(merges: DataFrame, maxIter: Int = 20): DataFrame = {
-    var m = merges.select(col("old_rep"), col("new_rep")).distinct()
-      .localCheckpoint()
+    var m = checkpointFlat(merges.select(col("old_rep"), col("new_rep")).distinct())
     var converged = m.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = m.select(col("old_rep").as("hop_old"), col("new_rep").as("hop_new"))
-      val hopped = m.join(next, m("new_rep") === next("hop_old"), "left")
-        .select(col("old_rep"),
-          coalesce(col("hop_new"), col("new_rep")).as("new_rep"),
-          col("new_rep").as("prev"))
-        .localCheckpoint()
+      val hopped = checkpointFlat(
+        m.join(next, m("new_rep") === next("hop_old"), "left")
+          .select(col("old_rep"),
+            coalesce(col("hop_new"), col("new_rep")).as("new_rep"),
+            col("new_rep").as("prev")))
       converged = hopped.filter(col("new_rep") =!= col("prev")).count() == 0
       m = hopped.select(col("old_rep"), col("new_rep"))
       iter += 1
@@ -1615,8 +1641,8 @@ object Dedup {
       incoming: DataFrame, indexDir: String,
       maxHamming: Int = 3, budgetPairs: Long = Long.MaxValue): Unit = {
     val inc = incoming.select(col("id"), col("sig")).localCheckpoint()
-    val batchComp = signatureComponents(inc, maxHamming, budgetPairs)
-      .withColumnsRenamed(Map("rep" -> "brep")).localCheckpoint()
+    val batchComp = checkpointFlat(signatureComponents(inc, maxHamming, budgetPairs)
+      .withColumnsRenamed(Map("rep" -> "brep")))
     val cross = signatureIndexProbe(spark, indexDir, inc, maxHamming)
     unionFindIngest(spark, batchComp, cross, indexDir)
     signatureIndexIngest(spark, indexDir, inc)
@@ -1639,22 +1665,22 @@ object Dedup {
       spark.read.parquet(s"$indexDir/comps").join(need, Seq("ib", "id"))
         .groupBy(col("id")).agg(min(col("rep")).as("rep")),
       flat)
-    val crossReps = cross
+    val crossReps0 = cross
       .join(curReps.withColumnsRenamed(Map("id" -> "existing_id", "rep" -> "crep")),
         Seq("existing_id"))
       .join(batchComp.withColumnsRenamed(Map("id" -> "incoming_id")),
         Seq("incoming_id"))
-      .select(col("crep"), col("brep")).distinct().localCheckpoint()
-    val nodes = crossReps.select(col("crep").as("id"))
+      .select(col("crep"), col("brep")).distinct()
+    val crossRepsF = checkpointFlat(crossReps0)
+    val nodes = crossRepsF.select(col("crep").as("id"))
       .unionByName(batchComp.select(col("brep").as("id")))
       .distinct()
-    val merged = connectedComponents(nodes, "id",
-      crossReps.select(col("crep").as("id_a"), col("brep").as("id_b")))
-      .localCheckpoint()
+    val merged = checkpointFlat(connectedComponents(nodes, "id",
+      crossRepsF.select(col("crep").as("id_a"), col("brep").as("id_b"))))
     // union events: corpus reps whose component grew a smaller min.
     // merges/ FIRST: a crash after it leaves the corpus consistent and
     // the replay's self-merge filter makes the re-append a no-op.
-    merged.join(crossReps.select(col("crep").as("id")).distinct(), Seq("id"), "left_semi")
+    merged.join(crossRepsF.select(col("crep").as("id")).distinct(), Seq("id"), "left_semi")
       .filter(col("id") =!= col("rep"))
       .select(col("id").as("old_rep"), col("rep").as("new_rep"))
       .write.mode("append").parquet(s"$indexDir/merges")
@@ -1773,9 +1799,9 @@ object Dedup {
       corpusForBulk: Option[DataFrame] = None): Unit = {
     val inc = incoming.select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint()
-    val batchComp = minhashComponents(inc, "id", "text", n, numHashes, bands,
-      verifyThreshold)
-      .withColumnsRenamed(Map("rep" -> "brep")).localCheckpoint()
+    val batchComp = checkpointFlat(minhashComponents(inc, "id", "text", n,
+      numHashes, bands, verifyThreshold)
+      .withColumnsRenamed(Map("rep" -> "brep")))
     // corpusForBulk (id/text columns pre-normalized by the caller) enables
     // the probe's measured regime dispatch: bulk-cadence batches route to
     // the direct recompute, crawl-cadence ones probe the index
