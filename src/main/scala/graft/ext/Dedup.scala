@@ -376,25 +376,44 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts min(own rep, neighbors' reps); the previous label
-      // rides along in the checkpointed frame so the convergence check is a
-      // scan of the blocks the checkpoint job just wrote — not a second
-      // join against the previous labels (which would re-shuffle per round).
+      // Per round, three monotone improvements per node feed a candidate:
+      //   - min over neighbors' reps (the flood step)
+      //   - rep(rep) (pointer doubling)
+      //   - HUB AGGREGATION: each rep w adopts the min candidate among the
+      //     nodes pointing at it, and members re-read it next round via
+      //     rep(rep). This is HashToMin's "send my min to my min" — star
+      //     contraction, O(log n) rounds. Neighbor-min + doubling ALONE is
+      //     NOT enough: the component-min flood advances ~1-2 hops/round at
+      //     its frontier (doubling only contracts pointer chains BEHIND the
+      //     frontier), and the sf10 image class graph (44k classes, 77k
+      //     edges, long hamming chains) measured 1.1k-5.6k labels still
+      //     changing at round 24 — CcBenefit caught the resulting silent
+      //     divergence because BOTH its sides hit maxIter unconverged.
+      // The previous label rides along in the checkpointed frame so the
+      // convergence check is a scan of the blocks the checkpoint job just
+      // wrote — not a second join against the previous labels.
       val neighborReps = sym
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "rep" -> "nrep")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("minNeighborRep"))
-      // rep(rep): the label of the node this node currently points at —
-      // read from the same checkpointed frame as the neighbor join, so
-      // doubling costs one extra join per round, not an extra checkpoint
       val repOfRep = labels
         .select(col("id").as("rep"), col("rep").as("repOfRep"))
-      val updated = labels.join(neighborReps, Seq("id"), "left")
+      val cand = labels.join(neighborReps, Seq("id"), "left")
         .join(repOfRep, Seq("rep"), "left")
-        .select(col("id"),
+        .select(col("id"), col("rep"),
           least(col("rep"),
             coalesce(col("repOfRep"), col("rep")),
-            coalesce(col("minNeighborRep"), col("rep"))).as("rep"),
+            coalesce(col("minNeighborRep"), col("rep"))).as("cand"))
+      val hubMin = cand.groupBy(col("rep").as("hub"))
+        .agg(min(col("cand")).as("hubMin"))
+      val updated = cand
+        .join(hubMin.withColumnsRenamed(Map("hub" -> "rep")), Seq("rep"), "left")
+        .join(hubMin.withColumnsRenamed(
+          Map("hub" -> "id", "hubMin" -> "selfHubMin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cand"),
+            coalesce(col("hubMin"), col("cand")),
+            coalesce(col("selfHubMin"), col("cand"))).as("rep"),
           col("rep").as("prevRep"))
       val checkpointed = checkpointFlat(updated)
       val changed = checkpointed.filter(col("rep") =!= col("prevRep")).count()
@@ -402,10 +421,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // an unconverged assignment is silently WRONG (labels are intermediate)
+    // — round 12's CcBenefit witness caught exactly this shipping as a
+    // warning at sf10. Fail loudly; every caller wants the fixpoint.
     if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"connectedComponents: NOT converged after $maxIter iterations; " +
-          "labels may be intermediate. Raise maxIter (diameter exceeds it).")
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds; " +
+          "raise maxIter (component diameter exceeds the round budget)")
     // isolated nodes never iterate: one anti-join, rep = id
     val isolated = nodeIds.join(touched, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("rep"))
