@@ -516,6 +516,62 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Chunk-level exact dedup with DOCUMENT REWRITE (the paragraph-dedup
+    * pass of web-corpus pipelines — Dolma/RefinedWeb drop duplicated
+    * paragraphs from documents rather than dropping whole documents; this
+    * corpus has no newlines, so the unit is a fixed `chunkSize`-token
+    * window, the non-overlapping case of [[chunkTokens]]). A chunk
+    * occurrence SURVIVES iff it is the corpus-wide first occurrence of
+    * that exact chunk text, ordered by (doc id, chunk index) — repeats
+    * within one document dedup too. Each document is then reassembled
+    * from its surviving chunks in order (possibly to the empty string).
+    *
+    * Shape at scale: chunking rides the scan (one sequence-generate +
+    * slice per document, no shuffle); first-occurrence is ONE hash
+    * shuffle keyed on the chunk text — the same byte volume any exact
+    * dedup pays ([[graft.ext.Dedup.dedupExact]]) — with a min-struct
+    * aggregate, NOT a row_number window (min is partial-aggregable, so
+    * map-side combine collapses each partition's occurrences of a hot
+    * chunk to one row before the exchange; a window would ship every
+    * occurrence of the hottest chunk into one partition — the boilerplate
+    * chunks this pass exists to remove are exactly the skewed keys that
+    * would make that window fall over at corpus scale). Reassembly is a
+    * groupBy on the doc id with a sort of each doc's own ≤ n_chunks
+    * surviving entries. Output: (id, text_dedup, n_kept, n_chunks) for
+    * every input document, including rewritten-to-empty ones.
+    */
+  def chunkDedupRewrite(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    val chunks = chunkTokens(df, idCol, textCol, chunkSize, chunkSize)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"))
+    // corpus-wide first occurrence per exact chunk text: min over the
+    // (id, chunk_id) occurrence ordinal — partial-aggregable, skew-safe.
+    // The aggregate's output IS the surviving occurrence set (one row per
+    // distinct chunk, carrying where it first appeared), so no join back
+    // against the occurrence stream is needed.
+    val kept = chunks
+      .groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"))
+      .select(col("chunk_text"), col("__first").getField(idCol).as(idCol),
+        col("__first.chunk_id").as("chunk_id"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("text_dedup"),
+        count(lit(1)).cast("int").as("n_kept"))
+    val totals = chunks.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_chunks"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("n_chunks"), lit(0)).as("n_chunks"))
+  }
+
   /** Deterministic sequence packing: assign documents to fixed-token-budget
     * bins, per `domainCol` partition, in `orderCol` order — bin b holds the
     * documents whose preceding cumulative token count falls in

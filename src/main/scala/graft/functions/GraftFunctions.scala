@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{BloomMightContainLong, FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, NearestCellIds, NormalizeText, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, StringArrayExcludeSet, WordShingleHashes}
+import graft.functions.expressions.{BloomMightContainLong, FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, NearestCellIds, HashedBowScore, NormalizeText, PqAdcDot, PqEncode, PqLut, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, StringArrayExcludeSet, WordShingleHashes}
 
 /** Registry for the engine's native Catalyst expressions.
   *
@@ -70,6 +70,26 @@ object GraftFunctions {
     "graft_sq8_dot" -> (args =>
       Sq8DotDecoded(args(0), args(1), evalDoubleArray(args(2), "graft_sq8_dot mins"),
         evalDoubleArray(args(3), "graft_sq8_dot scales"))),
+    // pq_encode(vec, codebooks) / pq_lut(vec, codebooks) /
+    // pq_adc_dot(codes, lut, ksub): the codebook cube must be a foldable
+    // array<array<array<float>>> literal (the driver-fit PQ model), ksub an
+    // int literal matching the codebook's per-subspace centroid count
+    "graft_pq_encode" -> (args =>
+      PqEncode(args(0), evalFloatCube(args(1), "graft_pq_encode codebooks"))),
+    "graft_pq_lut" -> (args =>
+      PqLut(args(0), evalFloatCube(args(1), "graft_pq_lut codebooks"))),
+    "graft_pq_adc_dot" -> (args =>
+      PqAdcDot(args(0), args(1), evalInt(args(2), "graft_pq_adc_dot ksub"))),
+    // hashed_bow_score(text, weights, bias): the model must be foldable
+    // literals (array<double> weights, double bias)
+    "graft_hashed_bow_score" -> (args =>
+      HashedBowScore(args(0),
+        evalDoubleArray(args(1), "graft_hashed_bow_score weights").toSeq,
+        evalFolded(args(2), "graft_hashed_bow_score bias") match {
+          case d: Double => d
+          case other => analysisError(
+            s"graft_hashed_bow_score bias must be a DOUBLE literal, got $other")
+        })),
     // normalize_text(text, form): form must be a foldable string literal
     "graft_normalize_text" -> (args =>
       NormalizeText(args(0), evalFolded(args(1), "graft_normalize_text form") match {
@@ -126,6 +146,17 @@ object GraftFunctions {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
         (0 until a.numElements()).map(i => a.getArray(i).toFloatArray().toSeq)
       case other => analysisError(s"$what must be array<array<float>>, got $other")
+    }
+
+  private def evalFloatCube(e: Expression, what: String): Seq[Seq[Seq[Float]]] =
+    evalFolded(e, what) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { j =>
+          val sub = a.getArray(j)
+          (0 until sub.numElements()).map(c => sub.getArray(c).toFloatArray().toSeq)
+        }
+      case other =>
+        analysisError(s"$what must be array<array<array<float>>>, got $other")
     }
 
   def register(spark: SparkSession): Unit = synchronized {
@@ -197,6 +228,28 @@ object GraftFunctions {
   /** Dot product of two SQ8 codes, decoded on the fly (same grid). */
   def sq8Dot(a: Column, b: Column, mins: Array[Double], scales: Array[Double]): Column =
     call_function("graft_sq8_dot", a, b, dlit(mins), dlit(scales))
+
+  private def cubeLit(books: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.functions.typedLit(
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** PQ-encode an array<float> vector to m one-byte codes (binary). */
+  def pqEncode(vec: Column, books: Array[Array[Array[Float]]]): Column =
+    call_function("graft_pq_encode", vec, cubeLit(books))
+
+  /** Per-query flattened ADC lookup table (array<double>, m*ksub). */
+  def pqLut(vec: Column, books: Array[Array[Array[Float]]]): Column =
+    call_function("graft_pq_lut", vec, cubeLit(books))
+
+  /** ADC score: sum_j lut[j*ksub + codes[j]]. */
+  def pqAdcDot(codes: Column, lut: Column, ksub: Int): Column =
+    call_function("graft_pq_adc_dot", codes, lut,
+      org.apache.spark.sql.functions.lit(ksub))
+
+  /** Linear hashed-BoW text score: sigmoid(bias + sum w[h(tok) mod D]/n). */
+  def hashedBowScore(text: Column, weights: Array[Double], bias: Double): Column =
+    call_function("graft_hashed_bow_score", text, dlit(weights),
+      org.apache.spark.sql.functions.lit(bias))
 
   /** Unicode-normalize a string column (form: NFC/NFD/NFKC/NFKD). */
   def normalizeText(text: Column, form: String): Column =

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Recall, Similarity}
+import graft.functions.GraftFunctions
+
+/** Product quantization: encode determinism and nearest-centroid
+  * correctness, LUT/ADC algebra against explicit math, codegen vs
+  * interpreted agreement, the refine stage's exactness, and measured
+  * recall floors of both composed forms on the sf0.001 corpus.
+  */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 2 subspaces × 2 centroids × 2 dims — small enough to check by hand
+  private val books: Array[Array[Array[Float]]] = Array(
+    Array(Array(0f, 0f), Array(1f, 1f)),
+    Array(Array(1f, 0f), Array(0f, 2f)))
+
+  test("pqEncode picks the L2-nearest centroid per subspace; ties keep the smaller code") {
+    val df = Seq(
+      Tuple1(Array(0.1f, 0.2f, 0.9f, 0.1f)), // sub0 -> c0, sub1 -> c0
+      Tuple1(Array(0.9f, 0.8f, 0.2f, 1.6f)), // sub0 -> c1, sub1 -> c1
+      Tuple1(Array(0.5f, 0.5f, 0.1f, 1.9f))  // sub0 equidistant -> c0 (tie), sub1 -> c1
+    ).toDF("v").select(GraftFunctions.pqEncode(col("v"), books).as("c"))
+    val got = df.collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(got === Seq(Seq[Byte](0, 0), Seq[Byte](1, 1), Seq[Byte](0, 1)))
+  }
+
+  test("pqLut + pqAdcDot reconstruct the centroid inner product exactly") {
+    val q = Array(2f, 3f, -1f, 4f)
+    // lut layout: [q_sub0·c00, q_sub0·c01, q_sub1·c10, q_sub1·c11]
+    val expectedLut = Seq(0.0, 5.0, -1.0, 8.0)
+    val df = Seq(Tuple1(q)).toDF("qv")
+      .select(GraftFunctions.pqLut(col("qv"), books).as("lut"))
+    assert(df.head().getSeq[Double](0) === expectedLut)
+    // codes (1, 0) must score lut[1] + lut[2] = 4.0
+    val scored = Seq((Array[Byte](1, 0), q)).toDF("codes", "qv")
+      .select(GraftFunctions.pqAdcDot(col("codes"),
+        GraftFunctions.pqLut(col("qv"), books), 2).as("s"))
+    assert(scored.head().getDouble(0) === 4.0)
+  }
+
+  test("codegen and interpreted paths agree on all three kernels") {
+    val df = Seq(Tuple1(Array(0.3f, -0.7f, 1.2f, 0.4f))).toDF("v")
+      .select(
+        GraftFunctions.pqEncode(col("v"), books).as("c"),
+        GraftFunctions.pqLut(col("v"), books).as("l"))
+      .select(col("c"), col("l"),
+        GraftFunctions.pqAdcDot(col("c"), col("l"), 2).as("s"))
+    val wholestage = df.head()
+    val interpreted = {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try df.head() finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+    assert(wholestage.getAs[Array[Byte]](0).toSeq ===
+      interpreted.getAs[Array[Byte]](0).toSeq)
+    assert(wholestage.getSeq[Double](1) === interpreted.getSeq[Double](1))
+    assert(wholestage.getDouble(2) === interpreted.getDouble(2))
+  }
+
+  test("pqFit is deterministic and shapes m x ksub' x d/m") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val b1 = Similarity.pqFit(e, "vec_id", "embedding", m = 16, ksub = 64)
+    val b2 = Similarity.pqFit(e, "vec_id", "embedding", m = 16, ksub = 64)
+    assert(b1.length == 16)
+    assert(b1.forall(_.length == b1.head.length))
+    assert(b1.head.head.length == 4)
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq === b2.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("refine stage: rerank = corpus size makes pqTopK exactly the brute-force ranking") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+    // shortlist of 49 = every other vector: the refine re-ranks ALL
+    // candidates exactly, so the output must be hash-identical to brute
+    val refined = Similarity.pqTopK(e, q, "vec_id", "embedding", 5,
+      m = 16, ksub = 64, rerank = 49)
+    assert(rows(refined) === rows(exact))
+  }
+
+  test("recall floors: pq+refine >= 0.9, ivfpq >= 0.7 macro at sf0.001") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+    val pq = Recall.topKRecall(exact,
+        Similarity.pqTopK(e, q, "vec_id", "embedding", 5,
+          m = 16, ksub = 64, rerank = 50))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(pq >= 0.9, s"pq recall $pq")
+    val ivfpq = Recall.topKRecall(exact,
+        Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5,
+          nlist = 16, nprobe = 8, m = 16, ksub = 64, rerank = 50))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(ivfpq >= 0.7, s"ivfpq recall $ivfpq")
+  }
+
+  test("ADC-only ordering degrades gracefully: rerank=0 still returns k ranked rows per query") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.pqTopK(e, e.filter(col("vec_id") < 3), "vec_id",
+      "embedding", 5, m = 16, ksub = 64)
+    val shape = out.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), sum(col("rank")).as("rs"))
+      .collect()
+    assert(shape.length == 3)
+    assert(shape.forall(r => r.getLong(1) == 5 && r.getLong(2) == 15))
+  }
+}

@@ -325,4 +325,38 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().toSeq
     assert(top2 == Seq(("abcd", 2L, 2L), ("bcde", 2L, 2L)))
   }
+
+  test("chunkDedupRewrite: corpus-wide first occurrence survives, docs rewritten in order") {
+    import spark.implicits._
+    // chunkSize 2; tokens chosen so:
+    //  - doc 1's chunk "a b" is the corpus-wide first occurrence
+    //  - doc 2 repeats "a b" (cross-doc dup) and has a unique tail chunk "e"
+    //  - doc 3 repeats its OWN chunk "x y" twice (within-doc dup)
+    //  - doc 4 is entirely duplicate chunks -> rewritten to empty
+    //  - doc 5 is empty text -> 0 chunks, empty rewrite
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e"),
+      (3L, "x y x y"),
+      (4L, "a b c d"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis
+      .chunkDedupRewrite(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, "a b c d", 2, 2),
+      (2L, "e", 1, 2),
+      (3L, "x y", 1, 2),
+      (4L, "", 0, 2),
+      (5L, "", 0, 0)))
+  }
+
+  test("chunkDedupRewrite: within-doc order is by chunk index, not text order") {
+    import spark.implicits._
+    val docs = Seq((1L, "z z a a m m")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis
+      .chunkDedupRewrite(docs, "doc_id", "text", 2).collect()
+    assert(out.head.getString(1) === "z z a a m m")
+  }
 }
