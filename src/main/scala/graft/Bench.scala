@@ -53,7 +53,14 @@ object Bench {
         // one-shot CC they must equal; compaction witnesses run the whole
         // build+ingest lifecycle twice around the compact
         "q224_components_index_check", "q225_components_compact",
-        "q227_text_components_check", "q228_text_components_compact")
+        "q227_text_components_check", "q228_text_components_compact",
+        // PQ recall witnesses re-execute the approximate form AND the
+        // brute-force exact baseline; the classifier check re-runs q234's
+        // whole fit+score
+        "q230_pq_recall_check", "q232_ivfpq_recall_check",
+        "q235_classifier_check",
+        // PQ-index witnesses re-execute the whole lifecycle + comparator
+        "q237_pq_index_check", "q238_pq_index_compact")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

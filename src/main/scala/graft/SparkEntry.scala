@@ -3107,8 +3107,74 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_holdout"),
           (avg(when(col("predicted") === col("label"), 1.0).otherwise(0.0)) >= 0.95)
             .as("above_floor"))
+    }),
+
+    // ---- Persisted PQ index (q236-q238): the fourth index family. Codes
+    // written once (build on even vec_ids, frozen-codebook ingest of the
+    // odd crawl batch), probed by ADC scan + exact refine against the
+    // vector store. Approximate ordering → no oracle; q237 pins the
+    // lifecycle exactly against the in-memory comparator.
+    "q236_pq_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = pqIndexDir(dir)
+      Similarity.buildPqIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx)
+      Similarity.pqIndexIngest(s, idx, e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding")
+      Similarity.pqIndexTopK(s, idx, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, rerank = 50, vectors = Some(e))
+    }),
+
+    // q236 companion: build+frozen-ingest+probe ≡ the in-memory form given
+    // the SAME books (fit on the even half) over the same rows — empty
+    // symmetric diff, WHERE FALSE oracle.
+    "q237_pq_index_check" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val even = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val idx = pqIndexDir(dir) + "_chk"
+      Similarity.buildPqIndex(even, "vec_id", "embedding", idx)
+      Similarity.pqIndexIngest(s, idx, e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding")
+      val fromIndex = Similarity.pqIndexTopK(s, idx, q, "vec_id", "embedding", 5,
+        rerank = 50, vectors = Some(e))
+      val direct = Similarity.pqTopKWithBooks(e, q, "vec_id", "embedding", 5,
+        Similarity.pqFit(even, "vec_id", "embedding", m = 16, ksub = 64),
+        rerank = 50)
+      fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
+    }),
+
+    // q236 compaction witness: a REPLAYED ingest appends bit-identical
+    // rows (which would duplicate neighbors in top-k); compaction folds
+    // them and the probe equals the comparator again. Union with the
+    // post-compact duplicate-id frame (must both be empty).
+    "q238_pq_index_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val even = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val idx = pqIndexDir(dir) + "_cc"
+      Similarity.buildPqIndex(even, "vec_id", "embedding", idx)
+      Similarity.pqIndexIngest(s, idx, odd, "vec_id", "embedding")
+      Similarity.pqIndexIngest(s, idx, odd, "vec_id", "embedding") // replay
+      Similarity.pqIndexCompact(s, idx)
+      val fromIndex = Similarity.pqIndexTopK(s, idx, q, "vec_id", "embedding", 5,
+        rerank = 50, vectors = Some(e))
+      val direct = Similarity.pqTopKWithBooks(e, q, "vec_id", "embedding", 5,
+        Similarity.pqFit(even, "vec_id", "embedding", m = 16, ksub = 64),
+        rerank = 50)
+      val dupIds = s.read.parquet(s"$idx/codes")
+        .groupBy(col("neighbor_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(col("neighbor_id").as("query_id"),
+          col("neighbor_id"), lit(1).as("rank"))
+      fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
+        .unionByName(dupIds)
     })
   )
+
+  private def pqIndexDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_${new java.io.File(dir).getName}"
 
   /** Shared fixture of the classifier family (q234/q235): label =
     * count('window') > count('scan') per document — linearly separable in
@@ -5806,7 +5872,20 @@ object SparkEntry {
     // is deterministic: hash-spread sample, sequential GD, no RNG)
     "q235_classifier_check" -> """
       SELECT count(*) AS n_holdout, TRUE AS above_floor
-      FROM documents WHERE doc_id % 2 = 1"""
+      FROM documents WHERE doc_id % 2 = 1""",
+
+    // q237: PQ-index lifecycle (build + frozen-codebook ingest + probe)
+    // equals the in-memory comparator given the same books — empty
+    // symmetric diff, WHERE FALSE oracle
+    "q237_pq_index_check" -> """
+      SELECT vec_id AS query_id, vec_id AS neighbor_id, 1 AS rank
+      FROM embeddings WHERE FALSE""",
+
+    // q238: post-compaction probe identical and no duplicate code rows
+    // survive a replayed ingest — WHERE FALSE oracle
+    "q238_pq_index_compact" -> """
+      SELECT vec_id AS query_id, vec_id AS neighbor_id, 1 AS rank
+      FROM embeddings WHERE FALSE"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →
@@ -5935,12 +6014,13 @@ object SparkEntry {
       "q226_text_components_index" -> "id:bigint,rep:bigint",
       "q229_pq_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int",
       "q234_quality_classifier" -> "doc_id:bigint,score:double,predicted:boolean",
+      "q236_pq_index" -> "query_id:bigint,neighbor_id:bigint,rank:int",
       "q231_ivfpq_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int")
     val rows = Map(
       "sf0.001" -> Map(
         "q226_text_components_index" -> 500L,
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q234_quality_classifier" -> 250L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17274L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q234_quality_classifier" -> 250L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17274L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 62L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -5954,7 +6034,7 @@ object SparkEntry {
       "sf0.01" -> Map(
         "q226_text_components_index" -> 500L,
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q234_quality_classifier" -> 250L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17037L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q234_quality_classifier" -> 250L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17037L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 51L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -5968,7 +6048,7 @@ object SparkEntry {
       "sf0.1" -> Map(
         "q226_text_components_index" -> 5000L,
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q234_quality_classifier" -> 2500L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 1000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q234_quality_classifier" -> 2500L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 1000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 848L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -5982,7 +6062,7 @@ object SparkEntry {
       "sf1" -> Map(
         "q226_text_components_index" -> 50000L,
         "q27_minhash_lsh" -> 29682497L, "q28_simhash" -> 6190L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q234_quality_classifier" -> 25000L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 10000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q234_quality_classifier" -> 25000L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 10000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 89697L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -6003,7 +6083,7 @@ object SparkEntry {
       "sf10" -> Map(
         "q226_text_components_index" -> 500000L,
         "q30_lsh_topk" -> 50L, "q53_approx_distinct" -> 3L,
-        "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q234_quality_classifier" -> 250000L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 100000L, "q70_lsh_recall" -> 10L,
+        "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q234_quality_classifier" -> 250000L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 100000L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q174_pair_budget" -> 1L,

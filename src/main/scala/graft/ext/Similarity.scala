@@ -695,22 +695,8 @@ object Similarity {
       vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
       fitSample: Int = 4096, iters: Int = 10, rerank: Int = 0): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val books = pqFit(corpus, idCol, vecCol, m, ksub, fitSample, iters)
-    val kEff = books.head.length
-    val nl = typedLit(pqNormLut(books))
-    val q = queries.select(col(idCol).as("query_id"),
-        GraftFunctions.pqLut(col(vecCol), books).as("lut"),
-        norm(col(vecCol)).as("qn"))
-    val c = corpus
-      .select(col(idCol).as("neighbor_id"),
-        GraftFunctions.pqEncode(col(vecCol), books).as("codes"))
-      .withColumn("cn", sqrt(GraftFunctions.pqAdcDot(col("codes"), nl, kEff)))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (GraftFunctions.pqAdcDot(col("codes"), col("lut"), kEff) /
-          (col("qn") * col("cn"))).as("cos"))
-    rerankExact(heapTopK(scored, math.max(k, rerank)), corpus, queries,
-      idCol, vecCol, k, rerank)
+    pqTopKWithBooks(corpus, queries, idCol, vecCol, k,
+      pqFit(corpus, idCol, vecCol, m, ksub, fitSample, iters), rerank)
   }
 
   /** The refine stage of the PQ plans (FAISS's IndexRefineFlat): take the
@@ -1161,5 +1147,139 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
     heapTopK(cand, k)
+  }
+
+  // ---- Persisted PQ index: the fourth index family (MinHash sets, IVF
+  // cells, 64-bit signatures, PQ codes). The scaladoc claim of [[pqTopK]]
+  // — "at production scale the codes would be written once at ingest" —
+  // made real: `codes/` stores m bytes + one norm per vector (for the
+  // 64-dim corpus at m=16, ~24 bytes/row vs 256 of float32), `codebooks/`
+  // stores the frozen model, and every query batch ADC-scans the codes
+  // WITHOUT touching a float vector or re-fitting anything. There is no
+  // partitioning: the ADC scan IS the probe — compression, not pruning,
+  // is this family's scale lever (compose with the IVF index when both
+  // are needed; [[ivfPqTopK]] is that composition in memory).
+
+  /** Build: fit codebooks on `corpus` (bounded sample, [[pqFit]]), write
+    * the model to `codebooks/` and the encoded corpus to `codes/`.
+    */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, m: Int = 16, ksub: Int = 64, fitSample: Int = 4096,
+      pqIters: Int = 10): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqFit(corpus, idCol, vecCol, m, ksub, fitSample, pqIters)
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    encodedCodes(corpus, idCol, vecCol, books)
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+  }
+
+  /** The stored row form: (neighbor_id, codes: binary, cn: double) — the
+    * reconstructed norm is precomputed at WRITE time (one static-LUT ADC
+    * pass), so probes pay only the per-query table.
+    */
+  private def encodedCodes(df: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    val nl = typedLit(pqNormLut(books))
+    df.select(col(idCol).as("neighbor_id"),
+        GraftFunctions.pqEncode(col(vecCol), books).as("codes"))
+      .withColumn("cn",
+        sqrt(GraftFunctions.pqAdcDot(col("codes"), nl, books.head.length)))
+  }
+
+  /** The index's model, read back: a model-parameter collect of m × ksub
+    * rows, reassembled positionally ([[buildPqIndex]] writes complete
+    * 0..m−1 × 0..ksub−1 ranges).
+    */
+  def readPqCodebooks(spark: SparkSession, indexDir: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$indexDir/codebooks")
+      .select(col("subspace"), col("code"), col("centroid")).collect()
+    require(rows.nonEmpty, s"readPqCodebooks: empty model at $indexDir/codebooks")
+    val m = rows.map(_.getInt(0)).max + 1
+    Array.tabulate(m) { j =>
+      rows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Float](2).toArray)
+    }
+  }
+
+  /** Ingest: encode `incoming` against the FROZEN codebooks and append —
+    * O(|batch|) per crawl batch, no re-fit, no corpus touch (the same
+    * frozen-quantizer contract as [[ivfIndexIngest]]; codebook drift is a
+    * rebuild, not an ingest).
+    */
+  def pqIndexIngest(spark: SparkSession, indexDir: String, incoming: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    GraftFunctions.register(spark)
+    encodedCodes(incoming, idCol, vecCol, readPqCodebooks(spark, indexDir))
+      .write.mode("append").parquet(s"$indexDir/codes")
+  }
+
+  /** Probe: ADC-rank the stored codes for a query batch; with
+    * `rerank > k` and the float `vectors` table supplied (at production
+    * scale, the vector store the codes were encoded from), the shortlist
+    * is re-ranked exactly ([[rerankExact]] — only rerank × |queries|
+    * float vectors are touched).
+    */
+  def pqIndexTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, rerank: Int = 0,
+      vectors: Option[DataFrame] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val books = readPqCodebooks(spark, indexDir)
+    val kEff = books.head.length
+    val q = queries.select(col(idCol).as("query_id"),
+        GraftFunctions.pqLut(col(vecCol), books).as("lut"),
+        norm(col(vecCol)).as("qn"))
+    val scored = spark.read.parquet(s"$indexDir/codes")
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (GraftFunctions.pqAdcDot(col("codes"), col("lut"), kEff) /
+          (col("qn") * col("cn"))).as("cos"))
+    val shortlist = heapTopK(scored, math.max(k, rerank))
+    vectors match {
+      case Some(v) if rerank > k =>
+        rerankExact(shortlist, v, queries, idCol, vecCol, k, rerank)
+      case _ => shortlist.filter(col("rank") <= k)
+    }
+  }
+
+  /** Compact: fold the appended code files into one file set and drop
+    * bit-identical replayed rows (a replayed ingest appends duplicate
+    * (id, codes, cn) rows, which would duplicate neighbor rows in top-k
+    * output — the [[ivfIndexCompact]] contract). Codebooks untouched;
+    * crash-safe via the backup-rename swap.
+    */
+  def pqIndexCompact(spark: SparkSession, indexDir: String): Unit = {
+    val tmp = s"$indexDir/codes_compacting"
+    spark.read.parquet(s"$indexDir/codes")
+      .dropDuplicates()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    Dedup.swapIn(spark, tmp, s"$indexDir/codes")
+  }
+
+  /** [[pqTopK]] with a caller-supplied model — the comparator the
+    * persisted-index witnesses need (q237: index built on a prefix +
+    * frozen-codebook ingest of the rest must equal the in-memory form
+    * given the SAME books over the same rows).
+    */
+  def pqTopKWithBooks(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, books: Array[Array[Array[Float]]],
+      rerank: Int = 0): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val kEff = books.head.length
+    val q = queries.select(col(idCol).as("query_id"),
+        GraftFunctions.pqLut(col(vecCol), books).as("lut"),
+        norm(col(vecCol)).as("qn"))
+    val scored = encodedCodes(corpus, idCol, vecCol, books)
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (GraftFunctions.pqAdcDot(col("codes"), col("lut"), kEff) /
+          (col("qn") * col("cn"))).as("cos"))
+    rerankExact(heapTopK(scored, math.max(k, rerank)), corpus, queries,
+      idCol, vecCol, k, rerank)
   }
 }

@@ -23,7 +23,20 @@ import org.apache.spark.sql.functions._
 object CcBenefit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val moduli = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1000, 10)
+    val rest = args.drop(1).toSeq
+    // optional family filter ("sig" / "text") before the moduli — at sf10
+    // one 48 GB JVM does not survive both families back to back (the
+    // checkpointed frames of earlier sections are still live and pinned
+    // when the text identity check needs the heap; measured OOM in the
+    // first sf10 run) — run each family, or each modulus, in its own JVM
+    val families = rest.headOption match {
+      case Some("sig") | Some("text") => Set(rest.head)
+      case _ => Set("sig", "text")
+    }
+    val moduli = rest.filter(_.forall(_.isDigit)) match {
+      case Nil => Seq(1000, 10)
+      case ms => ms.map(_.toInt)
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
@@ -32,6 +45,7 @@ object CcBenefit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = graft.sources.Tables.load(spark, sfDir, "documents")
+
 
     def time(tag: String)(f: => Long): Double = (1 to 2).map { i =>
       val t = System.nanoTime()
@@ -53,7 +67,7 @@ object CcBenefit {
       .select(col("media_id").as("id"), col("dhash").as("sig"))
       .localCheckpoint()
 
-    moduli.foreach { m =>
+    if (families("sig")) moduli.foreach { m =>
       println(s"== SIGNATURE family, modulus $m (batch = ${100.0 / m}% of docs) ==")
       val corpus = sig.filter(pmod(col("id"), lit(m)) =!= 0).localCheckpoint()
       val batch = sig.filter(pmod(col("id"), lit(m)) === 0).localCheckpoint()
@@ -95,7 +109,7 @@ object CcBenefit {
         f"row-diff=$diff " + (if (diff == 0) "IDENTICAL" else "MISMATCH"))
     }
 
-    moduli.foreach { m =>
+    if (families("text")) moduli.foreach { m =>
       println(s"== TEXT family, modulus $m (batch = ${100.0 / m}% of docs) ==")
       val corpus = d.filter(pmod(col("doc_id"), lit(m)) =!= 0)
       val batch = d.filter(pmod(col("doc_id"), lit(m)) === 0)

@@ -107,4 +107,28 @@ class PqSpec extends SparkTestBase {
     assert(shape.length == 3)
     assert(shape.forall(r => r.getLong(1) == 5 && r.getLong(2) == 15))
   }
+
+  test("persisted PQ index: codebook roundtrip exact; lifecycle probe equals in-memory comparator; compact folds replay") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val even = e.filter(col("vec_id") % 2 === 0)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    Similarity.buildPqIndex(even, "vec_id", "embedding", idx)
+    val books = Similarity.pqFit(even, "vec_id", "embedding", m = 16, ksub = 64)
+    val read = Similarity.readPqCodebooks(spark, idx)
+    assert(read.map(_.map(_.toSeq).toSeq).toSeq === books.map(_.map(_.toSeq).toSeq).toSeq)
+    Similarity.pqIndexIngest(spark, idx, odd, "vec_id", "embedding")
+    Similarity.pqIndexIngest(spark, idx, odd, "vec_id", "embedding") // replay
+    Similarity.pqIndexCompact(spark, idx)
+    // no duplicate rows survive compaction
+    val dupes = spark.read.parquet(s"$idx/codes")
+      .groupBy(col("neighbor_id")).count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+    val q = e.filter(col("vec_id") < 5)
+    val fromIndex = Similarity.pqIndexTopK(spark, idx, q, "vec_id", "embedding", 5,
+      rerank = 20, vectors = Some(e))
+    val direct = Similarity.pqTopKWithBooks(e, q, "vec_id", "embedding", 5, books,
+      rerank = 20)
+    assert(rows(fromIndex) === rows(direct))
+  }
 }
