@@ -3170,8 +3170,69 @@ object SparkEntry {
           col("neighbor_id"), lit(1).as("rank"))
       fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
         .unionByName(dupIds)
+    }),
+
+    // ---- Persisted chunk-hash index (q239/q240): chunk-level dedup at
+    // crawl cadence — new docs drop chunks already admitted corpus-wide,
+    // O(|batch|) per batch, the corpus never re-shuffles. The incremental
+    // rewrite of the batch EQUALS the batch form (q233) restricted to the
+    // batch's ids when ids arrive in nondecreasing ranges — so q239 has
+    // the exact DuckDB oracle, not just a pin.
+    "q239_chunk_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val split = chunkSplitId(d)
+      val idx = pqIndexDir(dir).replace("pq_index", "chunk_index")
+      TextAnalysis.buildChunkIndex(d.filter(col("doc_id") < split),
+        "doc_id", "text", 10, idx)
+      TextAnalysis.chunkIndexIngest(s, idx, d.filter(col("doc_id") >= split),
+        "doc_id", "text", 10)
+    }),
+
+    // q239 companion: two waves + a REPLAYED wave — (a) incremental wave
+    // outputs equal the batch form restricted to the waves' ids, (b) the
+    // replayed wave keeps ZERO chunks (every hash is already admitted),
+    // (c) compaction leaves exactly the distinct hash set. All three
+    // guards emit rows only on violation — WHERE FALSE oracle.
+    "q240_chunk_index_check" -> ((s, dir) => {
+      val d = t(s, dir, "documents").localCheckpoint()
+      val split = chunkSplitId(d)
+      val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+      val mid = (split + mx + 1) / 2 // midpoint of the batch id range
+      val idx = pqIndexDir(dir).replace("pq_index", "chunk_index") + "_chk"
+      TextAnalysis.buildChunkIndex(d.filter(col("doc_id") < split),
+        "doc_id", "text", 10, idx)
+      val waveA = TextAnalysis.chunkIndexIngest(s, idx,
+        d.filter(col("doc_id") >= split && col("doc_id") < mid),
+        "doc_id", "text", 10).localCheckpoint()
+      val waveB = TextAnalysis.chunkIndexIngest(s, idx,
+        d.filter(col("doc_id") >= mid), "doc_id", "text", 10).localCheckpoint()
+      val replayB = TextAnalysis.chunkIndexIngest(s, idx,
+        d.filter(col("doc_id") >= mid), "doc_id", "text", 10).localCheckpoint()
+      TextAnalysis.chunkIndexCompact(s, idx)
+      val incremental = waveA.unionByName(waveB)
+      val full = TextAnalysis.chunkDedupRewrite(d, "doc_id", "text", 10)
+        .filter(col("doc_id") >= split)
+      val survivorsOnReplay = replayB.filter(col("n_kept") > 0)
+      val hashes = s.read.parquet(s"$idx/chunks")
+      val dupHashGuard = hashes.groupBy(col("chash")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(col("chash").as("doc_id"), lit("dup-hash").as("text_dedup"),
+          lit(1).as("n_kept"), lit(1).as("n_chunks"))
+      incremental.exceptAll(full).unionByName(full.exceptAll(incremental))
+        .unionByName(survivorsOnReplay)
+        .unionByName(dupHashGuard)
     })
   )
+
+  /** Scale-invariant range split for the chunk-index family: the id at
+    * which the "batch" begins — ceil((max+1)/2) of the frame's id range
+    * (a 1-row bounded aggregate, never a data pass). SQL analog:
+    * `doc_id * 2 >= max(doc_id) + 1`.
+    */
+  private def chunkSplitId(d: DataFrame): Long = {
+    val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+    (mx + 2) / 2
+  }
 
   private def pqIndexDir(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_${new java.io.File(dir).getName}"
@@ -5885,7 +5946,41 @@ object SparkEntry {
     // survive a replayed ingest — WHERE FALSE oracle
     "q238_pq_index_compact" -> """
       SELECT vec_id AS query_id, vec_id AS neighbor_id, 1 AS rank
-      FROM embeddings WHERE FALSE"""
+      FROM embeddings WHERE FALSE""",
+
+    // q239: the crawl-cadence chunk-index rewrite equals the BATCH form
+    // (q233's exact recompute) restricted to the batch's ids — same CTE
+    // chain, one extra range filter (arrival order == id order here)
+    "q239_chunk_index" -> s"""
+      WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+      d AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+      s AS (SELECT doc_id, t, n,
+              unnest(generate_series(0, n - 1, 10)) AS start FROM d),
+      ch AS (SELECT doc_id, CAST(start // 10 AS INT) AS cidx,
+               array_to_string(t[start + 1 : start + 10], ' ') AS chunk
+             FROM s),
+      kept AS (SELECT chunk, min(struct_pack(doc_id := doc_id, cidx := cidx)) AS f
+               FROM ch GROUP BY chunk),
+      surv AS (SELECT f.doc_id AS doc_id, f.cidx AS cidx, chunk FROM kept),
+      agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS text_dedup,
+                CAST(count(*) AS INT) AS n_kept
+              FROM surv GROUP BY doc_id),
+      tot AS (SELECT doc_id, CAST(count(*) AS INT) AS n_chunks
+              FROM ch GROUP BY doc_id)
+      SELECT doc.doc_id,
+             coalesce(agg.text_dedup, '') AS text_dedup,
+             coalesce(agg.n_kept, 0) AS n_kept,
+             coalesce(tot.n_chunks, 0) AS n_chunks
+      FROM documents doc
+      LEFT JOIN agg ON doc.doc_id = agg.doc_id
+      LEFT JOIN tot ON doc.doc_id = tot.doc_id
+      WHERE doc.doc_id * 2 >= (SELECT max(doc_id) + 1 FROM documents)""",
+
+    // q240: wave-equality, replay-emptiness, and compaction-distinctness
+    // guards all emit rows only on violation — WHERE FALSE oracle
+    "q240_chunk_index_check" -> """
+      SELECT doc_id, '' AS text_dedup, 0 AS n_kept, 0 AS n_chunks
+      FROM documents WHERE FALSE"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →

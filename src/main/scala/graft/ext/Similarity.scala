@@ -1254,9 +1254,12 @@ object Similarity {
     */
   def pqIndexCompact(spark: SparkSession, indexDir: String): Unit = {
     val tmp = s"$indexDir/codes_compacting"
+    // dropDuplicates already shuffles, so the rewrite lands in
+    // spark.sql.shuffle.partitions files — bounded file count WITHOUT a
+    // coalesce(1) (which at corpus scale would funnel the whole codes
+    // table through one task and write one unsplittable file)
     spark.read.parquet(s"$indexDir/codes")
       .dropDuplicates()
-      .coalesce(1)
       .write.mode("overwrite").parquet(tmp)
     Dedup.swapIn(spark, tmp, s"$indexDir/codes")
   }

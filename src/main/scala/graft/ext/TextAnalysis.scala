@@ -572,6 +572,137 @@ object TextAnalysis {
         coalesce(col("n_chunks"), lit(0)).as("n_chunks"))
   }
 
+  /** Persisted chunk-hash index: [[chunkDedupRewrite]] at crawl cadence.
+    * The batch form must re-shuffle the WHOLE corpus's chunk text to find
+    * first occurrences; a crawl pipeline instead keeps every chunk hash it
+    * has ever admitted in an append-only table and pays O(|batch|) per
+    * batch — new docs drop chunks already seen corpus-wide (and earlier in
+    * the same batch), exactly the Dolma/CCNet "seen-paragraph" pass.
+    *
+    * `chunks/` stores ONE 8-byte xxhash64 per admitted chunk — not the
+    * text. Collisions silently drop a novel chunk; at 2⁶⁴ the birthday
+    * bound keeps P(any collision) under ~0.3% at 10 B distinct chunks,
+    * the same accepted tradeoff as Bloom-filter paragraph dedup in
+    * production crawls (which tolerates MORE, a tunable false-positive
+    * rate, for even less space). The differential witness (q239/q240)
+    * runs at corpora far below the bound, so incremental ≡ batch-rewrite
+    * is still checked EXACTLY.
+    *
+    * Replay-tolerance: a replayed ingest re-appends hashes the table
+    * already holds — harmless, the probe is an existence anti-join
+    * (duplicates change nothing); [[chunkIndexCompact]] folds them away.
+    * Ordering contract: arrival order IS first-occurrence order, so the
+    * incremental rewrite of a batch equals [[chunkDedupRewrite]] over
+    * (everything ingested so far ∪ batch) restricted to the batch's ids
+    * iff ids arrive in nondecreasing ranges (the q118/q129 convention).
+    */
+  def buildChunkIndex(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, indexDir: String): Unit = {
+    val chunks = chunkTokens(df, idCol, textCol, chunkSize, chunkSize)
+    chunks
+      .select(xxhash64(col("chunk_text")).as("chash"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/chunks")
+  }
+
+  /** Ingest one crawl batch: returns the REWRITTEN batch (the q233 output
+    * contract — (id, text_dedup, n_kept, n_chunks) for every batch doc)
+    * and appends the surviving chunks' hashes. Cost per batch: chunk the
+    * batch (rides the scan), one within-batch first-occurrence aggregate
+    * (|batch| chunks), one anti-join against the index's 8-byte hash
+    * column (bloom/DPP-prunable at scale), two narrow writes — the corpus
+    * is never touched.
+    */
+  /** The pure half of the ingest: the batch's SURVIVING chunk
+    * occurrences — within-batch first occurrence (the same min-struct
+    * shape as the batch form) that is also novel corpus-wide (anti-join
+    * on the index's hash column). No writes: callers that need
+    * crash-safety persist their rewritten output FIRST and then
+    * [[chunkIndexAdmit]] the survivors — admitting before the output is
+    * durable would make a replayed batch rewrite itself to empty and
+    * lose the store content (the half-written-index failure class of the
+    * round-11 streaming-sink advisory).
+    */
+  def chunkIndexProbe(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
+    val chunks = chunkTokens(batch, idCol, textCol, chunkSize, chunkSize)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        xxhash64(col("chunk_text")).as("chash"))
+    val firstInBatch = chunks
+      .groupBy(col("chash"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"),
+        // same-hash texts are identical short of a 64-bit collision; min
+        // keeps the pick deterministic even then
+        min(col("chunk_text")).as("chunk_text"))
+      .select(col("chash"), col("chunk_text"),
+        col("__first").getField(idCol).as(idCol),
+        col("__first.chunk_id").as("chunk_id"))
+    firstInBatch.join(spark.read.parquet(s"$indexDir/chunks"),
+      Seq("chash"), "left_anti")
+  }
+
+  /** Reassemble the rewritten batch from its surviving occurrences —
+    * the q233 output contract, (id, text_dedup, n_kept, n_chunks) for
+    * every batch doc.
+    */
+  def chunkIndexRewrite(batch: DataFrame, surviving: DataFrame,
+      idCol: String, textCol: String, chunkSize: Int): DataFrame = {
+    val kept = surviving
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("text_dedup"),
+        count(lit(1)).cast("int").as("n_kept"))
+    val totals = chunkTokens(batch, idCol, textCol, chunkSize, chunkSize)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_chunks"))
+    batch.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("n_chunks"), lit(0)).as("n_chunks"))
+  }
+
+  /** Admit survivors: append their hashes. Call AFTER the rewritten
+    * output is durable (see [[chunkIndexProbe]]).
+    */
+  def chunkIndexAdmit(surviving: DataFrame, indexDir: String): Unit =
+    surviving.select(col("chash"))
+      .write.mode("append").parquet(s"$indexDir/chunks")
+
+  /** Batch convenience: probe → rewrite → admit in one call. The caller
+    * gets the rewritten frame AFTER the hashes are admitted, so this
+    * form is for batch jobs whose output is the returned frame itself;
+    * streaming sinks sequence the three steps around their store write
+    * ([[graft.streaming.Streams.indexedChunkDedupIngestSink]]).
+    */
+  def chunkIndexIngest(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
+    val surviving = chunkIndexProbe(spark, indexDir, batch, idCol, textCol,
+      chunkSize).localCheckpoint() // the admit append below must not
+                                   // observe its own output mid-plan
+    chunkIndexAdmit(surviving, indexDir)
+    chunkIndexRewrite(batch, surviving, idCol, textCol, chunkSize)
+  }
+
+  /** Fold replayed appends and small files into one deduplicated file
+    * set (crash-safe backup-rename swap; the [[graft.ext.Dedup]] index
+    * compaction contract).
+    */
+  def chunkIndexCompact(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val tmp = s"$indexDir/chunks_compacting"
+    spark.read.parquet(s"$indexDir/chunks")
+      .distinct()
+      .write.mode("overwrite").parquet(tmp)
+    Dedup.swapIn(spark, tmp, s"$indexDir/chunks")
+  }
+
   /** Deterministic sequence packing: assign documents to fixed-token-budget
     * bins, per `domainCol` partition, in `orderCol` order — bin b holds the
     * documents whose preceding cumulative token count falls in

@@ -764,4 +764,109 @@ object Streams {
             .parquet(targetPath): Unit
       }
       .start()
+
+  /** Streaming QUALITY GATE — score each micro-batch with a FROZEN
+    * pre-fit [[graft.ext.Classifier.LogRegModel]] (train before the
+    * stream starts; model drift is a redeploy, not a micro-batch
+    * concern) and keep rows scoring ≥ `threshold`. Completely stateless:
+    * one codegen'd scoring pass per batch, no index, no shuffle, and the
+    * `batch_id`-partitioned dynamic overwrite makes replay trivially
+    * idempotent — the same batch rescores to the same decisions. The
+    * crawl-pipeline shape: langid/quality heuristics upstream, the
+    * trained filter here, dedup sinks downstream.
+    */
+  def classifierGateSink(
+      df: DataFrame,
+      targetPath: String,
+      model: graft.ext.Classifier.LogRegModel,
+      textCol: String,
+      checkpointDir: String,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        val scored = batch.toDF()
+          .withColumn("score",
+            graft.ext.Classifier.scoreCol(col(textCol), model))
+          .filter(col("score") >= threshold)
+        if (!scored.isEmpty)
+          scored.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(targetPath): Unit
+      }
+      .start()
+
+  /** Streaming CHUNK-DEDUP ingest — the chunk-hash index
+    * ([[graft.ext.TextAnalysis.chunkIndexIngest]]) at crawl cadence:
+    * each micro-batch's documents are rewritten with every
+    * already-admitted chunk removed (corpus-wide, then
+    * earlier-in-batch), survivors land in the store and their chunk
+    * hashes append to the index — O(|batch|) per batch, the corpus
+    * never re-shuffles. Documents rewritten to EMPTY are dropped from
+    * the store (the curation decision), which is also what makes replay
+    * safe: a replayed batch finds all its chunks already admitted,
+    * rewrites everything to empty, and writes nothing — the store keeps
+    * the original batch's output. Bootstrap is gated on `chunks/`
+    * existence; replayed hash appends are anti-join-tolerated duplicates
+    * folded by [[graft.ext.TextAnalysis.chunkIndexCompact]].
+    */
+  def indexedChunkDedupIngestSink(
+      df: DataFrame,
+      targetPath: String,
+      indexDir: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      chunkSize: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // at-least-once sources repeat rows within a batch
+        val b = batch.toDF().dropDuplicates(idCol)
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val bootstrapped = fs.exists(
+          new org.apache.hadoop.fs.Path(s"$indexDir/chunks"))
+        // store BEFORE admit, in both branches: once hashes are admitted
+        // a replayed batch rewrites itself to empty and skips the store
+        // write, so admitting first + crashing before the store write
+        // would lose the batch's content forever. With this order a
+        // crash replays the same probe (hashes not yet admitted) into
+        // the same dynamic-overwrite partition — idempotent.
+        if (!bootstrapped) {
+          val out = graft.ext.TextAnalysis
+            .chunkDedupRewrite(b, idCol, textCol, chunkSize)
+            .filter(col("n_kept") > 0).localCheckpoint()
+          if (!out.isEmpty)
+            out.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(targetPath)
+          graft.ext.TextAnalysis.buildChunkIndex(b, idCol, textCol,
+            chunkSize, indexDir)
+        } else {
+          val surviving = graft.ext.TextAnalysis
+            .chunkIndexProbe(spark, indexDir, b, idCol, textCol, chunkSize)
+            .localCheckpoint()
+          val kept = graft.ext.TextAnalysis
+            .chunkIndexRewrite(b, surviving, idCol, textCol, chunkSize)
+            .filter(col("n_kept") > 0)
+          if (!kept.isEmpty)
+            kept.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(targetPath)
+          graft.ext.TextAnalysis.chunkIndexAdmit(surviving, indexDir)
+        }
+      }
+      .start()
 }

@@ -538,4 +538,64 @@ class StreamsSpec extends SparkTestBase {
         30L -> 2L, 40L -> 2L, 50L -> 50L))
     } finally q.stop()
   }
+
+  test("classifierGateSink keeps rows scoring above the frozen model's threshold; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_clsgate").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_clsgate_cp").toString
+    // frozen model: weight mass on the bucket of token "good" — docs
+    // containing it score ~sigmoid(positive), others sigmoid(0)=0.5
+    val (h, n) = graft.functions.expressions.WordShingleHashes.tokenHashes(
+      org.apache.spark.unsafe.types.UTF8String.fromString("good"))
+    assert(n == 1)
+    val w = new Array[Double](64)
+    w(java.lang.Math.floorMod(h(0), 64L).toInt) = 8.0
+    val model = graft.ext.Classifier.LogRegModel(w, bias = -2.0)
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.classifierGateSink(
+      input.toDS().toDF("doc_id", "text"), s"$dir/t", model, "text", cp,
+      threshold = 0.5)
+    try {
+      input.addData((1L, "good stuff here"), (2L, "bad junk"), (3L, "more good text"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/t")
+      assert(got.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+      // scores ride along for downstream thresholding audits
+      assert(got.columns.contains("score"))
+      // next batch: the gate is stateless — same text, same decision
+      input.addData((4L, "bad junk"), (5L, "good"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/t")
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("indexedChunkDedupIngestSink drops admitted chunks across batches; empty rewrites dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunksink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_chunksink_cp").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.indexedChunkDedupIngestSink(
+      input.toDS().toDF("doc_id", "text"), s"$dir/t", s"$dir/idx",
+      "doc_id", "text", cp, chunkSize = 2)
+    try {
+      // batch 1 bootstraps: doc 2 repeats doc 1's chunk "a b" in-batch
+      input.addData((1L, "a b c d"), (2L, "a b e f"))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(s"$dir/t")
+      assert(s1.select("doc_id", "text_dedup").as[(Long, String)].collect().toSet
+        == Set((1L, "a b c d"), (2L, "e f")))
+      // batch 2: doc 3 only repeats admitted chunks -> rewritten empty ->
+      // DROPPED from the store; doc 4 keeps its novel tail
+      input.addData((3L, "c d e f"), (4L, "c d g h"))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(s"$dir/t")
+      assert(s2.select("doc_id", "text_dedup").as[(Long, String)].collect().toSet
+        == Set((1L, "a b c d"), (2L, "e f"), (4L, "g h")))
+      // the index holds each admitted chunk hash exactly once pre-compact
+      val hashes = spark.read.parquet(s"$dir/idx/chunks")
+      assert(hashes.count() == hashes.distinct().count())
+      assert(hashes.count() == 4) // "a b", "c d", "e f", "g h"
+    } finally q.stop()
+  }
 }

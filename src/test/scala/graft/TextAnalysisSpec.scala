@@ -359,4 +359,33 @@ class TextAnalysisSpec extends SparkTestBase {
       .chunkDedupRewrite(docs, "doc_id", "text", 2).collect()
     assert(out.head.getString(1) === "z z a a m m")
   }
+
+  test("chunkIndexIngest: incremental waves equal the batch rewrite; replay keeps zero chunks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),      // corpus
+      (2L, "a b e f"),      // wave A: "a b" already admitted
+      (3L, "e f g h"),      // wave B: "e f" admitted by wave A
+      (4L, "g h g h")).toDF("doc_id", "text") // wave B: within-doc repeat
+    val idx = java.nio.file.Files.createTempDirectory("graft_chunk_idx").toString
+    graft.ext.TextAnalysis.buildChunkIndex(
+      docs.filter(col("doc_id") === 1), "doc_id", "text", 2, idx)
+    val waveA = graft.ext.TextAnalysis.chunkIndexIngest(spark, idx,
+      docs.filter(col("doc_id") === 2), "doc_id", "text", 2)
+    val waveB = graft.ext.TextAnalysis.chunkIndexIngest(spark, idx,
+      docs.filter(col("doc_id") > 2), "doc_id", "text", 2)
+    val incremental = waveA.unionByName(waveB)
+    val full = graft.ext.TextAnalysis.chunkDedupRewrite(docs, "doc_id", "text", 2)
+      .filter(col("doc_id") > 1)
+    assert(rows(incremental) === rows(full))
+    assert(rows(waveA) === Set(Seq(2L, "e f", 1, 2)))
+    // replay: every chunk of waveB is already admitted
+    val replay = graft.ext.TextAnalysis.chunkIndexIngest(spark, idx,
+      docs.filter(col("doc_id") > 2), "doc_id", "text", 2)
+    assert(replay.filter(col("n_kept") > 0).count() == 0)
+    // compaction folds the replayed hash appends to the distinct set
+    graft.ext.TextAnalysis.chunkIndexCompact(spark, idx)
+    val hashes = spark.read.parquet(s"$idx/chunks")
+    assert(hashes.count() == hashes.distinct().count())
+  }
 }
