@@ -1658,6 +1658,17 @@ object Dedup {
     * comps/, and LAST the batch signatures into sigs/, so any signature
     * a future probe can match already has its assignment row. A replayed
     * batch recomputes bit-identical appends (dedup at read).
+    *
+    * Measured regime (BASELINE round-12 CcBenefit, sf10 = 500 k rows):
+    * for STORED fixed-width signatures, full [[signatureComponents]]
+    * re-clustering beat this maintenance path at BOTH 0.1% and 10%
+    * batch cadence (7.5 s vs 11.7 / 22.4 s) — the fixed per-batch costs
+    * (probe, two CCs, appends) exceed a whole re-cluster of 8-byte rows
+    * at this size. Maintenance is the right call where signature
+    * DERIVATION dominates recompute (the text family: 18.5× at crawl
+    * cadence) or once the corpus CC itself outgrows the crawl interval;
+    * this path stays the only O(|batch|) form, so that crossover exists —
+    * it is just far above 500 k signatures on one node.
     */
   def componentsIngest(spark: org.apache.spark.sql.SparkSession,
       incoming: DataFrame, indexDir: String,
