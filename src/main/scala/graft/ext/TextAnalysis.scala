@@ -543,13 +543,22 @@ object TextAnalysis {
   def chunkDedupRewrite(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int): DataFrame = {
     require(chunkSize >= 1, "chunkSize must be >= 1")
-    val chunks = chunkTokens(df, idCol, textCol, chunkSize, chunkSize)
-      .select(col(idCol), col("chunk_id"), col("chunk_text"))
-    // corpus-wide first occurrence per exact chunk text: min over the
-    // (id, chunk_id) occurrence ordinal — partial-aggregable, skew-safe.
-    // The aggregate's output IS the surviving occurrence set (one row per
-    // distinct chunk, carrying where it first appeared), so no join back
-    // against the occurrence stream is needed.
+    dedupRewriteFromChunks(df, idCol,
+      chunkTokens(df, idCol, textCol, chunkSize, chunkSize)
+        .select(col(idCol), col("chunk_id"), col("chunk_text")))
+  }
+
+  /** Shared dedup+reassembly tail of [[chunkDedupRewrite]] (fixed
+    * windows) and [[cdcChunkDedupRewrite]] (content-defined): corpus-wide
+    * first occurrence per exact chunk text — a min-struct HASH AGGREGATE
+    * whose output IS the surviving occurrence set (one row per distinct
+    * chunk, carrying where it first appeared; min is partial-aggregable,
+    * so the hottest boilerplate chunk collapses map-side instead of
+    * shipping every occurrence into one rank partition) — then per-doc
+    * reassembly in chunk order.
+    */
+  private def dedupRewriteFromChunks(df: DataFrame, idCol: String,
+      chunks: DataFrame): DataFrame = {
     val kept = chunks
       .groupBy(col("chunk_text"))
       .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"))
@@ -571,6 +580,46 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("n_chunks"), lit(0)).as("n_chunks"))
   }
+
+  /** Content-defined chunking: chunk boundaries are TOKENS whose
+    * engine-neutral hash satisfies a fixed predicate (first hex digit of
+    * md5 < `boundaryHexDigits` of 16 — the q77 md5 decision rule, so the
+    * oracle recomputes boundaries bit-exactly), a boundary token ends its
+    * chunk, and the tail past the last boundary is the final chunk.
+    * Expected chunk length = 16/boundaryHexDigits tokens.
+    *
+    * This is the rsync/CDC trick applied to token streams, and it fixes
+    * the structural miss of fixed windows ([[chunkDedupRewrite]]): insert
+    * ONE token at the front of a duplicated document and every fixed
+    * 10-token window shifts — zero chunks match — while content-defined
+    * boundaries re-synchronize at the first boundary token after the
+    * edit, so everything downstream still dedups. Chunking is computed
+    * PER DOCUMENT with array functions (no explode, no window, rides the
+    * scan); only the dedup aggregate shuffles.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      boundaryHexDigits: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // one codegen'd pass per row (tokenize + md5 + split in a primitive
+    // loop — [[graft.functions.expressions.CdcChunksExpr]]); the first
+    // Column-function draft paid per-element interpreted-lambda cost and
+    // measured ~30x slower (7.4 s vs the fixed-window pass's 0.58 s at
+    // sf0.1, 72 s at sf10)
+    df.select(col(idCol),
+        posexplode(graft.functions.GraftFunctions.cdcChunks(
+          col(textCol), boundaryHexDigits)))
+      .select(col(idCol), col("pos").cast("int").as("chunk_id"),
+        col("col").as("chunk_text"))
+  }
+
+  /** [[chunkDedupRewrite]] on content-defined chunks — same output
+    * contract, shift-robust dedup (q241's exact oracle recomputes the
+    * boundaries and the rewrite in SQL).
+    */
+  def cdcChunkDedupRewrite(df: DataFrame, idCol: String, textCol: String,
+      boundaryHexDigits: Int = 2): DataFrame =
+    dedupRewriteFromChunks(df, idCol,
+      cdcChunks(df, idCol, textCol, boundaryHexDigits))
 
   /** Persisted chunk-hash index: [[chunkDedupRewrite]] at crawl cadence.
     * The batch form must re-shuffle the WHOLE corpus's chunk text to find

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.functions.call_function
 
-import graft.functions.expressions.{BloomMightContainLong, FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, NearestCellIds, HashedBowScore, NormalizeText, PqAdcDot, PqEncode, PqLut, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, StringArrayExcludeSet, WordShingleHashes}
+import graft.functions.expressions.{BloomMightContainLong, CdcChunksExpr, FirstContainsIndex, FirstEqualIndex, FloatVectorDot, LshSignBuckets, MinHashSignature, NearestCellIds, HashedBowScore, NormalizeText, PqAdcDot, PqEncode, PqLut, SimHash64, SortedLongIntersectSize, Sq8DotDecoded, Sq8Encode, StringArrayExcludeSet, WordShingleHashes}
 
 /** Registry for the engine's native Catalyst expressions.
   *
@@ -80,6 +80,9 @@ object GraftFunctions {
       PqLut(args(0), evalFloatCube(args(1), "graft_pq_lut codebooks"))),
     "graft_pq_adc_dot" -> (args =>
       PqAdcDot(args(0), args(1), evalInt(args(2), "graft_pq_adc_dot ksub"))),
+    // cdc_chunks(text, boundaryHexDigits): content-defined chunk array
+    "graft_cdc_chunks" -> (args =>
+      CdcChunksExpr(args(0), evalInt(args(1), "graft_cdc_chunks boundaryHexDigits"))),
     // hashed_bow_score(text, weights, bias): the model must be foldable
     // literals (array<double> weights, double bias)
     "graft_hashed_bow_score" -> (args =>
@@ -245,6 +248,11 @@ object GraftFunctions {
   def pqAdcDot(codes: Column, lut: Column, ksub: Int): Column =
     call_function("graft_pq_adc_dot", codes, lut,
       org.apache.spark.sql.functions.lit(ksub))
+
+  /** Content-defined chunk array of a text column (md5 boundary rule). */
+  def cdcChunks(text: Column, boundaryHexDigits: Int): Column =
+    call_function("graft_cdc_chunks", text,
+      org.apache.spark.sql.functions.lit(boundaryHexDigits))
 
   /** Linear hashed-BoW text score: sigmoid(bias + sum w[h(tok) mod D]/n). */
   def hashedBowScore(text: Column, weights: Array[Double], bias: Double): Column =

@@ -388,4 +388,49 @@ class TextAnalysisSpec extends SparkTestBase {
     val hashes = spark.read.parquet(s"$idx/chunks")
     assert(hashes.count() == hashes.distinct().count())
   }
+
+  test("cdcChunkDedupRewrite is shift-robust where fixed windows are not") {
+    import spark.implicits._
+    // doc 2 = doc 1 with ONE token prepended: every fixed 10-token window
+    // of doc 2 is shifted, so the fixed-window pass dedups nothing; the
+    // content-defined boundaries re-synchronize after the first boundary
+    // token, so most of doc 2's chunks dedup against doc 1's.
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "inserted " + base)).toDF("doc_id", "text")
+    val fixed = graft.ext.TextAnalysis
+      .chunkDedupRewrite(docs, "doc_id", "text", 10)
+      .filter(col("doc_id") === 2).head()
+    assert(fixed.getInt(2) === fixed.getInt(3),
+      "fixed windows: every shifted chunk of doc 2 is novel (nothing dedups)")
+    val cdc = graft.ext.TextAnalysis
+      .cdcChunkDedupRewrite(docs, "doc_id", "text")
+      .filter(col("doc_id") === 2).head()
+    assert(cdc.getInt(2) < cdc.getInt(3),
+      s"cdc: downstream chunks must dedup (kept ${cdc.getInt(2)} of ${cdc.getInt(3)})")
+    // and the surviving rewrite of an UNCHANGED duplicate is empty text
+    val dup = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val full = graft.ext.TextAnalysis.cdcChunkDedupRewrite(dup, "doc_id", "text")
+      .filter(col("doc_id") === 2).head()
+    assert(full.getString(1) === "" && full.getInt(2) === 0)
+  }
+
+  test("cdcChunks: boundary token ends its chunk; concatenation round-trips; empty text yields none") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j k l"), (2L, "")).toDF("doc_id", "text")
+    val ch = graft.ext.TextAnalysis.cdcChunks(docs, "doc_id", "text")
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(ch.forall(_.getLong(0) == 1L))
+    // chunks concatenate back to the original token stream, in order
+    assert(ch.map(_.getString(2)).mkString(" ") === "a b c d e f g h i j k l")
+    // every non-final chunk ends in a boundary token (md5 first hex in 0..1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isB(t: String): Boolean = {
+      val h = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      h.charAt(0) == '0' || h.charAt(0) == '1'
+    }
+    ch.dropRight(1).foreach { r =>
+      val last = r.getString(2).split(" ").last
+      assert(isB(last), s"chunk '${r.getString(2)}' must end in a boundary token")
+    }
+  }
 }
