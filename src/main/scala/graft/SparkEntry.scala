@@ -3230,7 +3230,20 @@ object SparkEntry {
     // miss of q233, demonstrated in TextAnalysisSpec). Exact string
     // semantics — full DuckDB oracle recomputing boundaries + rewrite.
     "q241_cdc_chunk_dedup" -> ((s, dir) =>
-      TextAnalysis.cdcChunkDedupRewrite(t(s, dir, "documents"), "doc_id", "text"))
+      TextAnalysis.cdcChunkDedupRewrite(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- CDC chunk-hash index (q242): q239's crawl-cadence lifecycle on
+    // content-defined chunks — the same EXACT incremental-equals-batch
+    // oracle (the dedup tail never depends on how chunks were cut).
+    "q242_cdc_chunk_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val split = chunkSplitId(d)
+      val idx = pqIndexDir(dir).replace("pq_index", "cdc_chunk_index")
+      TextAnalysis.buildCdcChunkIndex(d.filter(col("doc_id") < split),
+        "doc_id", "text", idx)
+      TextAnalysis.cdcChunkIndexIngest(s, idx, d.filter(col("doc_id") >= split),
+        "doc_id", "text")
+    })
   )
 
   /** Scale-invariant range split for the chunk-index family: the id at
@@ -6026,7 +6039,42 @@ object SparkEntry {
              coalesce(tot.n_chunks, 0) AS n_chunks
       FROM documents doc
       LEFT JOIN agg ON doc.doc_id = agg.doc_id
-      LEFT JOIN tot ON doc.doc_id = tot.doc_id"""
+      LEFT JOIN tot ON doc.doc_id = tot.doc_id""",
+
+    // q242: q241's CDC recompute restricted to the batch ids
+    "q242_cdc_chunk_index" -> s"""
+      WITH tk AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+      d AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) > 0),
+      tok AS (SELECT doc_id, u.i AS ord, t[u.i] AS tok
+              FROM d, unnest(generate_series(1, n)) AS u(i)),
+      fl AS (SELECT doc_id, ord, tok,
+               CASE WHEN substr(md5(tok), 1, 1) IN ('0', '1')
+                 THEN 1 ELSE 0 END AS flag
+             FROM tok),
+      cidt AS (SELECT doc_id, ord, tok,
+                 CAST(coalesce(SUM(flag) OVER (PARTITION BY doc_id ORDER BY ord
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+                   AS cidx
+               FROM fl),
+      ch AS (SELECT doc_id, cidx,
+               string_agg(tok, ' ' ORDER BY ord) AS chunk
+             FROM cidt GROUP BY doc_id, cidx),
+      kept AS (SELECT chunk, min(struct_pack(doc_id := doc_id, cidx := cidx)) AS f
+               FROM ch GROUP BY chunk),
+      surv AS (SELECT f.doc_id AS doc_id, f.cidx AS cidx, chunk FROM kept),
+      agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS text_dedup,
+                CAST(count(*) AS INT) AS n_kept
+              FROM surv GROUP BY doc_id),
+      tot AS (SELECT doc_id, CAST(count(*) AS INT) AS n_chunks
+              FROM ch GROUP BY doc_id)
+      SELECT doc.doc_id,
+             coalesce(agg.text_dedup, '') AS text_dedup,
+             coalesce(agg.n_kept, 0) AS n_kept,
+             coalesce(tot.n_chunks, 0) AS n_chunks
+      FROM documents doc
+      LEFT JOIN agg ON doc.doc_id = agg.doc_id
+      LEFT JOIN tot ON doc.doc_id = tot.doc_id
+      WHERE doc.doc_id * 2 >= (SELECT max(doc_id) + 1 FROM documents)"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →

@@ -646,22 +646,25 @@ object TextAnalysis {
     * iff ids arrive in nondecreasing ranges (the q118/q129 convention).
     */
   def buildChunkIndex(df: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int, indexDir: String): Unit = {
-    val chunks = chunkTokens(df, idCol, textCol, chunkSize, chunkSize)
+      chunkSize: Int, indexDir: String): Unit =
+    chunkIndexBuildFrom(
+      chunkTokens(df, idCol, textCol, chunkSize, chunkSize), indexDir)
+
+  /** [[buildChunkIndex]] on content-defined chunks ([[cdcChunks]]) —
+    * the shift-robust index variant; all probe/admit/compact machinery
+    * is chunking-agnostic.
+    */
+  def buildCdcChunkIndex(df: DataFrame, idCol: String, textCol: String,
+      indexDir: String, boundaryHexDigits: Int = 2): Unit =
+    chunkIndexBuildFrom(
+      cdcChunks(df, idCol, textCol, boundaryHexDigits), indexDir)
+
+  private def chunkIndexBuildFrom(chunks: DataFrame, indexDir: String): Unit =
     chunks
       .select(xxhash64(col("chunk_text")).as("chash"))
       .distinct()
       .write.mode("overwrite").parquet(s"$indexDir/chunks")
-  }
 
-  /** Ingest one crawl batch: returns the REWRITTEN batch (the q233 output
-    * contract — (id, text_dedup, n_kept, n_chunks) for every batch doc)
-    * and appends the surviving chunks' hashes. Cost per batch: chunk the
-    * batch (rides the scan), one within-batch first-occurrence aggregate
-    * (|batch| chunks), one anti-join against the index's 8-byte hash
-    * column (bloom/DPP-prunable at scale), two narrow writes — the corpus
-    * is never touched.
-    */
   /** The pure half of the ingest: the batch's SURVIVING chunk
     * occurrences — within-batch first occurrence (the same min-struct
     * shape as the batch form) that is also novel corpus-wide (anti-join
@@ -674,8 +677,19 @@ object TextAnalysis {
     */
   def chunkIndexProbe(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batch: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int): DataFrame = {
-    val chunks = chunkTokens(batch, idCol, textCol, chunkSize, chunkSize)
+      chunkSize: Int): DataFrame =
+    chunkIndexProbeFrom(spark, indexDir,
+      chunkTokens(batch, idCol, textCol, chunkSize, chunkSize), idCol)
+
+  def cdcChunkIndexProbe(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String,
+      boundaryHexDigits: Int = 2): DataFrame =
+    chunkIndexProbeFrom(spark, indexDir,
+      cdcChunks(batch, idCol, textCol, boundaryHexDigits), idCol)
+
+  private def chunkIndexProbeFrom(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, chunkFrame: DataFrame, idCol: String): DataFrame = {
+    val chunks = chunkFrame
       .select(col(idCol), col("chunk_id"), col("chunk_text"),
         xxhash64(col("chunk_text")).as("chash"))
     val firstInBatch = chunks
@@ -696,7 +710,17 @@ object TextAnalysis {
     * every batch doc.
     */
   def chunkIndexRewrite(batch: DataFrame, surviving: DataFrame,
-      idCol: String, textCol: String, chunkSize: Int): DataFrame = {
+      idCol: String, textCol: String, chunkSize: Int): DataFrame =
+    chunkIndexRewriteFrom(batch, idCol, surviving,
+      chunkTokens(batch, idCol, textCol, chunkSize, chunkSize))
+
+  def cdcChunkIndexRewrite(batch: DataFrame, surviving: DataFrame,
+      idCol: String, textCol: String, boundaryHexDigits: Int = 2): DataFrame =
+    chunkIndexRewriteFrom(batch, idCol, surviving,
+      cdcChunks(batch, idCol, textCol, boundaryHexDigits))
+
+  private def chunkIndexRewriteFrom(batch: DataFrame, idCol: String,
+      surviving: DataFrame, chunkFrame: DataFrame): DataFrame = {
     val kept = surviving
       .groupBy(col(idCol))
       .agg(
@@ -704,8 +728,7 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
           s => s.getField("chunk_text")), " ").as("text_dedup"),
         count(lit(1)).cast("int").as("n_kept"))
-    val totals = chunkTokens(batch, idCol, textCol, chunkSize, chunkSize)
-      .groupBy(col(idCol))
+    val totals = chunkFrame.groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_chunks"))
     batch.select(col(idCol))
       .join(totals, Seq(idCol), "left")
@@ -737,6 +760,21 @@ object TextAnalysis {
                                    // observe its own output mid-plan
     chunkIndexAdmit(surviving, indexDir)
     chunkIndexRewrite(batch, surviving, idCol, textCol, chunkSize)
+  }
+
+  /** [[chunkIndexIngest]] on content-defined chunks — q242's incremental
+    * form; the same EXACT equivalence holds (incremental ≡
+    * [[cdcChunkDedupRewrite]] restricted to the batch ids under
+    * range-ordered arrival) because the dedup tail never depends on how
+    * chunks were cut.
+    */
+  def cdcChunkIndexIngest(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, textCol: String,
+      boundaryHexDigits: Int = 2): DataFrame = {
+    val surviving = cdcChunkIndexProbe(spark, indexDir, batch, idCol,
+      textCol, boundaryHexDigits).localCheckpoint()
+    chunkIndexAdmit(surviving, indexDir)
+    cdcChunkIndexRewrite(batch, surviving, idCol, textCol, boundaryHexDigits)
   }
 
   /** Fold replayed appends and small files into one deduplicated file
