@@ -77,6 +77,7 @@ object Classifier {
       featScale: Double = 50.0): LogRegModel = {
     require(dim >= 1 && sampleN >= 1 && iters >= 1, "bad hyperparameters")
     val sample = docs
+      .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
       .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
       .limit(sampleN)
       .select(col(textCol).cast("string"), col(labelCol).cast("boolean"))
