@@ -724,6 +724,27 @@ object Similarity {
     heapTopK(scored, k)
   }
 
+  /** Refine depth that holds PQ+refine macro recall@5 ≥ 0.96 across the
+    * three measured decades (BASELINE round-12 addendum): the ADC
+    * shortlist must out-grow the near-tie band at the k-boundary, which
+    * widens as the corpus grows — a FIXED rerank decays (rr=50: 0.98 at
+    * 5 k, 0.74 at 50 k, 0.82 at 500 k vectors) while ~0.9·√n restores it
+    * (rr=200 at 50 k → 0.98; rr=500 at 500 k → 0.96). Cost stays
+    * sub-linear: the refine touches rerank × |queries| float vectors.
+    */
+  def autoRerank(n: Long, k: Int): Int =
+    math.max(4 * k, math.ceil(0.9 * math.sqrt(math.max(n, 0L).toDouble)).toInt)
+
+  /** [[pqTopK]] with the refine depth sized by [[autoRerank]] from a
+    * one-row count probe — the form a corpus-scale caller should use
+    * (the [[buildIvfIndexAuto]] auto-knob pattern).
+    */
+  def pqTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 16, ksub: Int = 64,
+      fitSample: Int = 4096, iters: Int = 10): DataFrame =
+    pqTopK(corpus, queries, idCol, vecCol, k, m, ksub, fitSample, iters,
+      rerank = autoRerank(corpus.count(), k))
+
   /** The composed billion-scale ANN plan (FAISS's IVF-PQ architecture,
     * re-expressed as a Spark join): IVF cells PRUNE — candidates come
     * from an equi-join on the coarse cell id, touching nprobe/nlist of

@@ -21,7 +21,7 @@ object PqProbe {
       val q = e.filter(col("vec_id") < 10)
       val exact = graft.ext.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
       for ((m, ksub) <- Seq((8, 16), (8, 64), (16, 16), (16, 64), (16, 256));
-           rr <- Seq(0, 20, 50)) {
+           rr <- Seq(0, 20, 50, 200, 500)) {
         val pq = graft.ext.Similarity.pqTopK(e, q, "vec_id", "embedding", 5,
           m = m, ksub = ksub, rerank = rr)
         val r1 = graft.ext.Recall.topKRecall(exact, pq)

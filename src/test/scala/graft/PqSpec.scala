@@ -131,4 +131,18 @@ class PqSpec extends SparkTestBase {
       rerank = 20)
     assert(rows(fromIndex) === rows(direct))
   }
+
+  test("autoRerank follows the measured sqrt rule and floors at 4k") {
+    import graft.ext.Similarity.autoRerank
+    assert(autoRerank(5000, 5) == 64)
+    assert(autoRerank(50000, 5) == 202)
+    assert(autoRerank(500000, 5) == 637)
+    assert(autoRerank(10, 5) == 20) // 4k floor dominates tiny corpora
+    // pqTopKAuto on the sf0.001 corpus: rerank = max(20, ceil(0.9*sqrt(50)))
+    // = 20 < corpus, exact refine of a 20-deep shortlist
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.ext.Similarity.pqTopKAuto(e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5)
+    assert(out.count() == 15)
+  }
 }
