@@ -690,6 +690,13 @@ object Similarity {
     * family. At production scale the codes would be written once at
     * ingest and re-used by every query batch; here the encode rides the
     * scan to keep the operator self-contained.
+    *
+    * Default model (m=8, ksub=16) is the cheapest catalog configuration —
+    * deliberately SMALLER than [[pqTopKAuto]]'s (m=16, ksub=64): the auto
+    * form pins the exact configuration the √n rerank rule was measured
+    * with (BASELINE round-12 addendum), so switching pqTopK ↔ pqTopKAuto
+    * changes the compression model as well as the rerank depth. Pass
+    * m/ksub explicitly when comparing the two forms.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
@@ -738,6 +745,12 @@ object Similarity {
   /** [[pqTopK]] with the refine depth sized by [[autoRerank]] from a
     * one-row count probe — the form a corpus-scale caller should use
     * (the [[buildIvfIndexAuto]] auto-knob pattern).
+    *
+    * Default model (m=16, ksub=64) INTENTIONALLY diverges from
+    * [[pqTopK]]'s (m=8, ksub=16): it is the configuration the √n rule in
+    * [[autoRerank]] was measured against (BASELINE round-12 addendum —
+    * recall 0.96-1.00 across the three decades holds for THIS model).
+    * Pass m/ksub explicitly if you need the manual form's cheaper model.
     */
   def pqTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 16, ksub: Int = 64,
@@ -1221,9 +1234,20 @@ object Similarity {
       .select(col("subspace"), col("code"), col("centroid")).collect()
     require(rows.nonEmpty, s"readPqCodebooks: empty model at $indexDir/codebooks")
     val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    // A lost or duplicated codebooks row would positionally shift every
+    // higher code id and silently decode against the wrong centroids —
+    // fail loudly instead: the table must be exactly the m × ksub grid.
+    require(rows.length == m * ksub,
+      s"readPqCodebooks: corrupt model at $indexDir/codebooks — " +
+        s"expected ${m * ksub} rows (m=$m × ksub=$ksub), got ${rows.length}")
     Array.tabulate(m) { j =>
-      rows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
-        .map(_.getSeq[Float](2).toArray)
+      val sorted = rows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+      require(sorted.length == ksub &&
+          sorted.zipWithIndex.forall { case (r, i) => r.getInt(1) == i },
+        s"readPqCodebooks: corrupt model at $indexDir/codebooks — " +
+          s"subspace $j codes are not exactly 0..${ksub - 1}")
+      sorted.map(_.getSeq[Float](2).toArray)
     }
   }
 

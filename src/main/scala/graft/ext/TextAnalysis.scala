@@ -659,11 +659,27 @@ object TextAnalysis {
     chunkIndexBuildFrom(
       cdcChunks(df, idCol, textCol, boundaryHexDigits), indexDir)
 
-  private def chunkIndexBuildFrom(chunks: DataFrame, indexDir: String): Unit =
+  /** Build commits by directory rename: a direct overwrite of `chunks/`
+    * is a multi-file write, and the streaming sinks gate bootstrap on
+    * `chunks/` EXISTENCE — a crash mid-build would leave a partial hash
+    * set that flips the replay into the bootstrapped branch and
+    * partial-rewrites the batch (the same window [[chunkIndexAdmit]]
+    * closes on the append side). Writing to a temp dir and renaming
+    * makes `chunks/` exist fully-built or not at all.
+    */
+  private def chunkIndexBuildFrom(chunks: DataFrame, indexDir: String): Unit = {
+    val spark = chunks.sparkSession
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/chunks_building")
+    val dest = new org.apache.hadoop.fs.Path(s"$indexDir/chunks")
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
     chunks
       .select(xxhash64(col("chunk_text")).as("chash"))
       .distinct()
-      .write.mode("overwrite").parquet(s"$indexDir/chunks")
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dest)) fs.delete(dest, true): Unit // overwrite semantics
+    require(fs.rename(tmp, dest),
+      s"chunkIndexBuild: atomic commit rename failed: $tmp -> $dest")
+  }
 
   /** The pure half of the ingest: the batch's SURVIVING chunk
     * occurrences — within-batch first occurrence (the same min-struct
@@ -701,7 +717,12 @@ object TextAnalysis {
       .select(col("chash"), col("chunk_text"),
         col("__first").getField(idCol).as(idCol),
         col("__first.chunk_id").as("chunk_id"))
-    firstInBatch.join(spark.read.parquet(s"$indexDir/chunks"),
+    // recursiveFileLookup: admitted hashes live in atomic per-admit
+    // subdirs (chunks/admit_<token>) alongside the bootstrap's flat
+    // files — see chunkIndexAdmit's commit protocol.
+    firstInBatch.join(
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$indexDir/chunks"),
       Seq("chash"), "left_anti")
   }
 
@@ -739,12 +760,40 @@ object TextAnalysis {
         coalesce(col("n_chunks"), lit(0)).as("n_chunks"))
   }
 
-  /** Admit survivors: append their hashes. Call AFTER the rewritten
-    * output is durable (see [[chunkIndexProbe]]).
+  /** Admit survivors: append their hashes ATOMICALLY. Call AFTER the
+    * rewritten output is durable (see [[chunkIndexProbe]]).
+    *
+    * Atomicity: a plain `mode("append")` parquet write is a multi-file
+    * commit — a crash mid-admit leaves SOME of the batch's hashes
+    * visible, so a replayed batch probes against a partially-admitted
+    * set and dynamic-overwrites its previously-complete store partition
+    * with a non-empty partial rewrite (the pre-crash-admitted chunks
+    * vanish from the store forever). Instead the hashes are written to
+    * a sibling temp dir and committed with ONE directory rename into
+    * `chunks/admit_<token>` — a replayed batch sees either all of its
+    * admitted hashes or none. With a deterministic `admitToken` (the
+    * streaming sinks pass `batch<id>`) a replayed admit whose commit
+    * already landed is skipped, so the admit itself is idempotent too;
+    * the default random token suits one-shot batch jobs. Readers list
+    * `chunks/` recursively; [[chunkIndexCompact]] folds the admit dirs
+    * (and sweeps any orphaned temp dirs) back into one flat file set.
     */
-  def chunkIndexAdmit(surviving: DataFrame, indexDir: String): Unit =
+  def chunkIndexAdmit(surviving: DataFrame, indexDir: String,
+      admitToken: String = java.util.UUID.randomUUID().toString): Unit = {
+    val spark = surviving.sparkSession
+    val chunksDir = new org.apache.hadoop.fs.Path(s"$indexDir/chunks")
+    val fs = chunksDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dest = new org.apache.hadoop.fs.Path(chunksDir, s"admit_$admitToken")
+    if (fs.exists(dest)) return // this admit already committed (replay)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexDir/chunks_admit_tmp_$admitToken")
+    if (fs.exists(tmp)) fs.delete(tmp, true): Unit // crashed partial write
     surviving.select(col("chash"))
-      .write.mode("append").parquet(s"$indexDir/chunks")
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(chunksDir): Unit
+    require(fs.rename(tmp, dest),
+      s"chunkIndexAdmit: atomic commit rename failed: $tmp -> $dest")
+  }
 
   /** Batch convenience: probe → rewrite → admit in one call. The caller
     * gets the rewritten frame AFTER the hashes are admitted, so this
@@ -784,10 +833,18 @@ object TextAnalysis {
   def chunkIndexCompact(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     val tmp = s"$indexDir/chunks_compacting"
-    spark.read.parquet(s"$indexDir/chunks")
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$indexDir/chunks")
       .distinct()
       .write.mode("overwrite").parquet(tmp)
     Dedup.swapIn(spark, tmp, s"$indexDir/chunks")
+    // Sweep temp dirs orphaned by admits that crashed before their
+    // commit rename — never visible to readers, reclaimed here.
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$indexDir/chunks_admit_tmp_*"))
+      .foreach(st => fs.delete(st.getPath, true): Unit)
   }
 
   /** Deterministic sequence packing: assign documents to fixed-token-budget

@@ -167,6 +167,10 @@ case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
   * norm). The per-pair hot loop of [[graft.ext.Similarity.pqTopK]]: m
   * byte loads + m double adds, emitted inline into the join's generated
   * code (no reference-object call — the loop is 4 lines of Java).
+  * The LUT is read in place via `ArrayData.getDouble` — the earlier
+  * `toDoubleArray()` form copied the whole m·ksub table (8 KB at
+  * m=16/ksub=64) once per scored candidate pair, which dominated the
+  * advertised m-add ADC cost.
   */
 case class PqAdcDot(codes: Expression, lut: Expression, ksub: Int)
     extends BinaryExpression with ExpectsInputTypes {
@@ -181,11 +185,11 @@ case class PqAdcDot(codes: Expression, lut: Expression, ksub: Int)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val cs = a.asInstanceOf[Array[Byte]]
-    val t = b.asInstanceOf[ArrayData].toDoubleArray()
+    val t = b.asInstanceOf[ArrayData]
     var acc = 0.0
     var j = 0
     while (j < cs.length) {
-      acc += t(j * ksub + (cs(j) & 0xff))
+      acc += t.getDouble(j * ksub + (cs(j) & 0xff))
       j += 1
     }
     acc
@@ -194,15 +198,13 @@ case class PqAdcDot(codes: Expression, lut: Expression, ksub: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val cs = ctx.freshName("cs")
-      val t = ctx.freshName("t")
       val j = ctx.freshName("j")
       val acc = ctx.freshName("acc")
       s"""
          |byte[] $cs = $a;
-         |double[] $t = $b.toDoubleArray();
          |double $acc = 0.0;
          |for (int $j = 0; $j < $cs.length; $j++) {
-         |  $acc += $t[$j * $ksub + ($cs[$j] & 0xff)];
+         |  $acc += $b.getDouble($j * $ksub + ($cs[$j] & 0xff));
          |}
          |${ev.value} = $acc;
        """.stripMargin

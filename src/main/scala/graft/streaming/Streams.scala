@@ -811,8 +811,14 @@ object Streams {
     * the store (the curation decision), which is also what makes replay
     * safe: a replayed batch finds all its chunks already admitted,
     * rewrites everything to empty, and writes nothing — the store keeps
-    * the original batch's output. Bootstrap is gated on `chunks/`
-    * existence; replayed hash appends are anti-join-tolerated duplicates
+    * the original batch's output. The admit is ATOMIC (one directory
+    * rename, [[graft.ext.TextAnalysis.chunkIndexAdmit]]) with a
+    * per-batch token, so a crash mid-admit cannot leave a partially
+    * admitted hash set for the replay to probe against — the replay
+    * sees all of the batch's hashes (skips both writes) or none
+    * (repeats both identically). Bootstrap is gated on `chunks/`
+    * existence, and the bootstrap build commits by the same rename
+    * protocol; replayed hash admits are anti-join-tolerated duplicates
     * folded by [[graft.ext.TextAnalysis.chunkIndexCompact]].
     */
   def indexedChunkDedupIngestSink(
@@ -865,7 +871,13 @@ object Streams {
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("batch_id")
               .parquet(targetPath)
-          graft.ext.TextAnalysis.chunkIndexAdmit(surviving, indexDir)
+          // deterministic token → the admit commits by ONE directory
+          // rename and a replayed admit is a no-op, so a crash anywhere
+          // in this branch replays against either ALL of the batch's
+          // admitted hashes (store already durable) or NONE (probe and
+          // store write repeat identically) — never a partial set
+          graft.ext.TextAnalysis.chunkIndexAdmit(surviving, indexDir,
+            admitToken = s"batch$batchId")
         }
       }
       .start()

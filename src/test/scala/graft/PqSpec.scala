@@ -132,6 +132,22 @@ class PqSpec extends SparkTestBase {
     assert(rows(fromIndex) === rows(direct))
   }
 
+  test("readPqCodebooks fails loudly on an incomplete or shifted codebooks table") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_corrupt").toString
+    Similarity.buildPqIndex(e, "vec_id", "embedding", idx)
+    // drop one model row: a positional reassembly would silently shift
+    // every higher code id in that subspace; the reader must refuse
+    val pruned = spark.read.parquet(s"$idx/codebooks")
+      .filter(!(col("subspace") === 3 && col("code") === 7))
+      .localCheckpoint()
+    pruned.coalesce(1).write.mode("overwrite").parquet(s"$idx/codebooks")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readPqCodebooks(spark, idx)
+    }
+    assert(ex.getMessage.contains("corrupt model"))
+  }
+
   test("autoRerank follows the measured sqrt rule and floors at 4k") {
     import graft.ext.Similarity.autoRerank
     assert(autoRerank(5000, 5) == 64)

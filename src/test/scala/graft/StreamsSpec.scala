@@ -593,7 +593,9 @@ class StreamsSpec extends SparkTestBase {
       assert(s2.select("doc_id", "text_dedup").as[(Long, String)].collect().toSet
         == Set((1L, "a b c d"), (2L, "e f"), (4L, "g h")))
       // the index holds each admitted chunk hash exactly once pre-compact
-      val hashes = spark.read.parquet(s"$dir/idx/chunks")
+      // (recursive: post-bootstrap admits land in atomic admit_<token> dirs)
+      val hashes = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$dir/idx/chunks")
       assert(hashes.count() == hashes.distinct().count())
       assert(hashes.count() == 4) // "a b", "c d", "e f", "g h"
     } finally q.stop()

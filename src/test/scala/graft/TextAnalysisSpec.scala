@@ -389,6 +389,51 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(hashes.count() == hashes.distinct().count())
   }
 
+  test("chunkIndexAdmit commits atomically: crashed partial admits invisible, replayed token a no-op") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_chunk_atomic").toString
+    val base = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    TextAnalysis.buildChunkIndex(base, "doc_id", "text", 2, idx)
+    val committed = () => spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$idx/chunks").count()
+    val afterBuild = committed()
+
+    // a crash BEFORE the commit rename leaves only a temp dir — its
+    // hashes must be invisible to the probe (this is the partial-admit
+    // window: a probe that saw them would rewrite the replayed batch
+    // partially and clobber the complete store partition)
+    val batch = Seq((2L, "e f g h")).toDF("doc_id", "text")
+    val surv = TextAnalysis.chunkIndexProbe(spark, idx, batch,
+      "doc_id", "text", 2).localCheckpoint()
+    surv.limit(1).select(col("chash"))
+      .write.mode("overwrite").parquet(s"$idx/chunks_admit_tmp_batch7")
+    assert(committed() == afterBuild) // partial temp not visible
+    assert(TextAnalysis.chunkIndexProbe(spark, idx, batch,
+      "doc_id", "text", 2).count() == 2) // probe still sees both as novel
+
+    // the replayed admit overwrites the crashed temp and commits ALL
+    // of the batch's hashes with one rename
+    TextAnalysis.chunkIndexAdmit(surv, idx, admitToken = "batch7")
+    assert(committed() == afterBuild + 2)
+    assert(TextAnalysis.chunkIndexProbe(spark, idx, batch,
+      "doc_id", "text", 2).count() == 0)
+
+    // an admit replayed AFTER its commit landed is a no-op — no
+    // duplicate hashes, no second directory
+    TextAnalysis.chunkIndexAdmit(surv, idx, admitToken = "batch7")
+    assert(committed() == afterBuild + 2)
+
+    // compact folds admit dirs flat and sweeps orphaned temp dirs
+    surv.limit(1).select(col("chash"))
+      .write.mode("overwrite").parquet(s"$idx/chunks_admit_tmp_orphan")
+    TextAnalysis.chunkIndexCompact(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/chunks_admit_tmp_orphan")))
+    val flat = spark.read.parquet(s"$idx/chunks")
+    assert(flat.count() == afterBuild + 2 && flat.distinct().count() == flat.count())
+  }
+
   test("cdcChunkDedupRewrite is shift-robust where fixed windows are not") {
     import spark.implicits._
     // doc 2 = doc 1 with ONE token prepended: every fixed 10-token window
