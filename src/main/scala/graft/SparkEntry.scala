@@ -2906,6 +2906,8 @@ object SparkEntry {
     // recursive closure, so the hash check pins incremental maintenance
     // ≡ full recompute end to end (every (2k, 2k+1) re-encode pair must
     // land in one component without ever re-running corpus-scale CC).
+    // recomputeBelow = 0 pins the MAINTENANCE machinery (q243 covers the
+    // dispatcher's recompute route; production callers take the default).
     "q223_components_index" -> ((s, dir) => {
       val sig = dhashSigs(s, dir)
       val idx = sigIndexDir(dir) + "_cc"
@@ -2914,7 +2916,7 @@ object SparkEntry {
         maxHamming = 3, budgetPairs = 10000000000L)
       Dedup.componentsIngest(s,
         sig.filter(pmod(col("id"), lit(2)) === 1), idx,
-        maxHamming = 3, budgetPairs = 10000000000L)
+        maxHamming = 3, budgetPairs = 10000000000L, recomputeBelow = 0L)
       Dedup.componentsTable(s, idx)
     }),
 
@@ -2931,10 +2933,10 @@ object SparkEntry {
         maxHamming = 3, budgetPairs = 10000000000L)
       Dedup.componentsIngest(s,
         sig.filter(pmod(col("id"), lit(4)) === 2), idx,
-        maxHamming = 3, budgetPairs = 10000000000L)
+        maxHamming = 3, budgetPairs = 10000000000L, recomputeBelow = 0L)
       Dedup.componentsIngest(s,
         sig.filter(pmod(col("id"), lit(2)) === 1), idx,
-        maxHamming = 3, budgetPairs = 10000000000L)
+        maxHamming = 3, budgetPairs = 10000000000L, recomputeBelow = 0L)
       val fromIndex = Dedup.componentsTable(s, idx)
       val direct = Dedup.signatureComponents(sig,
         maxHamming = 3, budgetPairs = 10000000000L)
@@ -2954,9 +2956,9 @@ object SparkEntry {
         sig.filter(pmod(col("id"), lit(2)) === 0), idx,
         maxHamming = 3, budgetPairs = 10000000000L)
       Dedup.componentsIngest(s, odd, idx,
-        maxHamming = 3, budgetPairs = 10000000000L)
+        maxHamming = 3, budgetPairs = 10000000000L, recomputeBelow = 0L)
       Dedup.componentsIngest(s, odd, idx, // replayed crawl batch
-        maxHamming = 3, budgetPairs = 10000000000L)
+        maxHamming = 3, budgetPairs = 10000000000L, recomputeBelow = 0L)
       val before = Dedup.componentsTable(s, idx).localCheckpoint()
       Dedup.componentsIndexCompact(s, idx)
       val after = Dedup.componentsTable(s, idx)
@@ -3243,6 +3245,42 @@ object SparkEntry {
         "doc_id", "text", idx)
       TextAnalysis.cdcChunkIndexIngest(s, idx, d.filter(col("doc_id") >= split),
         "doc_id", "text")
+    }),
+
+    // ---- Signature-family components DISPATCH witness (q243): the r12
+    // CcBenefit measurement showed the incremental union-find LOSING to a
+    // full signatureComponents re-cluster at sf10 at BOTH cadences, so
+    // componentsIngest now pre-flights the stored-signature count and
+    // routes small stores to the recompute. Fixture proves the ROUTE as
+    // well as the result: the odd half is ingested TWICE under default
+    // dispatch (catalog corpus « crossover -> recompute route) — the
+    // recompute SWAPS comps/ to exactly one raw row per id, where the
+    // maintenance route would have APPENDED a duplicate assignment row
+    // per replayed batch id — and the assignment must be row-identical
+    // to the one-shot CC over everything. Symmetric diff ∪ raw-dup
+    // survivors ∪ merges survivors, WHERE FALSE oracle.
+    "q243_components_dispatch_check" -> ((s, dir) => {
+      val sig = dhashSigs(s, dir).localCheckpoint()
+      val idx = sigIndexDir(dir) + "_ccd"
+      val odd = sig.filter(pmod(col("id"), lit(2)) === 1).localCheckpoint()
+      Dedup.buildComponentsIndex(
+        sig.filter(pmod(col("id"), lit(2)) === 0), idx,
+        maxHamming = 3, budgetPairs = 10000000000L)
+      Dedup.componentsIngest(s, odd, idx,
+        maxHamming = 3, budgetPairs = 10000000000L)
+      Dedup.componentsIngest(s, odd, idx, // replayed batch, same route
+        maxHamming = 3, budgetPairs = 10000000000L)
+      val fromIndex = Dedup.componentsTable(s, idx)
+      val direct = Dedup.signatureComponents(sig,
+        maxHamming = 3, budgetPairs = 10000000000L)
+      val rawDups = s.read.parquet(s"$idx/comps")
+        .groupBy(col("id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(col("id"), col("n").as("rep"))
+      val leftoverMerges = s.read.parquet(s"$idx/merges")
+        .select(col("old_rep").as("id"), col("new_rep").as("rep"))
+      fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
+        .unionByName(rawDups).unionByName(leftoverMerges)
     })
   )
 
@@ -6074,7 +6112,13 @@ object SparkEntry {
       FROM documents doc
       LEFT JOIN agg ON doc.doc_id = agg.doc_id
       LEFT JOIN tot ON doc.doc_id = tot.doc_id
-      WHERE doc.doc_id * 2 >= (SELECT max(doc_id) + 1 FROM documents)"""
+      WHERE doc.doc_id * 2 >= (SELECT max(doc_id) + 1 FROM documents)""",
+
+    // q243: dispatched ingest ≡ one-shot CC, no duplicate raw comps
+    // rows, no surviving merge events -> empty
+    "q243_components_dispatch_check" -> """
+      SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id AS BIGINT) AS rep
+      FROM documents WHERE FALSE"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →

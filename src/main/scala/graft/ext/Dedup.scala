@@ -1266,9 +1266,11 @@ object Dedup {
     */
   def signatureIndexIngest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, incoming: DataFrame): Unit =
-    sigIndexChunks(incoming).repartition(col("chunk"), col("kb"))
-      .write.mode("append").partitionBy("chunk", "kb")
-      .parquet(s"$indexDir/sigs")
+    CompactionLease.guardedAppend(spark, indexDir) {
+      sigIndexChunks(incoming).repartition(col("chunk"), col("kb"))
+        .write.mode("append").partitionBy("chunk", "kb")
+        .parquet(s"$indexDir/sigs")
+    }
 
   /** Probe a batch against the index: equi-join on `(chunk, kb, key)` —
     * partition pruning restricts the store read to the batch's buckets,
@@ -1306,7 +1308,13 @@ object Dedup {
     * identical before/after (q218 drives the witness).
     */
   def signatureIndexCompact(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
+      indexDir: String): Unit =
+    CompactionLease.withLease(spark, indexDir) {
+      signatureIndexCompactUnleased(spark, indexDir)
+    }
+
+  private def signatureIndexCompactUnleased(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
     val tmp = s"$indexDir/sigs_compacting"
     spark.read.parquet(s"$indexDir/sigs").dropDuplicates()
       .repartition(col("chunk"), col("kb"))
@@ -1426,12 +1434,14 @@ object Dedup {
       indexDir: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(incoming.sparkSession)
-    val (reps, members) = setRepresentatives(incoming, idCol, textCol, n)
-    bandedKeys(reps, numHashes, bands).select("skey", "band", "bucket")
-      .write.mode("append").parquet(s"$indexDir/bands")
-    reps.select("skey", "sh", "sh_size")
-      .write.mode("append").parquet(s"$indexDir/sets")
-    members.write.mode("append").parquet(s"$indexDir/members")
+    CompactionLease.guardedAppend(incoming.sparkSession, indexDir) {
+      val (reps, members) = setRepresentatives(incoming, idCol, textCol, n)
+      bandedKeys(reps, numHashes, bands).select("skey", "band", "bucket")
+        .write.mode("append").parquet(s"$indexDir/bands")
+      reps.select("skey", "sh", "sh_size")
+        .write.mode("append").parquet(s"$indexDir/sets")
+      members.write.mode("append").parquet(s"$indexDir/members")
+    }
   }
 
   /** Dedup a batch AGAINST the persisted index: row-identical to
@@ -1454,9 +1464,14 @@ object Dedup {
     * routing batches above `bulkDispatchRatio` to the
     * [[minhashLshPairsIncremental]] recompute — output row-identical
     * either way (q205's invariant), choice logged. With the default
-    * `corpusForBulk = None` no dispatch (and no extra pre-flight job)
-    * happens — the streaming sinks call at crawl cadence every batch and
-    * must not pay a members-scan per micro-batch.
+    * `corpusForBulk = None` no dispatch happens — the streaming sinks
+    * call at crawl cadence every batch and must not pay a members-scan
+    * per micro-batch. Undispatched BULK misuse is not silent, though: on
+    * an exponential-backoff schedule (calls 1, 2, 4, 8, … per index per
+    * process — O(log calls) slim pre-flights, so the crawl path stays
+    * effectively free) the call still measures the batch/index doc
+    * ratio and WARNS once, naming the measured 6.6× penalty, when a
+    * bulk-sized batch is probed without the dispatcher.
     */
   def minhashLshPairsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, incoming: DataFrame, idCol: String, textCol: String,
@@ -1484,6 +1499,8 @@ object Dedup {
       }
     }
     if (bulkRoute.isDefined) return bulkRoute.get
+    if (corpusForBulk.isEmpty) warnOnUndispatchedBulk(spark, indexDir,
+      incoming, bulkDispatchRatio)
     val idxBands = spark.read.parquet(s"$indexDir/bands")
       .withColumnsRenamed(Map("skey" -> "skey_e"))
     val idxSets = spark.read.parquet(s"$indexDir/sets")
@@ -1517,6 +1534,43 @@ object Dedup {
       .select(col("existing_id"), col("incoming_id"), col("jaccard"))
   }
 
+  /** Per-(process, index) probe-call counter driving the backoff schedule
+    * of [[warnOnUndispatchedBulk]]; visible for the spec's log assertion.
+    */
+  private[graft] val probeCallCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] val bulkWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Guard against SILENT bulk-cadence probe misuse when the caller did
+    * not hand over `corpusForBulk`: on probe calls 1, 2, 4, 8, … per
+    * index per process, pre-flight the batch/index doc-count ratio (one
+    * count of the incoming frame + one footer-metadata count of
+    * `members/`) and WARN — once per index — when the batch is in the
+    * bulk regime the dispatcher would have routed away from. The backoff
+    * keeps the crawl sinks' per-micro-batch cost at zero beyond
+    * O(log batches) slim jobs over the process lifetime, while a
+    * steadily-misused bulk caller is caught on its first call.
+    */
+  private def warnOnUndispatchedBulk(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, incoming: DataFrame, bulkDispatchRatio: Double): Unit = {
+    val calls = probeCallCounts
+      .computeIfAbsent(indexDir, _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet()
+    if ((calls & (calls - 1)) != 0 || bulkWarned.contains(indexDir)) return
+    val incomingDocs = incoming.count()
+    val indexDocs = spark.read.parquet(s"$indexDir/members").count()
+    if (incomingDocs > bulkDispatchRatio * indexDocs && bulkWarned.add(indexDir))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedup-index probe at BULK cadence without dispatch: the batch " +
+          s"($incomingDocs docs) exceeds $bulkDispatchRatio of the indexed " +
+          s"corpus ($indexDocs docs). The index probe is measured ~6.6x " +
+          "SLOWER than the direct recompute in this regime " +
+          "(tools/IndexBenefit, BASELINE round 12) — pass corpusForBulk " +
+          "to minhashLshPairsAgainstIndex/dedupComponentsIngest to enable " +
+          "the regime dispatcher.")
+  }
+
   /** Compact the index in place: every [[dedupIndexIngest]] appends a small
     * file set per table and may duplicate set/band rows (a re-ingested
     * shingle set lands again under a new document id) — at crawl cadence
@@ -1530,14 +1584,23 @@ object Dedup {
     * (mid-swap the old data survives at `_backup`). Compaction must NOT
     * run concurrently with the indexed ingest sinks: an append landing
     * between the compactor's read and its swap is dropped with the old
-    * dir — quiesce ingest first (the maintenance-window contract every
-    * rewrite-in-place compactor carries). Probe results are
+    * dir. That contract is now ENFORCED, not just documented: every
+    * compactor holds the [[CompactionLease]] exclusive marker and every
+    * ingest append pre/post-checks it — a concurrent append fails
+    * loudly with a retry instruction instead of silently vanishing
+    * (CompactionSpec drives the witness). Probe results are
     * IDENTICAL before and after (q206 drives the witness): the probe
     * already dropDuplicates/distincts these tables on read — compaction
     * moves that work out of every future probe.
     */
   def dedupIndexCompact(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, targetPartitions: Int = 0): Unit = {
+      indexDir: String, targetPartitions: Int = 0): Unit =
+    CompactionLease.withLease(spark, indexDir) {
+      dedupIndexCompactUnleased(spark, indexDir, targetPartitions)
+    }
+
+  private def dedupIndexCompactUnleased(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, targetPartitions: Int): Unit = {
     val parts = if (targetPartitions > 0) targetPartitions
       else spark.sparkContext.defaultParallelism
     def one(table: String, dedup: DataFrame => DataFrame): Unit = {
@@ -1664,22 +1727,92 @@ object Dedup {
     * re-clustering beat this maintenance path at BOTH 0.1% and 10%
     * batch cadence (7.5 s vs 11.7 / 22.4 s) — the fixed per-batch costs
     * (probe, two CCs, appends) exceed a whole re-cluster of 8-byte rows
-    * at this size. Maintenance is the right call where signature
-    * DERIVATION dominates recompute (the text family: 18.5× at crawl
-    * cadence) or once the corpus CC itself outgrows the crawl interval;
-    * this path stays the only O(|batch|) form, so that crossover exists —
-    * it is just far above 500 k signatures on one node.
+    * at this size. Maintenance wins where signature DERIVATION dominates
+    * recompute (the text family: 18.5× at crawl cadence) or once the
+    * corpus CC itself outgrows the crawl interval; this path stays the
+    * only O(|batch|) form, so that crossover exists.
+    *
+    * The ingest therefore DISPATCHES on the stored-signature count (one
+    * partition-pruned footer-metadata count of the `chunk=0` slice —
+    * no data scan, safe at sink cadence): below `recomputeBelow` it
+    * re-clusters stored ∪ batch with [[signatureComponents]] and swaps
+    * the result in (merges/ cleared — a full assignment resolves through
+    * an empty map); at or above it runs the incremental union-find.
+    * Both routes end with the same [[signatureIndexIngest]] append and
+    * keep the q224 invariant ([[componentsTable]] ≡ one-shot CC over
+    * everything ingested); the round-13 crossover measurement
+    * (BASELINE, synthetic decade sweep) sets the default. Pass
+    * `recomputeBelow = 0` to pin the maintenance machinery (the spec
+    * and witness-entry form), `Long.MaxValue` to always re-cluster.
     */
   def componentsIngest(spark: org.apache.spark.sql.SparkSession,
       incoming: DataFrame, indexDir: String,
-      maxHamming: Int = 3, budgetPairs: Long = Long.MaxValue): Unit = {
+      maxHamming: Int = 3, budgetPairs: Long = Long.MaxValue,
+      recomputeBelow: Long = SIG_CC_RECOMPUTE_BELOW): Unit = {
     val inc = incoming.select(col("id"), col("sig")).localCheckpoint()
-    val batchComp = checkpointFlat(signatureComponents(inc, maxHamming, budgetPairs)
-      .withColumnsRenamed(Map("rep" -> "brep")))
-    val cross = signatureIndexProbe(spark, indexDir, inc, maxHamming)
-    unionFindIngest(spark, batchComp, cross, indexDir)
+    if (recomputeBelow > 0 &&
+        storedSignatureCount(spark, indexDir) < recomputeBelow) {
+      // recompute route: one re-cluster of 8-byte rows beats the fixed
+      // per-batch maintenance costs below the measured crossover. The
+      // route swaps tables, so it takes the compaction lease — a
+      // concurrent compactor fails loudly instead of interleaving swaps.
+      CompactionLease.withLease(spark, indexDir) {
+        val all = storedSignatures(spark, indexDir).unionByName(inc)
+          .dropDuplicates("id", "sig") // replayed batches re-supply their rows
+        val assign = signatureComponents(all, maxHamming, budgetPairs)
+        // comps FIRST, then merges, then sigs LAST — the crash arguments of
+        // foldComponents (stale merges resolve as identity over a full
+        // assignment) and of the maintenance route (a signature a future
+        // probe can match already has its assignment row) both carry over
+        val tmp = s"$indexDir/comps_compacting"
+        assign.withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
+          .repartition(col("ib"))
+          .write.mode("overwrite").partitionBy("ib").parquet(tmp)
+        swapIn(spark, tmp, s"$indexDir/comps")
+        val mtmp = s"$indexDir/merges_compacting"
+        emptyMerges(spark).write.mode("overwrite").parquet(mtmp)
+        swapIn(spark, mtmp, s"$indexDir/merges")
+      }
+    } else {
+      val batchComp = checkpointFlat(signatureComponents(inc, maxHamming, budgetPairs)
+        .withColumnsRenamed(Map("rep" -> "brep")))
+      val cross = signatureIndexProbe(spark, indexDir, inc, maxHamming)
+      unionFindIngest(spark, batchComp, cross, indexDir)
+    }
     signatureIndexIngest(spark, indexDir, inc)
   }
+
+  /** Default [[componentsIngest]] dispatch crossover: stored-signature
+    * counts below this re-cluster from scratch, at or above it the
+    * incremental union-find engages. MEASURED (round-13
+    * [[graft.tools.SigCcCrossover]] synthetic decade sweep, 0.1% crawl
+    * cadence, warm-pair minima; full table in BASELINE round 13):
+    * recompute/maintain ratio climbs 0.38 → 0.60 → 0.68 → 0.77 → 0.84
+    * at 500 k → 1 M → 2 M → 4 M → 8 M stored signatures — recompute
+    * cheaper throughout — and flips to 1.30 at 16 M, where maintenance
+    * first wins (log-interpolated crossing ≈ 11 M). 8 M keeps the
+    * measured-cheaper side at every point measured on the reference box.
+    */
+  val SIG_CC_RECOMPUTE_BELOW: Long = 8000000L
+
+  /** One row per stored signature — the `chunk=0` slice of the sigs/
+    * blocking layout (partition-pruned scan of a quarter of the store),
+    * deduped against replayed appends.
+    */
+  private def storedSignatures(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/sigs").filter(col("chunk") === 0)
+      .select(col("id"), col("sig")).dropDuplicates("id", "sig")
+
+  /** Stored-signature count for the dispatch pre-flight: COUNT(*) over
+    * the pruned `chunk=0` partitions is answered from parquet footer
+    * metadata — no data scan, so the sink cadence never pays a store
+    * read to route. Replayed duplicate appends inflate the estimate
+    * until compaction; acceptable for a regime threshold.
+    */
+  private def storedSignatureCount(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Long =
+    spark.read.parquet(s"$indexDir/sigs").filter(col("chunk") === 0).count()
 
   /** The union-find update shared by the signature- and text-family
     * components ingests — family-agnostic because it sees only the
@@ -1713,6 +1846,7 @@ object Dedup {
     // union events: corpus reps whose component grew a smaller min.
     // merges/ FIRST: a crash after it leaves the corpus consistent and
     // the replay's self-merge filter makes the re-append a no-op.
+    CompactionLease.guardedAppend(spark, indexDir) {
     merged.join(crossRepsF.select(col("crep").as("id")).distinct(), Seq("id"), "left_semi")
       .filter(col("id") =!= col("rep"))
       .select(col("id").as("old_rep"), col("rep").as("new_rep"))
@@ -1723,6 +1857,7 @@ object Dedup {
       .select(col("id"), coalesce(col("frep"), col("brep")).as("rep"))
       .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
       .write.mode("append").partitionBy("ib").parquet(s"$indexDir/comps")
+    }
   }
 
   /** Compact the components index: fold the merge map into comps/ (one
@@ -1731,14 +1866,16 @@ object Dedup {
     * still-present map to already-resolved reps is the identity (a final
     * rep is never an old_rep key), so a crash between the two swaps
     * leaves reads correct; clearing merges first would lose the events a
-    * crashed comps rewrite still needs. NOT safe against a concurrent
-    * ingest (the [[dedupIndexCompact]] restriction).
+    * crashed comps rewrite still needs. Concurrent-ingest exclusion is
+    * enforced by the [[CompactionLease]] (the [[dedupIndexCompact]]
+    * contract).
     */
   def componentsIndexCompact(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
-    foldComponents(spark, indexDir)
-    signatureIndexCompact(spark, indexDir)
-  }
+      indexDir: String): Unit =
+    CompactionLease.withLease(spark, indexDir) {
+      foldComponents(spark, indexDir)
+      signatureIndexCompactUnleased(spark, indexDir)
+    }
 
   private def foldComponents(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
@@ -1851,10 +1988,11 @@ object Dedup {
     * concurrent-ingest restriction.
     */
   def dedupComponentsCompact(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
-    foldComponents(spark, indexDir)
-    dedupIndexCompact(spark, indexDir)
-  }
+      indexDir: String): Unit =
+    CompactionLease.withLease(spark, indexDir) {
+      foldComponents(spark, indexDir)
+      dedupIndexCompactUnleased(spark, indexDir, targetPartitions = 0)
+    }
 
   /** Atomic-as-the-filesystem-allows table swap, recoverable at every
     * step: rename live -> `_backup`, rename tmp -> live, delete backup.
@@ -1863,9 +2001,10 @@ object Dedup {
     * that window); a crash before the backup delete leaves both, and the
     * next compaction clears the stale backup first. NOT safe against a
     * CONCURRENT writer: an ingest appending between the compactor's read
-    * and the swap has its rows dropped with the old dir — compaction must
-    * not run concurrently with the indexed ingest sinks (documented on
-    * [[dedupIndexCompact]]).
+    * and the swap has its rows dropped with the old dir — which is why
+    * every public compactor calling this holds the [[CompactionLease]]
+    * and every ingest append checks it (enforced on
+    * [[dedupIndexCompact]] and siblings).
     */
   private[ext] def swapIn(spark: org.apache.spark.sql.SparkSession,
       tmp: String, dst: String): Unit = {

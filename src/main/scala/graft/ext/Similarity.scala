@@ -1109,10 +1109,12 @@ object Similarity {
       idCol: String, vecCol: String): Unit = {
     GraftFunctions.register(spark)
     val cents = readIvfCentroids(spark, indexDir)
-    incoming.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cell", cellOf(cents, col("cv"), 0))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+    CompactionLease.guardedAppend(spark, indexDir) {
+      incoming.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("cell", cellOf(cents, col("cv"), 0))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+    }
   }
 
   /** Compact a persisted IVF index's vectors table: every
@@ -1124,18 +1126,19 @@ object Similarity {
     * rename swap — centroids are untouched, probe results identical
     * (q207 drives the witness).
     */
-  def ivfIndexCompact(spark: SparkSession, indexDir: String): Unit = {
-    val tmp = s"$indexDir/vectors_compacting"
-    // dropDuplicates over ALL columns: a replayed streaming ingest appends
-    // bit-identical (id, vector, cell) rows — harmless to cell-max probes,
-    // but they would duplicate neighbor rows in top-k output; distinct
-    // rows are untouched
-    spark.read.parquet(s"$indexDir/vectors")
-      .dropDuplicates()
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    Dedup.swapIn(spark, tmp, s"$indexDir/vectors")
-  }
+  def ivfIndexCompact(spark: SparkSession, indexDir: String): Unit =
+    CompactionLease.withLease(spark, indexDir) {
+      val tmp = s"$indexDir/vectors_compacting"
+      // dropDuplicates over ALL columns: a replayed streaming ingest appends
+      // bit-identical (id, vector, cell) rows — harmless to cell-max probes,
+      // but they would duplicate neighbor rows in top-k output; distinct
+      // rows are untouched
+      spark.read.parquet(s"$indexDir/vectors")
+        .dropDuplicates()
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      Dedup.swapIn(spark, tmp, s"$indexDir/vectors")
+    }
 
   /** [[ivfTopK]] with the coarse quantizer supplied by the caller (the
     * reference form the persisted-index witnesses compare against: same
@@ -1259,8 +1262,11 @@ object Similarity {
   def pqIndexIngest(spark: SparkSession, indexDir: String, incoming: DataFrame,
       idCol: String, vecCol: String): Unit = {
     GraftFunctions.register(spark)
-    encodedCodes(incoming, idCol, vecCol, readPqCodebooks(spark, indexDir))
-      .write.mode("append").parquet(s"$indexDir/codes")
+    val books = readPqCodebooks(spark, indexDir)
+    CompactionLease.guardedAppend(spark, indexDir) {
+      encodedCodes(incoming, idCol, vecCol, books)
+        .write.mode("append").parquet(s"$indexDir/codes")
+    }
   }
 
   /** Probe: ADC-rank the stored codes for a query batch; with
@@ -1297,17 +1303,18 @@ object Similarity {
     * output — the [[ivfIndexCompact]] contract). Codebooks untouched;
     * crash-safe via the backup-rename swap.
     */
-  def pqIndexCompact(spark: SparkSession, indexDir: String): Unit = {
-    val tmp = s"$indexDir/codes_compacting"
-    // dropDuplicates already shuffles, so the rewrite lands in
-    // spark.sql.shuffle.partitions files — bounded file count WITHOUT a
-    // coalesce(1) (which at corpus scale would funnel the whole codes
-    // table through one task and write one unsplittable file)
-    spark.read.parquet(s"$indexDir/codes")
-      .dropDuplicates()
-      .write.mode("overwrite").parquet(tmp)
-    Dedup.swapIn(spark, tmp, s"$indexDir/codes")
-  }
+  def pqIndexCompact(spark: SparkSession, indexDir: String): Unit =
+    CompactionLease.withLease(spark, indexDir) {
+      val tmp = s"$indexDir/codes_compacting"
+      // dropDuplicates already shuffles, so the rewrite lands in
+      // spark.sql.shuffle.partitions files — bounded file count WITHOUT a
+      // coalesce(1) (which at corpus scale would funnel the whole codes
+      // table through one task and write one unsplittable file)
+      spark.read.parquet(s"$indexDir/codes")
+        .dropDuplicates()
+        .write.mode("overwrite").parquet(tmp)
+      Dedup.swapIn(spark, tmp, s"$indexDir/codes")
+    }
 
   /** [[pqTopK]] with a caller-supplied model — the comparator the
     * persisted-index witnesses need (q237: index built on a prefix +

@@ -779,7 +779,13 @@ object TextAnalysis {
     * (and sweeps any orphaned temp dirs) back into one flat file set.
     */
   def chunkIndexAdmit(surviving: DataFrame, indexDir: String,
-      admitToken: String = java.util.UUID.randomUUID().toString): Unit = {
+      admitToken: String = java.util.UUID.randomUUID().toString): Unit =
+    CompactionLease.guardedAppend(surviving.sparkSession, indexDir) {
+      chunkIndexAdmitUnguarded(surviving, indexDir, admitToken)
+    }
+
+  private def chunkIndexAdmitUnguarded(surviving: DataFrame, indexDir: String,
+      admitToken: String): Unit = {
     val spark = surviving.sparkSession
     val chunksDir = new org.apache.hadoop.fs.Path(s"$indexDir/chunks")
     val fs = chunksDir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -831,21 +837,22 @@ object TextAnalysis {
     * compaction contract).
     */
   def chunkIndexCompact(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Unit = {
-    val tmp = s"$indexDir/chunks_compacting"
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(s"$indexDir/chunks")
-      .distinct()
-      .write.mode("overwrite").parquet(tmp)
-    Dedup.swapIn(spark, tmp, s"$indexDir/chunks")
-    // Sweep temp dirs orphaned by admits that crashed before their
-    // commit rename — never visible to readers, reclaimed here.
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$indexDir/chunks_admit_tmp_*"))
-      .foreach(st => fs.delete(st.getPath, true): Unit)
-  }
+      indexDir: String): Unit =
+    CompactionLease.withLease(spark, indexDir) {
+      val tmp = s"$indexDir/chunks_compacting"
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$indexDir/chunks")
+        .distinct()
+        .write.mode("overwrite").parquet(tmp)
+      Dedup.swapIn(spark, tmp, s"$indexDir/chunks")
+      // Sweep temp dirs orphaned by admits that crashed before their
+      // commit rename — never visible to readers, reclaimed here.
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$indexDir/chunks_admit_tmp_*"))
+        .foreach(st => fs.delete(st.getPath, true): Unit)
+    }
 
   /** Deterministic sequence packing: assign documents to fixed-token-budget
     * bins, per `domainCol` partition, in `orderCol` order — bin b holds the

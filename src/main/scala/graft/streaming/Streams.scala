@@ -630,8 +630,12 @@ object Streams {
     * connected-components assignment
     * ([[graft.ext.Dedup.componentsIngest]]) so "which cluster is this
     * document in?" is a table read at any moment, never a corpus-scale CC
-    * re-run. Per micro-batch: batch-class CC, one bucket-pruned probe,
-    * CC on the contracted rep graph, two slim appends — O(|batch|).
+    * re-run by the CALLER. Per micro-batch the ingest dispatches on the
+    * stored-signature count (a footer-metadata pre-flight): small stores
+    * re-cluster outright (measured cheaper below the
+    * [[graft.ext.Dedup.SIG_CC_RECOMPUTE_BELOW]] crossover), large ones
+    * run the O(|batch|) union-find (batch-class CC, one bucket-pruned
+    * probe, CC on the contracted rep graph, two slim appends).
     * Bootstrap is gated on `merges/`, the LAST table
     * [[graft.ext.Dedup.buildComponentsIndex]] writes, so a crash mid-build
     * re-runs the (overwrite-mode, idempotent) build instead of wedging on

@@ -86,12 +86,31 @@ object CcBenefit {
           new org.apache.hadoop.fs.Path(run).getFileSystem(spark.sessionState.newHadoopConf()),
           new org.apache.hadoop.fs.Path(run + "/idx"),
           false, spark.sessionState.newHadoopConf())
-        graft.ext.Dedup.componentsIngest(spark, batch, run + "/idx")
+        // recomputeBelow = 0 pins the union-find: this row measures the
+        // raw MAINTENANCE machinery the dispatcher routes away from
+        graft.ext.Dedup.componentsIngest(spark, batch, run + "/idx",
+          recomputeBelow = 0L)
         graft.ext.Dedup.componentsTable(spark, run + "/idx").count()
       }
       val recomputeSec = time("full-recompute") {
         graft.ext.Dedup.signatureComponents(corpus.unionByName(batch)).count()
       }
+      // DEFAULT dispatch: the ingest pre-flights the stored count and is
+      // expected to route to whichever side measured cheaper above
+      val dispatchSec = time("dispatched-ingest+read") {
+        val run = java.nio.file.Files.createTempDirectory("graft_cc_dsp").toString
+        org.apache.hadoop.fs.FileUtil.copy(
+          new org.apache.hadoop.fs.Path(idx).getFileSystem(spark.sessionState.newHadoopConf()),
+          new org.apache.hadoop.fs.Path(idx),
+          new org.apache.hadoop.fs.Path(run).getFileSystem(spark.sessionState.newHadoopConf()),
+          new org.apache.hadoop.fs.Path(run + "/idx"),
+          false, spark.sessionState.newHadoopConf())
+        graft.ext.Dedup.componentsIngest(spark, batch, run + "/idx")
+        graft.ext.Dedup.componentsTable(spark, run + "/idx").count()
+      }
+      println(f"modulus $m SIGNATURE dispatched=$dispatchSec%.2f s " +
+        f"(maintain=$maintainSec%.2f recompute=$recomputeSec%.2f; " +
+        f"picks-cheaper=${dispatchSec <= math.max(maintainSec, recomputeSec)})")
       // identity: ingest once more into a fresh copy, diff vs recompute
       val run = java.nio.file.Files.createTempDirectory("graft_cc_id").toString
       org.apache.hadoop.fs.FileUtil.copy(

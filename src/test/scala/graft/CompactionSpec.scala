@@ -109,4 +109,93 @@ class CompactionSpec extends SparkTestBase {
     val planStr = pruned.queryExecution.executedPlan.toString
     assert(planStr.contains("PartitionFilters"), "scan must carry PartitionFilters")
   }
+
+  // --- compaction/ingest mutual exclusion (the CompactionLease) ---
+
+  import graft.ext.{CompactionLease, Dedup}
+
+  private def leasedBy[T](dir: String)(body: => T): T = {
+    // hold the lease from ANOTHER thread, as a concurrent compactor
+    // process would — the re-entrancy shortcut must not apply
+    @volatile var leased = false
+    @volatile var release = false
+    val holder = new Thread(() =>
+      CompactionLease.withLease(spark, dir) {
+        leased = true
+        while (!release) Thread.sleep(5)
+      })
+    holder.start()
+    while (!leased) Thread.sleep(5)
+    try body
+    finally { release = true; holder.join() }
+  }
+
+  test("ingest during a held compaction lease fails loudly, writes nothing") {
+    val dir = Files.createTempDirectory("graft_lease").toString + "/idx"
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    Dedup.buildDedupIndex(docs, "doc_id", "text", dir, n = 1,
+      numHashes = 16, bands = 4)
+    val before = spark.read.parquet(s"$dir/members").count()
+    val batch = Seq((9L, "fresh words entirely")).toDF("doc_id", "text")
+    val ex = leasedBy(dir) {
+      intercept[CompactionLease.CompactionInProgressException] {
+        Dedup.dedupIndexIngest(batch, "doc_id", "text", dir, n = 1,
+          numHashes = 16, bands = 4)
+      }
+    }
+    assert(ex.getMessage.contains("nothing was written"))
+    // the pre-check fired BEFORE any append: the table is untouched,
+    // the rows did not silently vanish into a doomed append
+    assert(spark.read.parquet(s"$dir/members").count() == before)
+    // once the lease is released the same ingest succeeds
+    Dedup.dedupIndexIngest(batch, "doc_id", "text", dir, n = 1,
+      numHashes = 16, bands = 4)
+    assert(spark.read.parquet(s"$dir/members").count() == before + 1)
+  }
+
+  test("second concurrent compactor fails loudly; lease released after compact") {
+    val dir = Files.createTempDirectory("graft_lease2").toString + "/idx"
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(docs, "doc_id", "text", dir, n = 1,
+      numHashes = 16, bands = 4)
+    leasedBy(dir) {
+      intercept[CompactionLease.CompactionInProgressException] {
+        Dedup.dedupIndexCompact(spark, dir)
+      }: Unit
+    }
+    // lease gone -> compact runs clean and releases
+    Dedup.dedupIndexCompact(spark, dir)
+    assert(!new java.io.File(s"$dir/_compact_lease").exists())
+  }
+
+  test("stale lease from a crashed compactor is broken by the next one") {
+    val dir = Files.createTempDirectory("graft_lease3").toString + "/idx"
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(docs, "doc_id", "text", dir, n = 1,
+      numHashes = 16, bands = 4)
+    // fabricate an abandoned lease older than the stale horizon
+    val lease = new java.io.File(s"$dir/_compact_lease")
+    assert(lease.createNewFile())
+    assert(lease.setLastModified(
+      System.currentTimeMillis() - CompactionLease.DefaultStaleLeaseMs - 60000))
+    // an ingest treats the stale lease as absent (crashed compactor)
+    Dedup.dedupIndexIngest(Seq((5L, "more text here")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 1, numHashes = 16, bands = 4)
+    // and a new compactor breaks it, runs, and releases
+    Dedup.dedupIndexCompact(spark, dir)
+    assert(!lease.exists())
+  }
+
+  test("dispatched components recompute takes and releases the lease around its swaps") {
+    val dir = Files.createTempDirectory("graft_lease4").toString + "/idx"
+    val sig = Seq((10L, 0x00L), (20L, 0xF0F0L)).toDF("id", "sig")
+    Dedup.buildComponentsIndex(sig, dir)
+    // default dispatch -> recompute route: takes the lease for its swaps,
+    // then appends sigs through the guarded path on the same thread —
+    // must complete without tripping its own lease
+    Dedup.componentsIngest(spark, Seq((30L, 0x01L)).toDF("id", "sig"), dir)
+    assert(!new java.io.File(s"$dir/_compact_lease").exists())
+    assert(Dedup.componentsTable(spark, dir).count() == 3)
+  }
 }

@@ -35,10 +35,13 @@ class ComponentsIndexSpec extends SparkTestBase {
   private def freshIndex(): String =
     Files.createTempDirectory("graft_ccidx").toString + "/idx"
 
+  // recomputeBelow = 0 pins the MAINTENANCE machinery these cases are
+  // about — under default dispatch a spec-sized store routes to the
+  // measured-cheaper full recompute (covered by its own test below)
   private def buildAndIngestWaves(idx: String): Unit = {
     Dedup.buildComponentsIndex(corpus, idx)
-    Dedup.componentsIngest(spark, wave1, idx)
-    Dedup.componentsIngest(spark, wave2, idx)
+    Dedup.componentsIngest(spark, wave1, idx, recomputeBelow = 0L)
+    Dedup.componentsIngest(spark, wave2, idx, recomputeBelow = 0L)
   }
 
   test("chained-wave maintenance equals one-shot CC, rep chain resolved") {
@@ -66,7 +69,8 @@ class ComponentsIndexSpec extends SparkTestBase {
     val idx = freshIndex()
     buildAndIngestWaves(idx)
     val before = assignment(Dedup.componentsTable(spark, idx))
-    Dedup.componentsIngest(spark, wave2, idx) // replay of the last batch
+    Dedup.componentsIngest(spark, wave2, idx, // replay of the last batch
+      recomputeBelow = 0L)
     assert(assignment(Dedup.componentsTable(spark, idx)) == before)
   }
 
@@ -136,9 +140,44 @@ class ComponentsIndexSpec extends SparkTestBase {
     val idx = freshIndex()
     Dedup.buildComponentsIndex(corpus, idx)
     val lone = Seq((99L, 0x0F00000000000000L)).toDF("id", "sig")
-    Dedup.componentsIngest(spark, lone, idx)
+    Dedup.componentsIngest(spark, lone, idx, recomputeBelow = 0L)
     val got = assignment(Dedup.componentsTable(spark, idx))
     assert(got(99L) == 99L && got(10L) == 10L && got(20L) == 20L)
     assert(spark.read.parquet(s"$idx/merges").isEmpty)
+  }
+
+  test("dispatch: small store routes ingest to the recompute, identical assignment") {
+    val idx = freshIndex()
+    Dedup.buildComponentsIndex(corpus, idx)
+    // default dispatch: stored count (3) << crossover -> recompute route
+    Dedup.componentsIngest(spark, wave1, idx)
+    Dedup.componentsIngest(spark, wave1, idx) // replayed batch
+    Dedup.componentsIngest(spark, wave2, idx)
+    val got = assignment(Dedup.componentsTable(spark, idx))
+    assert(got == assignment(Dedup.signatureComponents(all)))
+    // route proof: the recompute SWAPS comps/ (one raw row per id, the
+    // replay folded) and clears merges/; maintenance would have appended
+    // a duplicate assignment row per replayed id and kept merge events
+    val raw = spark.read.parquet(s"$idx/comps")
+    assert(raw.count() == raw.select("id").distinct().count())
+    assert(spark.read.parquet(s"$idx/merges").isEmpty)
+    // future probes see every ingested signature (sigs appended LAST)
+    assert(Dedup.signatureIndexProbe(spark, idx,
+      Seq((100L, 0x03L)).toDF("id", "sig")).count() > 0)
+  }
+
+  test("dispatch: recomputeBelow threshold boundary — at-or-above count maintains") {
+    val idx = freshIndex()
+    Dedup.buildComponentsIndex(corpus, idx) // 3 stored signatures
+    // threshold equal to the stored count -> NOT below -> maintenance
+    Dedup.componentsIngest(spark, wave1, idx, recomputeBelow = 3L)
+    val events = spark.read.parquet(s"$idx/merges")
+      .as[(Long, Long)].collect().toSet
+    assert(events == Set((10L, 5L))) // the maintenance route's union event
+    // threshold above the stored count -> recompute -> merges swapped empty
+    Dedup.componentsIngest(spark, wave2, idx, recomputeBelow = 100L)
+    assert(spark.read.parquet(s"$idx/merges").isEmpty)
+    assert(assignment(Dedup.componentsTable(spark, idx))
+      == assignment(Dedup.signatureComponents(all)))
   }
 }

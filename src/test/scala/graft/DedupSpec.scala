@@ -653,4 +653,44 @@ class DedupSpec extends SparkTestBase {
     assert(direct.nonEmpty && direct == probe && direct == viaBulk &&
       direct == viaProbe)
   }
+
+  test("undispatched bulk probe warns once on the backoff schedule; crawl probes stay silent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_warn").toString
+    Dedup.buildDedupIndex(docs.filter(col("doc_id") <= 4), "doc_id", "text", dir,
+      n = 1, numHashes = 16, bands = 4)
+    // a batch of 2 vs 4 indexed docs is far above the 2% bulk ratio and
+    // NO corpusForBulk is passed — the misuse the warning exists for
+    val bulk = Seq((10L, "the quick brown fox"), (11L, "brand new content"))
+      .toDF("doc_id", "text")
+    Dedup.minhashLshPairsAgainstIndex(spark, dir, bulk,
+      "doc_id", "text", n = 1, numHashes = 16, bands = 4).count()
+    assert(Dedup.bulkWarned.contains(dir), "first undispatched bulk probe must warn")
+    assert(Dedup.probeCallCounts.get(dir).get() == 1)
+    // further probes never re-warn (the guard) and keep counting for the
+    // power-of-two backoff, so the crawl path pays no per-batch job
+    Dedup.minhashLshPairsAgainstIndex(spark, dir, bulk,
+      "doc_id", "text", n = 1, numHashes = 16, bands = 4).count()
+    assert(Dedup.probeCallCounts.get(dir).get() == 2)
+
+    // a crawl-sized probe against a separate index stays silent: the
+    // pre-flight runs (call 1 is on the schedule) but the ratio is small
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_idx_warn2").toString
+    val big = (1L to 200L).map(i => (i, s"document number $i with words"))
+      .toDF("doc_id", "text")
+    Dedup.buildDedupIndex(big, "doc_id", "text", dir2,
+      n = 1, numHashes = 16, bands = 4)
+    val crawl = Seq((900L, "one tiny crawl doc")).toDF("doc_id", "text")
+    Dedup.minhashLshPairsAgainstIndex(spark, dir2, crawl,
+      "doc_id", "text", n = 1, numHashes = 16, bands = 4).count()
+    assert(!Dedup.bulkWarned.contains(dir2), "crawl-cadence probe must not warn")
+    // dispatched calls bypass the misuse guard entirely
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_idx_warn3").toString
+    Dedup.buildDedupIndex(docs.filter(col("doc_id") <= 4), "doc_id", "text", dir3,
+      n = 1, numHashes = 16, bands = 4)
+    Dedup.minhashLshPairsAgainstIndex(spark, dir3, bulk,
+      "doc_id", "text", n = 1, numHashes = 16, bands = 4,
+      corpusForBulk = Some(docs.filter(col("doc_id") <= 4))).count()
+    assert(!Dedup.bulkWarned.contains(dir3) &&
+      !Dedup.probeCallCounts.containsKey(dir3))
+  }
 }
