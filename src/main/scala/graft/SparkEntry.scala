@@ -3281,6 +3281,36 @@ object SparkEntry {
         .select(col("old_rep").as("id"), col("new_rep").as("rep"))
       fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
         .unionByName(rawDups).unionByName(leftoverMerges)
+    }),
+
+    // ---- Distributed classifier fit witness (q244): the
+    // full-batch-gradient regime (Classifier.fitDistributed, engaged by
+    // sampleN > driverSampleCap) on the q234 fixture, with the driver
+    // cap scaled to the SF (64 rows of the ~50%-positive corpus): the
+    // capped driver fit's holdout positive recall stays BELOW 0.95
+    // (measured 0.76/0.86/0.79 at the three SFs) while the distributed
+    // fit over every labeled row clears it (0.98/0.99/1.00, iters=500)
+    // — the contrast the distributed path exists for, at catalog scale.
+    // ClassifierSpec carries the same contrast at a 20 k-row rare-marker
+    // fixture with the production 1024 cap. Oracle recomputes the
+    // holdout-positive count exactly; the recall floors are the model
+    // contract (the q235 convention).
+    "q244_distributed_classifier_check" -> ((s, dir) => {
+      val (train, hold) = classifierSplit(s, dir)
+      def posRecall(m: Classifier.LogRegModel): Double =
+        Classifier.score(hold, "doc_id", "text", m)
+          .join(hold.select(col("doc_id"), col("label")), "doc_id")
+          .filter(col("label"))
+          .agg(avg(when(col("predicted"), 1.0).otherwise(0.0)))
+          .head().getDouble(0)
+      val driverRecall = posRecall(Classifier.fit(train, "doc_id", "text",
+        "label", sampleN = 64, iters = 500))
+      val distRecall = posRecall(Classifier.fit(train, "doc_id", "text",
+        "label", sampleN = Int.MaxValue, iters = 500, driverSampleCap = 64))
+      hold.filter(col("label"))
+        .agg(count(lit(1)).as("n_holdout_pos"),
+          lit(driverRecall < 0.95).as("driver_underfits"),
+          lit(distRecall >= 0.95).as("dist_above_floor"))
     })
   )
 
@@ -6118,7 +6148,18 @@ object SparkEntry {
     // rows, no surviving merge events -> empty
     "q243_components_dispatch_check" -> """
       SELECT CAST(doc_id AS BIGINT) AS id, CAST(doc_id AS BIGINT) AS rep
-      FROM documents WHERE FALSE"""
+      FROM documents WHERE FALSE""",
+
+    // q244: holdout-positive count recomputed exactly (the q234 label in
+    // SQL); the recall floors are the model contract (q235 convention)
+    "q244_distributed_classifier_check" -> s"""
+      WITH tk AS (SELECT doc_id, ${sqlTokens("lower(text)")} AS t
+                  FROM documents WHERE doc_id % 2 = 1)
+      SELECT count(*) AS n_holdout_pos,
+             TRUE AS driver_underfits, TRUE AS dist_above_floor
+      FROM tk
+      WHERE len(list_filter(t, x -> x = 'window')) >
+            len(list_filter(t, x -> x = 'scan'))"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →

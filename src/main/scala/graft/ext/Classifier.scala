@@ -12,9 +12,12 @@ import graft.functions.expressions.WordShingleHashes
   * sample, then score and gate the WHOLE corpus with it).
   *
   * Architecture follows the engine's model-parameter contract
-  * ([[Similarity]]'s k-means and PQ fits): TRAINING is driver-side over a
-  * bounded, hash-spread sample — logistic regression is a few thousand
-  * labeled examples, never corpus-scale — and INFERENCE is one
+  * ([[Similarity]]'s k-means and PQ fits): TRAINING defaults to
+  * driver-side over a bounded, hash-spread sample — logistic regression
+  * is usually a few thousand labeled examples — with a DISTRIBUTED
+  * full-batch-gradient path ([[fitDistributed]], engaged by
+  * `sampleN > driverSampleCap`) for corpora whose signal needs more
+  * labeled rows than a driver heap holds; INFERENCE is one
   * distributed scan with the weight vector riding a codegen'd expression
   * ([[graft.functions.expressions.HashedBowScore]]): no shuffle, no join,
   * tokenizer-speed scoring of 100 TB. Features are L1-normalized hashed
@@ -65,17 +68,34 @@ object Classifier {
     out
   }
 
-  /** Fit by full-batch gradient descent with L2 regularization on a
-    * bounded driver-side sample: the `sampleN` rows with the smallest
-    * (xxhash64(id), id) — hash-spread, uncorrelated with id order — from
-    * `docs`, labeled by the boolean `labelCol`. A model fit, not a data
-    * pass: the collect is ≤ sampleN rows regardless of corpus size.
+  /** Fit by full-batch gradient descent with L2 regularization. Two
+    * regimes behind one API, switched on `sampleN` vs `driverSampleCap`:
+    *
+    *  - `sampleN <= driverSampleCap` (the default): DRIVER fit on a
+    *    bounded sample — the `sampleN` rows with the smallest
+    *    (xxhash64(id), id) — hash-spread, uncorrelated with id order.
+    *    A model fit, not a data pass: the collect is ≤ sampleN rows
+    *    regardless of corpus size.
+    *  - `sampleN > driverSampleCap`: DISTRIBUTED fit — the gradient of
+    *    each full-batch iteration is computed cluster-side over a
+    *    persisted featurized sample ([[fitDistributed]]), so corpora
+    *    whose signal needs more labeled rows than a driver heap holds
+    *    (e.g. a 1% positive class spread over a large marker
+    *    vocabulary) can train on them. Pass `sampleN = Int.MaxValue`
+    *    to train on every labeled row.
+    *
+    * Both regimes are deterministic (no RNG; the distributed gradient
+    * is combined in partition-index order) and serve the identical
+    * scoring representation.
     */
   def fit(docs: DataFrame, idCol: String, textCol: String, labelCol: String,
       dim: Int = 4096, sampleN: Int = 1024, iters: Int = 2000,
       learningRate: Double = 1.0, l2: Double = 0.0,
-      featScale: Double = 50.0): LogRegModel = {
+      featScale: Double = 50.0, driverSampleCap: Int = 1024): LogRegModel = {
     require(dim >= 1 && sampleN >= 1 && iters >= 1, "bad hyperparameters")
+    if (sampleN > driverSampleCap)
+      return fitDistributed(docs, idCol, textCol, labelCol, dim, sampleN,
+        iters, learningRate, l2, featScale)
     val sample = docs
       .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
       .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
@@ -111,6 +131,85 @@ object Classifier {
       }
       b -= learningRate * gradB / n
     }
+    LogRegModel(w.map(_ * featScale), b)
+  }
+
+  /** The distributed full-batch GD regime of [[fit]]: featurize the
+    * hash-selected sample ONCE cluster-side and persist it, then run the
+    * same update rule with each iteration's gradient computed as one job
+    * over the cached partitions. Iteration cost is a scan of the cached
+    * featurized rows (sparse int/double arrays, no text), so `iters` is
+    * the wall-clock knob; the weight vector (dim doubles) rides each
+    * task's closure.
+    *
+    * Sampling: an exact global smallest-`sampleN` selection would
+    * serialize the sample through one partition (Spark's global limit),
+    * so this regime hash-THRESHOLDS instead — rows with
+    * `pmod(xxhash64(id), corpusCount) < sampleN` — selecting
+    * approximately `sampleN` deterministic hash-spread rows while the
+    * scan stays fully parallel. `sampleN >= corpusCount` selects every
+    * labeled row.
+    *
+    * Determinism: per-partition partial gradients accumulate row-order
+    * sequentially, are collected WITH their partition index, and are
+    * combined on the driver in index order — same corpus, same
+    * partitioning, same weights, independent of task scheduling.
+    */
+  def fitDistributed(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 4096, sampleN: Int = Int.MaxValue,
+      iters: Int = 2000, learningRate: Double = 1.0, l2: Double = 0.0,
+      featScale: Double = 50.0): LogRegModel = {
+    require(dim >= 1 && sampleN >= 1 && iters >= 1, "bad hyperparameters")
+    val labeled = docs
+      .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
+    val total = labeled.count()
+    require(total > 0, "Classifier.fitDistributed: no training rows")
+    val sampled =
+      if (sampleN >= total) labeled
+      else labeled.filter(
+        pmod(xxhash64(col(idCol)), lit(total)) < lit(sampleN.toLong))
+    val featurized = sampled
+      .select(col(textCol).cast("string"), col(labelCol).cast("boolean"))
+      .rdd.mapPartitions(_.map { r =>
+        val fx = featurize(r.getString(0), dim)
+        (fx.map(_._1), fx.map(_._2 * featScale),
+          if (r.getBoolean(1)) 1.0 else 0.0)
+      })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = featurized.count().toDouble
+    require(n > 0, "Classifier.fitDistributed: empty hash-thresholded sample")
+    val w = new Array[Double](dim)
+    var b = 0.0
+    for (_ <- 1 to iters) {
+      val wCap = w.clone() // task-shipped snapshot of this iteration
+      val bCap = b
+      // grad layout: [0, dim) feature grads, [dim] bias grad
+      val partials = featurized.mapPartitionsWithIndex { (pid, it) =>
+        val g = new Array[Double](dim + 1)
+        it.foreach { case (fs, xs, y) =>
+          var margin = bCap
+          var i = 0
+          while (i < fs.length) { margin += wCap(fs(i)) * xs(i); i += 1 }
+          val resid = 1.0 / (1.0 + math.exp(-margin)) - y
+          i = 0
+          while (i < fs.length) { g(fs(i)) += resid * xs(i); i += 1 }
+          g(dim) += resid
+        }
+        Iterator.single((pid, g))
+      }.collect().sortBy(_._1)
+      val grad = new Array[Double](dim + 1)
+      partials.foreach { case (_, g) =>
+        var f = 0
+        while (f <= dim) { grad(f) += g(f); f += 1 }
+      }
+      var f = 0
+      while (f < dim) {
+        w(f) -= learningRate * (grad(f) / n + l2 * w(f))
+        f += 1
+      }
+      b -= learningRate * grad(dim) / n
+    }
+    featurized.unpersist(false): Unit
     LogRegModel(w.map(_ * featScale), b)
   }
 

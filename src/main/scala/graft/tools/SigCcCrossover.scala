@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   * smallest n.
   *
   * Usage: `graft.tools.SigCcCrossover [n ...]` — default sweep
-  * 500k 1M 2M 4M 8M.
+  * 500k 1M 2M 4M 8M. Batch cadence via `SPARK_GRAFT_CC_MODULUS`
+  * (default 1000 = 0.1%); at large n the cadence matters more than the
+  * store size — a 0.1% batch of a 32 M store touches every one of the
+  * 256 (chunk, kb) buckets, so the "pruned" probe reads the whole
+  * store, while a micro-batch keeps the O(|batch|) promise.
   */
 object SigCcCrossover {
   def main(args: Array[String]): Unit = {
@@ -54,10 +58,11 @@ object SigCcCrossover {
       run + "/idx"
     }
 
+    val modulus = sys.env.getOrElse("SPARK_GRAFT_CC_MODULUS", "1000").toInt
     sizes.foreach { n =>
       val sig = synthetic(n).localCheckpoint()
-      val corpus = sig.filter(pmod(col("id"), lit(1000)) =!= 0).localCheckpoint()
-      val batch = sig.filter(pmod(col("id"), lit(1000)) === 0).localCheckpoint()
+      val corpus = sig.filter(pmod(col("id"), lit(modulus)) =!= 0).localCheckpoint()
+      val batch = sig.filter(pmod(col("id"), lit(modulus)) === 0).localCheckpoint()
       val idx = java.nio.file.Files.createTempDirectory("graft_sigcc").toString
       val t0 = System.nanoTime()
       graft.ext.Dedup.buildComponentsIndex(corpus, idx)

@@ -81,4 +81,60 @@ class ClassifierSpec extends SparkTestBase {
       .head().getDouble(0)
     assert(acc >= 0.95, s"holdout accuracy $acc")
   }
+
+  // The underfit fixture the distributed path exists for: ~1.3% positive
+  // rate AND each positive carries one of 37 rare marker tokens, so a
+  // 1024-row driver sample sees only a handful of markers — holdout
+  // positives with unseen markers can only score like negatives. The
+  // full-corpus fit sees every marker. Periods 75 (positives) and 37
+  // (markers) are chosen coprime with the even/odd train split so both
+  // splits carry positives over the FULL marker vocabulary.
+  private def markerFixture = {
+    import spark.implicits._
+    (0L until 20000L).map { i =>
+      val pos = i % 75 == 0
+      val base = s"common filler words shared by every document number ${i % 7}"
+      (i, if (pos) s"$base marker${(i / 75) % 37}" else base, pos)
+    }.toDF("doc_id", "text", "label")
+  }
+
+  test("driver-capped sample measurably underfits the rare-marker fixture; distributed fit recovers") {
+    val all = markerFixture
+    val train = all.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val hold = all.filter(pmod(col("doc_id"), lit(2)) === 1)
+    def posRecall(m: Classifier.LogRegModel): Double =
+      Classifier.score(hold, "doc_id", "text", m)
+        .join(hold.select(col("doc_id"), col("label")), "doc_id")
+        .filter(col("label"))
+        .agg(avg(when(col("predicted"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+    // driver regime: 1024 hash-spread rows -> ~10 positives -> most
+    // holdout markers unseen. (Accuracy would hide this at 1% base rate;
+    // positive recall is the honest metric.)
+    val driverModel = Classifier.fit(train, "doc_id", "text", "label",
+      iters = 300)
+    val driverRecall = posRecall(driverModel)
+    assert(driverRecall < 0.6,
+      s"fixture must make the driver sample underfit, got recall $driverRecall")
+    // distributed regime (sampleN > driverSampleCap routes to
+    // fitDistributed): full-corpus gradient sees every marker. Default
+    // iteration count — rare features at a 1.3% positive rate need the
+    // full schedule to outgrow the class-prior bias.
+    val distModel = Classifier.fit(train, "doc_id", "text", "label",
+      sampleN = Int.MaxValue)
+    val distRecall = posRecall(distModel)
+    assert(distRecall >= 0.95, s"distributed fit recall $distRecall")
+  }
+
+  test("fitDistributed is deterministic and the hash-thresholded sub-sample trains") {
+    val all = markerFixture
+    val m1 = Classifier.fitDistributed(all, "doc_id", "text", "label", iters = 20)
+    val m2 = Classifier.fitDistributed(all, "doc_id", "text", "label", iters = 20)
+    assert(m1.weights.toSeq === m2.weights.toSeq && m1.bias === m2.bias)
+    // sampleN below the corpus count engages the hash threshold and
+    // still yields a trainable (non-degenerate) model
+    val sub = Classifier.fitDistributed(all, "doc_id", "text", "label",
+      sampleN = 5000, iters = 20)
+    assert(sub.weights.exists(_ != 0.0))
+  }
 }
