@@ -3311,6 +3311,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_holdout_pos"),
           lit(driverRecall < 0.95).as("driver_underfits"),
           lit(distRecall >= 0.95).as("dist_above_floor"))
+    }),
+
+    // ---- Batched BPE induction (q245/q246): the scale path for real
+    // vocabularies — q182's merge loop runs ONE Spark round per merge
+    // (fine at 30, hopeless at 32 k), the batched form accepts up to
+    // batchK symbol-disjoint merges per round (counts invariant under
+    // each other by disjointness; merge ORDER is the documented
+    // approximation), so numMerges=256 takes ceil(256/64)=4 driver
+    // rounds instead of 256. Merge ranks depend on the batched order →
+    // pinned no-oracle, with the conservation identity (q246,
+    // order-independent: Σ applied_count telescopes to initial−final
+    // symbol mass) as the oracle-checked companion.
+    "q245_bpe_merges_batched" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text",
+        numMerges = 256, batchK = 64)),
+
+    "q246_bpe_batched_conservation" -> ((s, dir) =>
+      TextAnalysis.bpeConservationCheck(t(s, dir, "documents"), "text",
+        numMerges = 256, batchK = 64)),
+
+    // ---- Auto-knob IVF-PQ witness (q247): q232 documented the fixed
+    // 8-of-16 nprobe's recall ceiling (0.74-0.86 regardless of rerank);
+    // ivfPqTopKAuto derives nlist (cell-size rule), nprobe (the MEASURED
+    // 0.75 probe fraction — on this corpus family recall tracks the
+    // probe fraction nearly independently of nlist and n) and the refine
+    // depth (√n rule) from one count probe. Measured macro recall@5:
+    // 0.92/0.90 at the catalog 500-vec corpora, 0.92/0.90/0.94 at the
+    // 2k/20k/200k decades (tools/IvfPqAutoProbe) — floor 0.88 leaves
+    // deterministic-fixture margin under the measured 0.90 minimum.
+    "q247_ivfpq_auto_recall_check" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      Recall.topKRecall(
+          Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5),
+          Similarity.ivfPqTopKAuto(e, q, "vec_id", "embedding", 5))
+        .agg(count(lit(1)).as("n_queries"),
+          (avg(col("recall")) >= 0.88).as("above_floor"))
     })
   )
 
@@ -6159,7 +6196,21 @@ object SparkEntry {
              TRUE AS driver_underfits, TRUE AS dist_above_floor
       FROM tk
       WHERE len(list_filter(t, x -> x = 'window')) >
-            len(list_filter(t, x -> x = 'scan'))"""
+            len(list_filter(t, x -> x = 'scan'))""",
+
+    // q246: conservation is order-independent — empty by the telescoping
+    // identity for ANY merge sequence; WHERE FALSE oracle
+    "q246_bpe_batched_conservation" -> """
+      SELECT CAST(doc_id AS BIGINT) AS initial_symbols,
+             CAST(doc_id AS BIGINT) AS sum_applied,
+             CAST(doc_id AS BIGINT) AS final_symbols
+      FROM documents WHERE FALSE""",
+
+    // q247: query count recomputed exactly; the recall floor is the
+    // operator's measured contract (q232 convention)
+    "q247_ivfpq_auto_recall_check" -> """
+      SELECT count(*) AS n_queries, TRUE AS above_floor
+      FROM embeddings WHERE vec_id < 10"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →
@@ -6274,6 +6325,8 @@ object SparkEntry {
         "n_vectors:bigint,planes:int,tables:int,est_candidates:bigint,budget_pairs:bigint,within_budget:boolean",
       "q182_bpe_merges" ->
         "rank:int,sym_a:string,sym_b:string,merged:string,pair_count:bigint,applied_count:bigint",
+      "q245_bpe_merges_batched" ->
+        "rank:int,sym_a:string,sym_b:string,merged:string,pair_count:bigint,applied_count:bigint",
       "q184_bpe_token_counts" ->
         "doc_id:bigint,n_words:bigint,n_bpe_tokens:bigint,n_word_chars:bigint",
       "q187_hll_rollup" ->
@@ -6302,7 +6355,8 @@ object SparkEntry {
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 104L, "q174_pair_budget" -> 1L,
-        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500L,
+        "q182_bpe_merges" -> 30L, "q245_bpe_merges_batched" -> 89L,
+        "q184_bpe_token_counts" -> 500L,
         "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 531L,
         "q192_hll_intersect" -> 10L),
       "sf0.01" -> Map(
@@ -6316,7 +6370,8 @@ object SparkEntry {
         "q131_semantic_ingest" -> 100L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 112L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 101L, "q174_pair_budget" -> 1L,
-        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500L,
+        "q182_bpe_merges" -> 30L, "q245_bpe_merges_batched" -> 89L,
+        "q184_bpe_token_counts" -> 500L,
         "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L,
         "q192_hll_intersect" -> 10L),
       "sf0.1" -> Map(
@@ -6330,7 +6385,8 @@ object SparkEntry {
         "q131_semantic_ingest" -> 1600L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 400L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 487L, "q174_pair_budget" -> 1L,
-        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 5000L,
+        "q182_bpe_merges" -> 30L, "q245_bpe_merges_batched" -> 90L,
+        "q184_bpe_token_counts" -> 5000L,
         "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L,
         "q192_hll_intersect" -> 10L),
       "sf1" -> Map(
@@ -6344,7 +6400,8 @@ object SparkEntry {
         "q131_semantic_ingest" -> 19600L, "q144_source_overlap_lsh" -> 210L,
         "q155_cluster_sample" -> 4029L, "q157_incremental_overlap" -> 400L,
         "q159_degree_distribution" -> 528L, "q174_pair_budget" -> 1L,
-        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 50000L,
+        "q182_bpe_merges" -> 30L, "q245_bpe_merges_batched" -> 256L,
+        "q184_bpe_token_counts" -> 50000L,
         "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L,
         "q192_hll_intersect" -> 10L),
       // 100× replica (basename `sf10`, ScaleUp factor 100): the
@@ -6361,7 +6418,8 @@ object SparkEntry {
         "q71_ivf_recall" -> 10L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q174_pair_budget" -> 1L,
-        "q182_bpe_merges" -> 30L, "q184_bpe_token_counts" -> 500000L,
+        "q182_bpe_merges" -> 30L, "q245_bpe_merges_batched" -> 256L,
+        "q184_bpe_token_counts" -> 500000L,
         "q187_hll_rollup" -> 20L, "q189_windowed_distinct" -> 720L,
         "q192_hll_intersect" -> 10L))
     rows.map { case (sf, m) => sf -> m.map { case (q, r) => q -> (r, schemas(q)) } }

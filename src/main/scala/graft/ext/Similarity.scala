@@ -800,6 +800,38 @@ object Similarity {
       idCol, vecCol, k, rerank)
   }
 
+  /** Probe depth that holds IVF-PQ macro recall@5 ≥ 0.9 across the three
+    * measured decades (round-13 grid, `tools/IvfPqAutoProbe`, 2 k / 20 k /
+    * 200 k vectors): on this corpus family recall tracks the PROBE
+    * FRACTION nearly independently of nlist (16→128) and n — avg ≈
+    * 0.48-0.82 at frac 0.25, 0.74-0.92 at 0.5, 0.88-0.96 at 0.75 — the
+    * near-tie structure of the synthetic embedding space gives the
+    * coarse quantizer weak locality to exploit, so a FIXED nprobe (the
+    * q231/q232 pinned 8-of-16) decays as nlist grows with the corpus,
+    * while a fixed fraction does not. 3/4 of the cells held ≥ 0.90 at
+    * every measured (nlist, n); clustered production embeddings would
+    * support a lower fraction, which is one knob, measured the same way.
+    */
+  def autoNprobe(nlist: Int): Int =
+    math.max(1, math.ceil(0.75 * nlist).toInt)
+
+  /** [[ivfPqTopK]] with every scale knob derived from a one-row count
+    * probe — nlist from the shared [[autoNlist]] cell-size rule, nprobe
+    * from the measured [[autoNprobe]] fraction, refine depth from
+    * [[autoRerank]]'s √n rule — the corpus-scale entry point (the
+    * [[pqTopKAuto]] pattern applied to the prune side; closes the q232
+    * recall ceiling, which was a fixed 8-of-16 nprobe, not a PQ limit).
+    */
+  def ivfPqTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, targetCellSize: Int = 256,
+      m: Int = 16, ksub: Int = 64, fitSample: Int = 4096,
+      kmeansIters: Int = 3, pqIters: Int = 10): DataFrame = {
+    val n = corpus.count()
+    val nlist = autoNlist(n, targetCellSize, fitSample)
+    ivfPqTopK(corpus, queries, idCol, vecCol, k, nlist, autoNprobe(nlist),
+      m, ksub, fitSample, kmeansIters, pqIters, rerank = autoRerank(n, k))
+  }
+
   /** Hard-negative mining for contrastive training data: for each query,
     * the k most similar corpus vectors with a DIFFERENT label — the
     * near-misses that make the strongest negatives (the positives are the

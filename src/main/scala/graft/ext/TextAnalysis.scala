@@ -1034,10 +1034,31 @@ object TextAnalysis {
     * right asc) on binary string order — identical on any cluster and in
     * the DuckDB oracle's collation for the ASCII corpus.
     */
-  private def bpeTrain(df: DataFrame, textCol: String, numMerges: Int)
+  /** BPE training loop. `batchK = 1` (default) is EXACT sequential greedy
+    * — one Spark round per merge, fine at the catalog's numMerges=30 but
+    * hopeless at a real 32 k vocabulary. `batchK > 1` is the standard
+    * batched induction (SentencePiece's trick): per round, count
+    * adjacencies ONCE and accept up to batchK pairs in argmax order whose
+    * SYMBOL SETS are mutually disjoint — including each accepted pair's
+    * merged symbol, so no accepted merge can create or destroy another's
+    * adjacencies. Disjoint merges commute and their round-start counts
+    * are invariant under each other's application, so every accepted
+    * pair's recorded pair_count is the count sequential greedy would
+    * have seen at ITS OWN step ONLY IF no earlier accepted merge's
+    * output symbol would have out-ranked it — batching is therefore the
+    * documented approximation to the greedy merge ORDER (ranks follow
+    * round-local count order), with identical per-round count
+    * semantics and the same conservation identity (q185/q246 telescope
+    * over applied_count regardless of order). Driver rounds:
+    * ceil(numMerges / batchK) — bounded, the scale path for large
+    * vocabularies.
+    */
+  private def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      batchK: Int = 1)
       : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
-    require(numMerges >= 1 && numMerges <= 1000,
-      s"numMerges must be in [1, 1000], got $numMerges")
+    require(numMerges >= 1 && numMerges <= 100000,
+      s"numMerges must be in [1, 100000], got $numMerges")
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     var vocab = df
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -1048,7 +1069,10 @@ object TextAnalysis {
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
-      val best = vocab.filter(size(col("syms")) >= 2)
+      val k = math.min(batchK, numMerges - rank + 1)
+      // over-collect so conflict-rejected candidates don't starve the
+      // round; the collect stays bounded (4k+16 slim rows)
+      val top = vocab.filter(size(col("syms")) >= 2)
         .select(col("freq"), explode(transform(
           sequence(lit(1), size(col("syms")) - 1),
           i => struct(element_at(col("syms"), i).as("a"),
@@ -1056,25 +1080,53 @@ object TextAnalysis {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(k * 4 + 16).collect()
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        val stepped = vocab
-          .select(col("w"), col("freq"), col("syms"),
-            applyBpeMerge(col("syms"), a, b).as("next"))
+        // greedy symbol-disjoint acceptance in (cnt desc, a, b) order
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        top.iterator.foreach { r =>
+          if (accepted.size < k) {
+            val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+            if (!used(a) && !used(b) && !used(a + b)) {
+              used ++= Seq(a, b, a + b)
+              accepted += ((a, b, cnt))
+            }
+          }
+        }
+        // apply ALL accepted merges in ONE pass: a chain of merge stages
+        // in acceptance order (disjointness makes the order immaterial).
+        // Only the per-stage symbol COUNTS and the final array are
+        // materialized — k ints + one array per row, never k arrays.
+        val chained = accepted.zipWithIndex.foldLeft(
+          vocab.withColumn("__s0", col("syms"))) {
+          case (d, ((a, b, _), i)) =>
+            d.withColumn(s"__s${i + 1}",
+              applyBpeMerge(col(s"__s$i"), a, b))
+        }
+        val stepped = chained.select(
+          col("w") +: col("freq") +:
+            col(s"__s${accepted.size}").as("next") +:
+            (0 to accepted.size).map(i =>
+              size(col(s"__s$i")).as(s"__z$i")): _*)
           .localCheckpoint()
         // greedy applied count can differ from the adjacency count `cnt`
         // on overlapping runs (aaa: 2 adjacencies, 1 application) — both
         // are recorded; applied_count is what the conservation identity
         // (q185) telescopes over
-        val applied = stepped
-          .agg(sum(col("freq") * (size(col("syms")) - size(col("next")))))
-          .head().getLong(0)
-        merges += ((rank, a, b, a + b, cnt, applied))
+        val deltas = stepped.agg(
+          sum(col("freq") * (col("__z0") - col("__z1"))).as("d0"),
+          accepted.indices.drop(1).map(i =>
+            sum(col("freq") * (col(s"__z$i") - col(s"__z${i + 1}")))
+              .as(s"d$i")): _*)
+          .head()
+        accepted.zipWithIndex.foreach { case ((a, b, cnt), i) =>
+          merges += ((rank + i, a, b, a + b, cnt, deltas.getLong(i)))
+        }
         vocab = stepped.select(col("w"), col("freq"), col("next").as("syms"))
-        rank += 1
+        rank += accepted.size
       }
     }
     (merges.toSeq, vocab)
@@ -1119,10 +1171,11 @@ object TextAnalysis {
     * Σ applied_count = initial symbols − final symbols is re-derived from
     * the final vocabulary state (q185).
     */
-  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+      batchK: Int = 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    bpeTrain(df, textCol, numMerges)._1
+    bpeTrain(df, textCol, numMerges, batchK)._1
       .toDF("rank", "sym_a", "sym_b", "merged", "pair_count", "applied_count")
   }
 
@@ -1168,10 +1221,10 @@ object TextAnalysis {
     * `WHERE FALSE` oracle).
     */
   def bpeConservationCheck(df: DataFrame, textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int, batchK: Int = 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (merges, vocab) = bpeTrain(df, textCol, numMerges)
+    val (merges, vocab) = bpeTrain(df, textCol, numMerges, batchK)
     val sumApplied = merges.map(_._6).sum
     val totals = vocab
       .agg(sum(col("freq") * length(col("w"))),

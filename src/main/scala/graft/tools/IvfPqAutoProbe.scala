@@ -33,6 +33,14 @@ object IvfPqAutoProbe {
       exact.cache().count()
       val rr = Similarity.autoRerank(n, 5)
       println(s"== $dir n=$n autoRerank=$rr ==")
+      if (args.contains("auto")) {
+        val t = System.nanoTime()
+        val approx = Similarity.ivfPqTopKAuto(e, q, "vec_id", "embedding", 5)
+        val r = Recall.topKRecall(exact, approx)
+          .agg(avg(col("recall")), min(col("recall"))).head()
+        println(f"n=$n AUTO recall avg=${r.getDouble(0)}%.3f " +
+          f"min=${r.getDouble(1)}%.3f ${(System.nanoTime() - t) / 1e9}%.1f s")
+      } else
       for (nlist <- Seq(16, 32, 64, 128);
            frac <- Seq(0.25, 0.375, 0.5, 0.75)) {
         val nprobe = math.max(1, math.round(nlist * frac).toInt)

@@ -91,4 +91,39 @@ class BpeSpec extends SparkTestBase {
     val m = TextAnalysis.bpeMerges(df, "text", 5).collect()
     assert(m.length === 1 && m(0).getString(3) === "cd")
   }
+
+  test("batched induction: per-round merges are symbol-disjoint, counts are round-start, conservation holds") {
+    // Sennrich corpus, batchK=3: round 1's counts are (e,s)=9 (s,t)=9
+    // (l,o)=7 (o,w)=7 (w,e)=8 ... — acceptance in (cnt desc, a, b) order
+    // with symbol-disjointness: (e,s) accepted; (s,t) conflicts on 's';
+    // (w,e) conflicts on 'e'; (l,o) accepted; (o,w) conflicts on 'o';
+    // next non-conflicting candidates fill slot 3.
+    val m = TextAnalysis.bpeMerges(sennrich, "text", 6, batchK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m(0) === ((1, "e", "s", 9L)))
+    assert(m(1) === ((2, "l", "o", 7L)))
+    // within every round of 3, accepted symbol sets are pairwise disjoint
+    m.grouped(3).foreach { round =>
+      val sets = round.map { case (_, a, b, _) => Set(a, b, a + b) }
+      for (i <- sets.indices; j <- sets.indices if i < j)
+        assert((sets(i) & sets(j)).isEmpty,
+          s"round merges must be symbol-disjoint: ${round.toSeq}")
+    }
+    // the telescoping identity is merge-order-independent
+    assert(TextAnalysis.bpeConservationCheck(
+      sennrich, "text", 6, batchK = 3).count() === 0L)
+    // batchK larger than the whole merge budget still terminates and
+    // exhausts cleanly
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeMerges(tiny, "text", 10, batchK = 64).count() === 1L)
+  }
+
+  test("batchK=1 batched path is exactly the sequential greedy sequence") {
+    val seqForm = TextAnalysis.bpeMerges(sennrich, "text", 5)
+      .orderBy("rank").collect().map(_.toSeq)
+    val batched = TextAnalysis.bpeMerges(sennrich, "text", 5, batchK = 1)
+      .orderBy("rank").collect().map(_.toSeq)
+    assert(seqForm.toSeq === batched.toSeq)
+  }
 }

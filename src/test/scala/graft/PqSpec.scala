@@ -132,6 +132,20 @@ class PqSpec extends SparkTestBase {
     assert(rows(fromIndex) === rows(direct))
   }
 
+  test("autoNprobe holds the measured 0.75 probe fraction; ivfPqTopKAuto returns k ranked rows per query") {
+    import graft.ext.Similarity.autoNprobe
+    assert(autoNprobe(16) == 12)
+    assert(autoNprobe(32) == 24)
+    assert(autoNprobe(781) == 586)
+    assert(autoNprobe(1) == 1)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.ivfPqTopKAuto(e, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5)
+    assert(out.count() == 15)
+    assert(out.groupBy(col("query_id")).count()
+      .filter(col("count") =!= 5).count() == 0)
+  }
+
   test("readPqCodebooks fails loudly on an incomplete or shifted codebooks table") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft_pq_corrupt").toString
