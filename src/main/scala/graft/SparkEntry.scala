@@ -3260,7 +3260,16 @@ object SparkEntry {
     // to the one-shot CC over everything. Symmetric diff ∪ raw-dup
     // survivors ∪ merges survivors, WHERE FALSE oracle.
     "q243_components_dispatch_check" -> ((s, dir) => {
-      val sig = dhashSigs(s, dir).localCheckpoint()
+      // half the media universe (seed-pairs (4m, 4m+1) kept intact, both
+      // parities present): the route proof is scale-independent and this
+      // entry otherwise pays the codec plus FOUR corpus CC runs — the
+      // costliest entry in the whole bench at full width
+      val sig = Multimodal.imageDHash(Multimodal.synthesizePngs(dhashSpec(
+          t(s, dir, "documents")
+            .filter(pmod(expr("doc_id DIV 2"), lit(2)) === 0))))
+        .filter(col("ok"))
+        .select(col("media_id").as("id"), col("dhash").as("sig"))
+        .localCheckpoint()
       val idx = sigIndexDir(dir) + "_ccd"
       val odd = sig.filter(pmod(col("id"), lit(2)) === 1).localCheckpoint()
       Dedup.buildComponentsIndex(
