@@ -1732,26 +1732,36 @@ object Dedup {
     * corpus CC itself outgrows the crawl interval; this path stays the
     * only O(|batch|) form, so that crossover exists.
     *
-    * The ingest therefore DISPATCHES on the stored-signature count (one
-    * partition-pruned footer-metadata count of the `chunk=0` slice —
-    * no data scan, safe at sink cadence): below `recomputeBelow` it
-    * re-clusters stored ∪ batch with [[signatureComponents]] and swaps
-    * the result in (merges/ cleared — a full assignment resolves through
-    * an empty map); at or above it runs the incremental union-find.
-    * Both routes end with the same [[signatureIndexIngest]] append and
-    * keep the q224 invariant ([[componentsTable]] ≡ one-shot CC over
-    * everything ingested); the round-13 crossover measurement
-    * (BASELINE, synthetic decade sweep) sets the default. Pass
-    * `recomputeBelow = 0` to pin the maintenance machinery (the spec
-    * and witness-entry form), `Long.MaxValue` to always re-cluster.
+    * The ingest therefore DISPATCHES on TWO measured conditions (both
+    * pre-flights are trivial: a footer-metadata count of the pruned
+    * `chunk=0` slice and a count of the already-checkpointed batch):
+    * it re-clusters stored ∪ batch with [[signatureComponents]] and
+    * swaps the result in (merges/ cleared — a full assignment resolves
+    * through an empty map) when the store is below `recomputeBelow`
+    * AND the batch is at bulk cadence (`batch ≥ bulkRatio × stored` —
+    * the durable recompute route pays an O(store) comps REWRITE every
+    * call where maintenance appends O(batch), so at crawl cadence
+    * maintenance wins even where the re-cluster COMPUTE alone is
+    * cheaper: lifecycle-vs-lifecycle at 500 k stored, CcBenefit r13 —
+    * 0.1% batch: maintain 15.8 s vs recompute-route 18.9; 1%: 13.4 vs
+    * 14.6; 10%: 29.5 vs 15.0). Otherwise it runs the incremental
+    * union-find. Both routes end with the same [[signatureIndexIngest]]
+    * append and keep the q224 invariant ([[componentsTable]] ≡ one-shot
+    * CC over everything ingested). Pass `recomputeBelow = 0` to pin the
+    * maintenance machinery (the spec and witness-entry form), or
+    * `bulkRatio = 0` with a large `recomputeBelow` to always
+    * re-cluster.
     */
   def componentsIngest(spark: org.apache.spark.sql.SparkSession,
       incoming: DataFrame, indexDir: String,
       maxHamming: Int = 3, budgetPairs: Long = Long.MaxValue,
-      recomputeBelow: Long = SIG_CC_RECOMPUTE_BELOW): Unit = {
+      recomputeBelow: Long = SIG_CC_RECOMPUTE_BELOW,
+      bulkRatio: Double = SIG_CC_BULK_RATIO): Unit = {
     val inc = incoming.select(col("id"), col("sig")).localCheckpoint()
-    if (recomputeBelow > 0 &&
-        storedSignatureCount(spark, indexDir) < recomputeBelow) {
+    if (recomputeBelow > 0 && {
+          val stored = storedSignatureCount(spark, indexDir)
+          stored < recomputeBelow && inc.count() >= bulkRatio * stored
+        }) {
       // recompute route: one re-cluster of 8-byte rows beats the fixed
       // per-batch maintenance costs below the measured crossover. The
       // route swaps tables, so it takes the compaction lease — a
@@ -1782,18 +1792,32 @@ object Dedup {
     signatureIndexIngest(spark, indexDir, inc)
   }
 
-  /** Default [[componentsIngest]] dispatch crossover: stored-signature
-    * counts below this re-cluster from scratch, at or above it the
-    * incremental union-find engages. MEASURED (round-13
-    * [[graft.tools.SigCcCrossover]] synthetic decade sweep, 0.1% crawl
-    * cadence, warm-pair minima; full table in BASELINE round 13):
-    * recompute/maintain ratio climbs 0.38 → 0.60 → 0.68 → 0.77 → 0.84
-    * at 500 k → 1 M → 2 M → 4 M → 8 M stored signatures — recompute
-    * cheaper throughout — and flips to 1.30 at 16 M, where maintenance
-    * first wins (log-interpolated crossing ≈ 11 M). 8 M keeps the
-    * measured-cheaper side at every point measured on the reference box.
+  /** Store-size ceiling of the [[componentsIngest]] recompute route:
+    * at or above it the incremental union-find is the only path.
+    * MEASURED (round-13 [[graft.tools.SigCcCrossover]] synthetic decade
+    * sweep, 0.1% cadence, warm-pair minima; full table in BASELINE
+    * round 13): the re-cluster COMPUTE beats the maintenance lifecycle
+    * through 8 M stored signatures (ratio 0.38 → 0.84) and the region
+    * above is parity-to-noise (16 M: 1.30; 32 M isolated: 0.74) — the
+    * blocking probe stops pruning once a batch touches all 256 buckets,
+    * so both paths converge to O(n) there. 8 M caps the route where the
+    * compute economics were ever in its favor; WITHIN the cap the
+    * cadence condition ([[SIG_CC_BULK_RATIO]]) decides, because the
+    * durable route also pays an O(store) comps rewrite per call.
     */
   val SIG_CC_RECOMPUTE_BELOW: Long = 8000000L
+
+  /** Cadence condition of the recompute route: engage only when the
+    * batch is at least this fraction of the store. MEASURED
+    * lifecycle-vs-lifecycle at 500 k stored (CcBenefit round 13, the
+    * dispatched row): maintenance wins at 0.1% cadence (15.8 s vs
+    * 18.9) and holds parity at 1% (13.4 vs 14.6), the recompute route
+    * wins 2× at 10% (15.0 vs 29.5) — the crossover sits between 1% and
+    * 10%, and 2% matches the text family's measured
+    * `bulkDispatchRatio`, placing the near-parity band on the
+    * maintenance side where the mis-pick cost is smallest.
+    */
+  val SIG_CC_BULK_RATIO: Double = 0.02
 
   /** One row per stored signature — the `chunk=0` slice of the sigs/
     * blocking layout (partition-pruned scan of a quarter of the store),

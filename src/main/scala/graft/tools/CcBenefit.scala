@@ -95,22 +95,33 @@ object CcBenefit {
       val recomputeSec = time("full-recompute") {
         graft.ext.Dedup.signatureComponents(corpus.unionByName(batch)).count()
       }
-      // DEFAULT dispatch: the ingest pre-flights the stored count and is
-      // expected to route to whichever side measured cheaper above
-      val dispatchSec = time("dispatched-ingest+read") {
-        val run = java.nio.file.Files.createTempDirectory("graft_cc_dsp").toString
-        org.apache.hadoop.fs.FileUtil.copy(
-          new org.apache.hadoop.fs.Path(idx).getFileSystem(spark.sessionState.newHadoopConf()),
-          new org.apache.hadoop.fs.Path(idx),
-          new org.apache.hadoop.fs.Path(run).getFileSystem(spark.sessionState.newHadoopConf()),
-          new org.apache.hadoop.fs.Path(run + "/idx"),
-          false, spark.sessionState.newHadoopConf())
-        graft.ext.Dedup.componentsIngest(spark, batch, run + "/idx")
-        graft.ext.Dedup.componentsTable(spark, run + "/idx").count()
-      }
+      // the durable form of the recompute side: the route the dispatcher
+      // actually takes pays an O(store) comps rewrite + sigs append +
+      // table read on top of the compute-only row above — THIS is the
+      // number maintenance must be compared against (the r13 lesson:
+      // compute-only comparison overstated recompute at crawl cadence)
+      def lifecycleRun(tag: String)(recomputeBelow: Long, bulkRatio: Double): Double =
+        time(tag) {
+          val run = java.nio.file.Files.createTempDirectory("graft_cc_dsp").toString
+          org.apache.hadoop.fs.FileUtil.copy(
+            new org.apache.hadoop.fs.Path(idx).getFileSystem(spark.sessionState.newHadoopConf()),
+            new org.apache.hadoop.fs.Path(idx),
+            new org.apache.hadoop.fs.Path(run).getFileSystem(spark.sessionState.newHadoopConf()),
+            new org.apache.hadoop.fs.Path(run + "/idx"),
+            false, spark.sessionState.newHadoopConf())
+          graft.ext.Dedup.componentsIngest(spark, batch, run + "/idx",
+            recomputeBelow = recomputeBelow, bulkRatio = bulkRatio)
+          graft.ext.Dedup.componentsTable(spark, run + "/idx").count()
+        }
+      val recRouteSec = lifecycleRun("recompute-route+read")(Long.MaxValue, 0.0)
+      // DEFAULT dispatch: expected to land on the cheaper LIFECYCLE side
+      val dispatchSec = lifecycleRun("dispatched-ingest+read")(
+        graft.ext.Dedup.SIG_CC_RECOMPUTE_BELOW, graft.ext.Dedup.SIG_CC_BULK_RATIO)
+      val cheaper = math.min(maintainSec, recRouteSec)
       println(f"modulus $m SIGNATURE dispatched=$dispatchSec%.2f s " +
-        f"(maintain=$maintainSec%.2f recompute=$recomputeSec%.2f; " +
-        f"picks-cheaper=${dispatchSec <= math.max(maintainSec, recomputeSec)})")
+        f"(maintain=$maintainSec%.2f recompute-route=$recRouteSec%.2f " +
+        f"recompute-compute-only=$recomputeSec%.2f; " +
+        f"picks-cheaper=${dispatchSec <= cheaper * 1.15})")
       // identity: ingest once more into a fresh copy, diff vs recompute
       val run = java.nio.file.Files.createTempDirectory("graft_cc_id").toString
       org.apache.hadoop.fs.FileUtil.copy(

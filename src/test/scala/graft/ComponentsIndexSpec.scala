@@ -166,6 +166,25 @@ class ComponentsIndexSpec extends SparkTestBase {
       Seq((100L, 0x03L)).toDF("id", "sig")).count() > 0)
   }
 
+  test("dispatch: crawl-cadence batch below the bulk ratio maintains even in a small store") {
+    val idx = freshIndex()
+    // 200 mutually-distant signatures: a store small enough for the
+    // recompute route's size ceiling, large enough that a 1-row batch
+    // is crawl cadence (1/200 = 0.5% < the 2% bulk ratio)
+    val store = (0 until 200).map(i => (1000L + i, far + i * 16L))
+      .toDF("id", "sig")
+    Dedup.buildComponentsIndex(store, idx)
+    val one = Seq((5L, 0x0F0F0F0FL)).toDF("id", "sig")
+    Dedup.componentsIngest(spark, one, idx) // default dispatch
+    Dedup.componentsIngest(spark, one, idx) // replayed crawl batch
+    // maintenance APPENDS per replay (tolerated dups, folded at read);
+    // the recompute route would have swapped to one raw row per id
+    val raw = spark.read.parquet(s"$idx/comps").filter(col("id") === 5L)
+    assert(raw.count() == 2L,
+      "crawl-cadence ingest must take the maintenance route (append), not the swap")
+    assert(Dedup.componentsTable(spark, idx).count() == 201L)
+  }
+
   test("dispatch: recomputeBelow threshold boundary — at-or-above count maintains") {
     val idx = freshIndex()
     Dedup.buildComponentsIndex(corpus, idx) // 3 stored signatures
