@@ -62,7 +62,10 @@ object Bench {
         // PQ-index witnesses re-execute the whole lifecycle + comparator
         "q237_pq_index_check", "q238_pq_index_compact",
         // chunk-index witness: 3 ingests + the full batch-form comparator
-        "q240_chunk_index_check")
+        "q240_chunk_index_check",
+        // manifest witness: layout+manifest lifecycle plus the full
+        // unpruned comparator scan (q248 times the operator itself)
+        "q249_manifest_prune_check")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

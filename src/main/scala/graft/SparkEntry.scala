@@ -3357,6 +3357,62 @@ object SparkEntry {
           Similarity.ivfPqTopKAuto(e, q, "vec_id", "embedding", 5))
         .agg(count(lit(1)).as("n_queries"),
           (avg(col("recall")) >= 0.88).as("above_floor"))
+    }),
+
+    // ---- Zone-map manifest scan (q248): range-layout orders on
+    // o_orderdate, one-pass per-file min/max manifest
+    // (Tables.writeStatsManifest — the file-skipping statistics a
+    // lakehouse metadata layer keeps, as a plain parquet sidecar), then a
+    // DRIVER-side file prune for one quarter's band before any data
+    // footer is read. At 100 TB the prune skips ~96% of ~800 k files
+    // without a footer read or task launch each. Full DuckDB oracle: the
+    // pruned scan must equal the plain filtered scan.
+    "q248_manifest_scan" -> ((s, dir) => {
+      val dest = pqIndexDir(dir).replace("pq_index", "orders_layout_q248")
+      graft.sources.Tables.writeRangeLayout(t(s, dir, "orders"), dest,
+        "o_orderdate", 16)
+      graft.sources.Tables.writeStatsManifest(s, dest, Seq("o_orderdate"))
+      graft.sources.Tables.manifestPrunedScan(s, dest, "o_orderdate",
+          "1995-01-01 00:00:00", "1995-03-31 00:00:00")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Fns.dsum(col("o_totalprice")).as("sum_price"))
+    }),
+
+    // ---- Manifest prune witness (q249): violations-only frame (q243
+    // convention, WHERE FALSE oracle). Violations: (a) any row where the
+    // pruned scan and the plain filtered scan disagree (symmetric diff on
+    // the key), (b) the quarter band failing to skip files on a 16-file
+    // range layout, (c) an out-of-domain band keeping any file. Runs the
+    // whole layout+manifest lifecycle plus a full comparator scan —
+    // measurement-only in the bench, like every ≡-witness.
+    "q249_manifest_prune_check" -> ((s, dir) => {
+      import s.implicits._
+      val dest = pqIndexDir(dir).replace("pq_index", "orders_layout_q249")
+      graft.sources.Tables.writeRangeLayout(t(s, dir, "orders"), dest,
+        "o_orderdate", 16)
+      graft.sources.Tables.writeStatsManifest(s, dest, Seq("o_orderdate"))
+      val (lo, hi) = ("1995-01-01 00:00:00", "1995-03-31 00:00:00")
+      val pruned = graft.sources.Tables.manifestPrunedScan(
+        s, dest, "o_orderdate", lo, hi)
+      val odt = s.read.parquet(dest).schema("o_orderdate").dataType
+      val full = s.read.parquet(dest).filter(
+        col("o_orderdate") >= lit(lo).cast(odt) &&
+          col("o_orderdate") <= lit(hi).cast(odt))
+      def keys(df: DataFrame) = df.select(col("o_orderkey"))
+      val mismatch = keys(pruned).exceptAll(keys(full))
+        .unionByName(keys(full).exceptAll(keys(pruned)))
+        .select(lit("mismatch").as("kind"),
+          col("o_orderkey").cast("string").as("detail"))
+      val (keptIn, total) = graft.sources.Tables.manifestKeptFiles(
+        s, dest, "o_orderdate", lo, hi)
+      val (keptOut, _) = graft.sources.Tables.manifestKeptFiles(
+        s, dest, "o_orderdate", "2031-01-01 00:00:00", "2031-12-31 00:00:00")
+      val structural = Seq(
+        (keptIn.size < total, "no_pruning", s"kept ${keptIn.size} of $total"),
+        (keptOut.isEmpty, "empty_band_kept_files", s"kept ${keptOut.size}"))
+        .collect { case (ok, k, d) if !ok => (k, d) }
+      mismatch.unionByName(structural.toDF("kind", "detail"))
     })
   )
 
@@ -6219,7 +6275,24 @@ object SparkEntry {
     // operator's measured contract (q232 convention)
     "q247_ivfpq_auto_recall_check" -> """
       SELECT count(*) AS n_queries, TRUE AS above_floor
-      FROM embeddings WHERE vec_id < 10"""
+      FROM embeddings WHERE vec_id < 10""",
+
+    // q248: the manifest-pruned scan must equal a plain filtered
+    // aggregate over the table — pruning is file-granular and re-applies
+    // the predicate, so the band's rows are exactly the filter's
+    "q248_manifest_scan" -> s"""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             ${sqlDsum("o_totalprice")} AS sum_price
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <= TIMESTAMP '1995-03-31'
+      GROUP BY 1""",
+
+    // q249: pruned ≡ full, files skipped, empty band reads nothing ->
+    // empty
+    "q249_manifest_prune_check" -> """
+      SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS detail
+      FROM orders WHERE FALSE"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →

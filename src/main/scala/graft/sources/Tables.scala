@@ -221,4 +221,140 @@ object Tables {
     fs.delete(bak, true)
     nFiles
   }
+
+  /** Sidecar directory of the per-file zone-map manifest. The leading
+    * underscore makes it invisible to plain parquet reads of the table
+    * (Spark's file index hides `_`/`.`-prefixed paths), so the manifest
+    * can live INSIDE the table directory and travel with it.
+    */
+  val ManifestDir = "_graft_manifest"
+
+  private def dataFileStatuses(spark: SparkSession,
+      path: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    require(entries.forall(_.isFile),
+      s"stats manifest: $path has subdirectories — manifests cover flat " +
+        "file layouts (the writeRangeLayout/writeZOrderLayout/compact " +
+        "output shape); for hive-partitioned tables, manifest the leaves")
+    entries
+  }
+
+  /** Per-FILE min/max zone-map manifest — the file-skipping statistics a
+    * lakehouse table format maintains in its metadata layer, as a plain
+    * parquet sidecar any engine can read. Parquet row-group stats already
+    * let the READER skip pages, but only after the driver has listed the
+    * file, scheduled a task, and read the footer; at 100 TB / 128 MB
+    * files that is ~800 k footer reads and task launches for a query
+    * that touches three files. The manifest moves the skip decision to
+    * the DRIVER: one tiny parquet read, then only the surviving files are
+    * ever opened. It composes with the clustering writers — after
+    * [[writeRangeLayout]] each file bounds its own key tightly (1-D), and
+    * after [[writeZOrderLayout]] each file is a tile in (a, b) space so a
+    * predicate on EITHER key prunes (the 2-D case the range layout cannot
+    * serve).
+    *
+    * One full scan computes count + min/max per key column per file
+    * (grouped on `input_file_name`), amortized over every subsequent
+    * pruned read — the same trade the layout writers already made. The
+    * manifest row count is the FILE count, not the row count: a few MB at
+    * 100 TB, written as one file. Zero-row files (possible after an empty
+    * write) appear with cnt=0 and null stats, which no range predicate
+    * matches — pruned, correctly. Returns the manifested file count.
+    */
+  def writeStatsManifest(spark: SparkSession, path: String,
+      keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "writeStatsManifest: at least one key column")
+    import spark.implicits._
+    val names = dataFileStatuses(spark, path).map(_.getPath.getName).toSeq
+    val aggs = keyCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+    val stats = spark.read.parquet(path)
+      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      .agg(count(lit(1)).as("cnt"), aggs: _*)
+    val manifest = names.toDF("file")
+      .join(stats, Seq("file"), "left")
+      .na.fill(0L, Seq("cnt"))
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/$ManifestDir")
+    names.length
+  }
+
+  /** Driver-side prune against the manifest: the data files whose
+    * [min, max] window on `keyCol` intersects the CLOSED band [lo, hi],
+    * plus the total file count. Fails loudly on a STALE manifest (the
+    * table's file set changed since [[writeStatsManifest]]) — silently
+    * pruning with stale stats would drop rows; rebuild the manifest after
+    * any append/compact/layout rewrite. The collect is file-COUNT-sized
+    * (names only), the same driver-side footprint as Spark's own
+    * in-memory file index for the unpruned read.
+    */
+  def manifestKeptFiles(spark: SparkSession, path: String, keyCol: String,
+      lo: Any, hi: Any): (Seq[String], Int) =
+    manifestKeptFilesMulti(spark, path, Seq((keyCol, lo, hi)))
+
+  /** Conjunctive multi-band prune: a file survives only if EVERY band
+    * intersects its window — the z-order case, where a (x-band AND
+    * y-band) predicate reduces the keep set to the tiles in the query
+    * RECTANGLE rather than either full stripe.
+    */
+  def manifestKeptFilesMulti(spark: SparkSession, path: String,
+      bands: Seq[(String, Any, Any)]): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions._
+    require(bands.nonEmpty, "manifest prune: at least one band")
+    val listing = dataFileStatuses(spark, path).map(_.getPath.getName).toSet
+    val man = spark.read.parquet(s"$path/$ManifestDir")
+    val keep = bands.map { case (keyCol, lo, hi) =>
+      require(man.columns.contains(s"${keyCol}__min"),
+        s"manifest at $path does not cover key '$keyCol' — rebuild with it")
+      val dt = man.schema(s"${keyCol}__min").dataType
+      col(s"${keyCol}__max") >= lit(lo).cast(dt) &&
+        col(s"${keyCol}__min") <= lit(hi).cast(dt)
+    }.reduce(_ && _)
+    val rows = man.select(col("file"), keep.as("keep")).collect()
+    val manNames = rows.map(_.getString(0)).toSet
+    require(manNames == listing,
+      s"stale manifest at $path: file set changed since writeStatsManifest " +
+        s"(${(listing -- manNames).size} new, ${(manNames -- listing).size} " +
+        "gone) — rebuild the manifest")
+    (rows.filter(r => !r.isNullAt(1) && r.getBoolean(1))
+      .map(r => s"$path/${r.getString(0)}").toSeq, rows.length)
+  }
+
+  /** Manifest-pruned scan: read ONLY the files the zone map keeps for the
+    * closed band [lo, hi] on `keyCol`, then re-apply the predicate (file
+    * granularity over-approximates; row-group stats inside the kept files
+    * finish the job). Equals `read.parquet(path).filter(band)` row-for-row
+    * — [[manifestKeptFiles]]'s intersect test keeps every file that can
+    * hold a matching row, and a range predicate never matches null keys,
+    * so null-stat (all-null or empty) files are safe to skip. An empty
+    * keep set returns an empty frame with the table's schema, no file
+    * ever opened.
+    */
+  def manifestPrunedScan(spark: SparkSession, path: String, keyCol: String,
+      lo: Any, hi: Any): DataFrame =
+    manifestPrunedScanMulti(spark, path, Seq((keyCol, lo, hi)))
+
+  /** [[manifestPrunedScan]] for a conjunction of bands (tile-intersection
+    * prune over a z-order layout).
+    */
+  def manifestPrunedScanMulti(spark: SparkSession, path: String,
+      bands: Seq[(String, Any, Any)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = spark.read.parquet(path).schema
+    val (kept, _) = manifestKeptFilesMulti(spark, path, bands)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(kept: _*)
+    bands.foldLeft(base) { case (df, (keyCol, lo, hi)) =>
+      val dt = schema(keyCol).dataType
+      df.filter(col(keyCol) >= lit(lo).cast(dt) && col(keyCol) <= lit(hi).cast(dt))
+    }
+  }
 }

@@ -885,4 +885,62 @@ object Streams {
         }
       }
       .start()
+
+  /** Streaming ANN-index maintenance — the crawl-cadence feed of the
+    * persisted PQ-codes index ([[graft.ext.Similarity.buildPqIndex]]),
+    * completing the sink family: every persisted index (MinHash bands,
+    * IVF cells, 64-bit signatures, connected components, chunk hashes,
+    * PQ codes) now has an O(|batch|)-per-micro-batch ingest path. The
+    * stream carries `(idCol, vecCol)` rows; per micro-batch the raw
+    * vectors land in a `batch_id=`-partitioned dynamic-overwrite store
+    * (replay-idempotent — and the float store IS the exact-rerank side
+    * `pqIndexTopK(vectors = …)` wants), and the codes append via
+    * [[graft.ext.Similarity.pqIndexIngest]] — encode against the FROZEN
+    * codebooks, no re-fit, no corpus touch. The first non-empty batch
+    * bootstraps the model ([[graft.ext.Similarity.buildPqIndex]], fit on
+    * that batch — the documented frozen-quantizer trade of every indexed
+    * sink here: codebook drift is a rebuild, not an ingest). A replayed
+    * batch appends bit-identical code rows, tolerated at probe and
+    * removed by [[graft.ext.Similarity.pqIndexCompact]] — the
+    * [[indexedSemanticIngestSink]] contract.
+    */
+  def indexedPqIngestSink(
+      df: DataFrame,
+      targetPath: String,
+      indexDir: String,
+      idCol: String,
+      vecCol: String,
+      checkpointDir: String,
+      m: Int = 16,
+      ksub: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // at-least-once sources repeat rows within a batch
+        val b = batch.toDF().dropDuplicates(idCol).localCheckpoint()
+        if (!b.isEmpty) {
+          // store BEFORE index append: a crash between the two replays
+          // into the same dynamic-overwrite partition (idempotent) and
+          // re-appends — a duplicate code row, compact's job — while the
+          // reverse order could leave codes pointing at vectors the
+          // store never received
+          b.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(targetPath)
+          val fs = new org.apache.hadoop.fs.Path(indexDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val hasIndex = fs.exists(
+            new org.apache.hadoop.fs.Path(s"$indexDir/codebooks"))
+          if (hasIndex)
+            graft.ext.Similarity.pqIndexIngest(spark, indexDir, b, idCol, vecCol)
+          else
+            graft.ext.Similarity.buildPqIndex(b, idCol, vecCol, indexDir,
+              m = m, ksub = ksub)
+        }
+      }
+      .start()
 }

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** File-level zone-map manifest ([[graft.sources.Tables.writeStatsManifest]]
+  * / [[graft.sources.Tables.manifestPrunedScan]]): the driver-side
+  * file-skipping layer over the clustering writers. The contract under
+  * test: pruned scan ≡ plain filtered scan row-for-row, files actually
+  * skipped when the layout clusters the key, stale manifests fail LOUDLY
+  * (never a silent wrong answer), and null-key rows/files are handled by
+  * construction (a range predicate matches no null).
+  */
+class ManifestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def dataFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  test("pruned scan equals full filter and skips files on a range layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_man").toString + "/t"
+    val df = (1 to 20000).map(i => ((i * 2654435761L) % 99991, i.toLong)).toDF("k", "v")
+    graft.sources.Tables.writeRangeLayout(df, dir, "k", 16)
+    val n = graft.sources.Tables.writeStatsManifest(spark, dir, Seq("k"))
+    assert(n == 16)
+    val (kept, total) = graft.sources.Tables.manifestKeptFiles(spark, dir, "k", 10000L, 20000L)
+    assert(total == 16)
+    assert(kept.nonEmpty && kept.size < total,
+      s"a ~10% band over a range layout must prune most files, kept ${kept.size}/$total")
+    val pruned = graft.sources.Tables.manifestPrunedScan(spark, dir, "k", 10000L, 20000L)
+      .select("k", "v").as[(Long, Long)].collect().sorted
+    val full = spark.read.parquet(dir)
+      .filter(col("k") >= 10000L && col("k") <= 20000L)
+      .select("k", "v").as[(Long, Long)].collect().sorted
+    assert(pruned.nonEmpty && pruned.toSeq == full.toSeq)
+  }
+
+  test("z-order manifest prunes on EITHER dimension") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manz").toString + "/t"
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 20000).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("x", "y")
+    graft.sources.Tables.writeZOrderLayout(df, dir, "x", "y", nFiles = 16)
+    graft.sources.Tables.writeStatsManifest(spark, dir, Seq("x", "y"))
+    for (key <- Seq("x", "y")) {
+      val (kept, total) = graft.sources.Tables.manifestKeptFiles(spark, dir, key, 0L, 99L)
+      assert(kept.size < total, s"10% band on $key kept ${kept.size}/$total files")
+      val pruned = graft.sources.Tables.manifestPrunedScan(spark, dir, key, 0L, 99L)
+        .select("x", "y").as[(Long, Long)].collect().sorted
+      val full = spark.read.parquet(dir)
+        .filter(col(key) >= 0L && col(key) <= 99L)
+        .select("x", "y").as[(Long, Long)].collect().sorted
+      assert(pruned.nonEmpty && pruned.toSeq == full.toSeq)
+    }
+  }
+
+  test("conjunctive two-band prune keeps only the query-rectangle tiles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manr").toString + "/t"
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 40000).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("x", "y")
+    graft.sources.Tables.writeZOrderLayout(df, dir, "x", "y", nFiles = 64)
+    graft.sources.Tables.writeStatsManifest(spark, dir, Seq("x", "y"))
+    val (keptX, total) = graft.sources.Tables.manifestKeptFiles(spark, dir, "x", 0L, 249L)
+    val (keptRect, _) = graft.sources.Tables.manifestKeptFilesMulti(
+      spark, dir, Seq(("x", 0L, 249L), ("y", 0L, 249L)))
+    // the rectangle keeps strictly fewer tiles than either stripe alone
+    assert(keptRect.size < keptX.size && keptX.size < total,
+      s"rect ${keptRect.size} < x-stripe ${keptX.size} < $total expected")
+    val pruned = graft.sources.Tables.manifestPrunedScanMulti(
+        spark, dir, Seq(("x", 0L, 249L), ("y", 0L, 249L)))
+      .select("x", "y").as[(Long, Long)].collect().sorted
+    val full = spark.read.parquet(dir)
+      .filter(col("x") <= 249L && col("y") <= 249L)
+      .select("x", "y").as[(Long, Long)].collect().sorted
+    assert(pruned.nonEmpty && pruned.toSeq == full.toSeq)
+  }
+
+  test("out-of-domain band keeps zero files and returns an empty, schema-correct frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mane").toString + "/t"
+    (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    graft.sources.Tables.writeStatsManifest(spark, dir, Seq("k"))
+    val (kept, total) = graft.sources.Tables.manifestKeptFiles(spark, dir, "k", 5000L, 6000L)
+    assert(kept.isEmpty && total > 0)
+    val out = graft.sources.Tables.manifestPrunedScan(spark, dir, "k", 5000L, 6000L)
+    assert(out.columns.toSeq == Seq("k", "s"))
+    assert(out.count() == 0)
+  }
+
+  test("stale manifest fails loudly after the file set changes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mans").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    graft.sources.Tables.writeStatsManifest(spark, dir, Seq("k"))
+    (101 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.manifestPrunedScan(spark, dir, "k", 0L, 1000L)
+    }
+    assert(e.getMessage.contains("stale manifest"))
+    // rebuild repairs it — and the appended rows are visible again
+    graft.sources.Tables.writeStatsManifest(spark, dir, Seq("k"))
+    assert(graft.sources.Tables.manifestPrunedScan(spark, dir, "k", 0L, 1000L)
+      .count() == 200)
+  }
+
+  test("null keys: all-null files prune, mixed files keep, no null row ever returned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mann").toString + "/t"
+    val mixed = (1 to 100).map(i =>
+      (if (i % 10 == 0) None else Some(i.toLong), i.toLong)).toDF("k", "v")
+    mixed.coalesce(1).write.mode("overwrite").parquet(dir)
+    // a second, ALL-null-key file: its manifest stats are null, which the
+    // keep predicate must treat as "cannot match a range" — skipped
+    (1 to 50).map(i => (None: Option[Long], (1000 + i).toLong)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    graft.sources.Tables.writeStatsManifest(spark, dir, Seq("k"))
+    val (kept, total) = graft.sources.Tables.manifestKeptFiles(spark, dir, "k", 1L, 100L)
+    assert(total == 2 && kept.size == 1, s"all-null file must prune: kept ${kept.size}/$total")
+    val rows = graft.sources.Tables.manifestPrunedScan(spark, dir, "k", 1L, 100L)
+      .select("v").as[Long].collect().sorted
+    assert(rows.toSeq == (1 to 100).filter(_ % 10 != 0).map(_.toLong))
+  }
+
+  test("manifest does not cover the requested key -> loud error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mank").toString + "/t"
+    (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    graft.sources.Tables.writeStatsManifest(spark, dir, Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.manifestKeptFiles(spark, dir, "v", 0.0, 1.0)
+    }
+    assert(e.getMessage.contains("does not cover"))
+  }
+}

@@ -600,4 +600,44 @@ class StreamsSpec extends SparkTestBase {
       assert(hashes.count() == 4) // "a b", "c d", "e f", "g h"
     } finally q.stop()
   }
+
+  test("indexedPqIngestSink bootstraps the model on batch 1; later batches frozen-codebook ingest, probe-visible") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_idxpq").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_idxpq_cp").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.indexedPqIngestSink(
+      input.toDS().toDF("vec_id", "embedding"), s"$dir/t", s"$dir/idx",
+      "vec_id", "embedding", cp, m = 2, ksub = 2)
+    try {
+      // batch 1 bootstraps store + model (codebooks fit on this batch)
+      input.addData(
+        (1L, Seq(1f, 0.1f, 0.1f, 0.1f)), (2L, Seq(0.1f, 1f, 0.1f, 0.1f)),
+        (3L, Seq(0.1f, 0.1f, 1f, 0.1f)), (4L, Seq(0.1f, 0.1f, 0.1f, 1f)))
+      q.processAllAvailable()
+      val books = spark.read.parquet(s"$dir/idx/codebooks").collect().toSet
+      assert(books.size == 4) // the full m=2 x ksub=2 grid
+      // batch 2: appended under the FROZEN model — codebooks unchanged,
+      // codes grow by the batch
+      input.addData((5L, Seq(1f, 0.2f, 0.1f, 0.1f)),
+        (6L, Seq(0.1f, 0.1f, 1f, 0.2f)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/idx/codebooks").collect().toSet == books)
+      assert(spark.read.parquet(s"$dir/idx/codes").count() == 6)
+      val store = spark.read.parquet(s"$dir/t")
+      assert(store.select("vec_id").as[Long].collect().toSet ==
+        Set(1L, 2L, 3L, 4L, 5L, 6L))
+      // the ingested rows are probe-visible: exact-reranked top-2 for a
+      // query colinear with id 1 is {1, 5} — 5 arrived AFTER bootstrap
+      val queries = Seq((100L, Seq(1f, 0.1f, 0.1f, 0.1f)))
+        .toDF("vec_id", "embedding")
+      val top = graft.ext.Similarity.pqIndexTopK(spark, s"$dir/idx", queries,
+        "vec_id", "embedding", k = 2, rerank = 6,
+        vectors = Some(store.select("vec_id", "embedding")))
+      assert(top.select("neighbor_id").as[Long].collect().toSet == Set(1L, 5L))
+      // compact folds the bootstrap + append file sets; rows preserved
+      graft.ext.Similarity.pqIndexCompact(spark, s"$dir/idx")
+      assert(spark.read.parquet(s"$dir/idx/codes").count() == 6)
+    } finally q.stop()
+  }
 }
