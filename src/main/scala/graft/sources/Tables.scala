@@ -209,6 +209,15 @@ object Tables {
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}._compact_tmp")
     val bak = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}._compact_bak")
     fs.delete(tmp, true); fs.delete(bak, true)
+    // a zone-map manifest travels with the directory into bak and would be
+    // deleted with it — remember its key columns so the pruning layer is
+    // REBUILT over the compacted files instead of silently lost (the
+    // rewrite invalidates every per-file stat anyway)
+    val manifestKeys: Seq[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, ManifestDir)))
+        spark.read.parquet(s"$path/$ManifestDir").columns
+          .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
+      else Seq.empty
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     // swap: path -> bak, tmp -> path, drop bak; on failure the original
@@ -219,6 +228,7 @@ object Tables {
       sys.error(s"compact: could not install compacted table at $path")
     }
     fs.delete(bak, true)
+    if (manifestKeys.nonEmpty) writeStatsManifest(spark, path, manifestKeys): Unit
     nFiles
   }
 
@@ -316,7 +326,9 @@ object Tables {
       col(s"${keyCol}__max") >= lit(lo).cast(dt) &&
         col(s"${keyCol}__min") <= lit(hi).cast(dt)
     }.reduce(_ && _)
-    val rows = man.select(col("file"), keep.as("keep")).collect()
+    // distinct: a replayed statsManifestIngest appends bit-identical rows
+    // for the same file — tolerated here, folded by the next rebuild
+    val rows = man.select(col("file"), keep.as("keep")).distinct().collect()
     val manNames = rows.map(_.getString(0)).toSet
     require(manNames == listing,
       s"stale manifest at $path: file set changed since writeStatsManifest " +
@@ -336,6 +348,46 @@ object Tables {
     * keep set returns an empty frame with the table's schema, no file
     * ever opened.
     */
+  /** O(|batch|) manifest maintenance — the index-ingest discipline
+    * applied to the zone-map layer: after an append lands new files in
+    * the table, scan ONLY those files for their stats rows instead of
+    * rebuilding the whole manifest (a crawl-cadence store appended every
+    * micro-batch would otherwise pay a full-table scan per batch). Key
+    * columns are recovered from the existing manifest's schema. The
+    * append is one new parquet file in the sidecar; a crash mid-append
+    * leaves the missing files still missing from the manifest, which the
+    * staleness check turns into a LOUD error — never a silent wrong
+    * prune. A REPLAYED ingest appends duplicate rows for the same file;
+    * duplicates are bit-identical (same file, same stats) and
+    * [[manifestKeptFilesMulti]] reads the manifest `DISTINCT`, so replay
+    * is tolerated — the persisted-index contract. Returns the number of
+    * newly manifested files.
+    */
+  def statsManifestIngest(spark: SparkSession, path: String): Int = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val man = spark.read.parquet(s"$path/$ManifestDir")
+    val keyCols = man.columns.filter(_.endsWith("__min"))
+      .map(_.stripSuffix("__min")).toSeq
+    val known = man.select(col("file")).as[String].collect().toSet
+    val fresh = dataFileStatuses(spark, path).map(_.getPath.getName)
+      .filterNot(known).toSeq
+    if (fresh.isEmpty) return 0
+    val aggs = keyCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+    val stats = spark.read
+      .schema(spark.read.parquet(path).schema)
+      .parquet(fresh.map(f => s"$path/$f"): _*)
+      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      .agg(count(lit(1)).as("cnt"), aggs: _*)
+    val rows = fresh.toDF("file")
+      .join(stats, Seq("file"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .select(man.columns.map(col): _*) // align column order with the sidecar
+    rows.coalesce(1).write.mode("append").parquet(s"$path/$ManifestDir")
+    fresh.size
+  }
+
   def manifestPrunedScan(spark: SparkSession, path: String, keyCol: String,
       lo: Any, hi: Any): DataFrame =
     manifestPrunedScanMulti(spark, path, Seq((keyCol, lo, hi)))

@@ -902,7 +902,12 @@ object Streams {
     * sink here: codebook drift is a rebuild, not an ingest). A replayed
     * batch appends bit-identical code rows, tolerated at probe and
     * removed by [[graft.ext.Similarity.pqIndexCompact]] — the
-    * [[indexedSemanticIngestSink]] contract.
+    * [[indexedSemanticIngestSink]] contract. Unlike the GATING sinks this
+    * one indexes every row it is handed: the same id arriving in two
+    * DIFFERENT batches is two store rows and two code rows by design —
+    * feed it from a deduplicating stage ([[dedupIngestSink]] or an
+    * upstream `dropDuplicates` with state) when ids can recur across
+    * batches.
     */
   def indexedPqIngestSink(
       df: DataFrame,
