@@ -1329,6 +1329,22 @@ object Similarity {
     }
   }
 
+  /** [[pqIndexTopK]] with the refine depth sized by [[autoRerank]] from
+    * a count of the STORED codes (footer-metadata count, no data scan) —
+    * the persisted-index analog of [[pqTopKAuto]], so a probe keeps the
+    * measured √n recall as the index grows under
+    * [[pqIndexIngest]]/[[indexedPqIngestSink]] appends without the
+    * caller re-tuning rerank. Requires the float `vectors` side (the
+    * refine is the point of the auto form).
+    */
+  def pqIndexTopKAuto(spark: SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      vectors: DataFrame): DataFrame = {
+    val n = spark.read.parquet(s"$indexDir/codes").count()
+    pqIndexTopK(spark, indexDir, queries, idCol, vecCol, k,
+      rerank = autoRerank(n, k), vectors = Some(vectors))
+  }
+
   /** Compact: fold the appended code files into one file set and drop
     * bit-identical replayed rows (a replayed ingest appends duplicate
     * (id, codes, cn) rows, which would duplicate neighbor rows in top-k

@@ -132,6 +132,21 @@ class PqSpec extends SparkTestBase {
     assert(rows(fromIndex) === rows(direct))
   }
 
+  test("pqIndexTopKAuto sizes the refine from the STORED count and equals the explicit form") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_auto").toString
+    Similarity.buildPqIndex(e, "vec_id", "embedding", idx)
+    val q = e.filter(col("vec_id") < 3)
+    val n = spark.read.parquet(s"$idx/codes").count()
+    val auto = Similarity.pqIndexTopKAuto(spark, idx, q, "vec_id", "embedding",
+      5, vectors = e)
+    val explicit = Similarity.pqIndexTopK(spark, idx, q, "vec_id", "embedding",
+      5, rerank = Similarity.autoRerank(n, 5), vectors = Some(e))
+    assert(rows(auto) === rows(explicit))
+    assert(auto.groupBy(col("query_id")).count()
+      .filter(col("count") =!= 5).count() == 0)
+  }
+
   test("autoNprobe holds the measured 0.75 probe fraction; ivfPqTopKAuto returns k ranked rows per query") {
     import graft.ext.Similarity.autoNprobe
     assert(autoNprobe(16) == 12)
