@@ -3401,10 +3401,14 @@ object SparkEntry {
         col("o_orderdate") >= lit(lo).cast(odt) &&
           col("o_orderdate") <= lit(hi).cast(odt))
       def keys(df: DataFrame) = df.select(col("o_orderkey"))
+      // pinned eagerly: `full` lists dest lazily and the maintenance leg
+      // below APPENDS to it — without the checkpoint this comparator
+      // would see the appended files and spuriously diverge
       val mismatch = keys(pruned).exceptAll(keys(full))
         .unionByName(keys(full).exceptAll(keys(pruned)))
         .select(lit("mismatch").as("kind"),
           col("o_orderkey").cast("string").as("detail"))
+        .localCheckpoint()
       val (keptIn, total) = graft.sources.Tables.manifestKeptFiles(
         s, dest, "o_orderdate", lo, hi)
       val (keptOut, _) = graft.sources.Tables.manifestKeptFiles(
@@ -3413,7 +3417,23 @@ object SparkEntry {
         (keptIn.size < total, "no_pruning", s"kept ${keptIn.size} of $total"),
         (keptOut.isEmpty, "empty_band_kept_files", s"kept ${keptOut.size}"))
         .collect { case (ok, k, d) if !ok => (k, d) }
-      mismatch.unionByName(structural.toDF("kind", "detail"))
+      // O(batch) maintenance leg: append a slice as new files, ingest
+      // ONLY them (statsManifestIngest), and the pruned scan must still
+      // equal the plain filter over the grown table
+      t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        .coalesce(1).write.mode("append").parquet(dest)
+      graft.sources.Tables.statsManifestIngest(s, dest)
+      val pruned2 = graft.sources.Tables.manifestPrunedScan(
+        s, dest, "o_orderdate", lo, hi)
+      val full2 = s.read.parquet(dest).filter(
+        col("o_orderdate") >= lit(lo).cast(odt) &&
+          col("o_orderdate") <= lit(hi).cast(odt))
+      val ingestMismatch = keys(pruned2).exceptAll(keys(full2))
+        .unionByName(keys(full2).exceptAll(keys(pruned2)))
+        .select(lit("ingest_mismatch").as("kind"),
+          col("o_orderkey").cast("string").as("detail"))
+      mismatch.unionByName(ingestMismatch)
+        .unionByName(structural.toDF("kind", "detail"))
     })
   )
 
