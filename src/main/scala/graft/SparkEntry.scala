@@ -3260,14 +3260,15 @@ object SparkEntry {
     // to the one-shot CC over everything. Symmetric diff ∪ raw-dup
     // survivors ∪ merges survivors, WHERE FALSE oracle.
     "q243_components_dispatch_check" -> ((s, dir) => {
-      // quarter of the media universe (doc_id in {8m..8m+3}: two intact
-      // seed-pairs (4m, 4m+1) per block, both parities present): the
+      // quarter of the media universe (doc_id in {8m, 8m+1}: every kept
+      // id is a member of an INTACT seed-pair (4m, 4m+1), both parities
+      // present — same composition as the half form, half its size): the
       // route proof is scale-independent and this entry otherwise pays
       // the codec plus FOUR corpus CC runs — the costliest entry in the
       // whole bench at full width (20.1 s full → 14.3 s half → quarter)
       val sig = Multimodal.imageDHash(Multimodal.synthesizePngs(dhashSpec(
           t(s, dir, "documents")
-            .filter(pmod(expr("doc_id DIV 4"), lit(2)) === 0))))
+            .filter(pmod(expr("doc_id DIV 2"), lit(4)) === 0))))
         .filter(col("ok"))
         .select(col("media_id").as("id"), col("dhash").as("sig"))
         .localCheckpoint()
