@@ -338,16 +338,6 @@ object Tables {
       .map(r => s"$path/${r.getString(0)}").toSeq, rows.length)
   }
 
-  /** Manifest-pruned scan: read ONLY the files the zone map keeps for the
-    * closed band [lo, hi] on `keyCol`, then re-apply the predicate (file
-    * granularity over-approximates; row-group stats inside the kept files
-    * finish the job). Equals `read.parquet(path).filter(band)` row-for-row
-    * — [[manifestKeptFiles]]'s intersect test keeps every file that can
-    * hold a matching row, and a range predicate never matches null keys,
-    * so null-stat (all-null or empty) files are safe to skip. An empty
-    * keep set returns an empty frame with the table's schema, no file
-    * ever opened.
-    */
   /** O(|batch|) manifest maintenance — the index-ingest discipline
     * applied to the zone-map layer: after an append lands new files in
     * the table, scan ONLY those files for their stats rows instead of
@@ -388,6 +378,16 @@ object Tables {
     fresh.size
   }
 
+  /** Manifest-pruned scan: read ONLY the files the zone map keeps for the
+    * closed band [lo, hi] on `keyCol`, then re-apply the predicate (file
+    * granularity over-approximates; row-group stats inside the kept files
+    * finish the job). Equals `read.parquet(path).filter(band)` row-for-row
+    * — [[manifestKeptFiles]]'s intersect test keeps every file that can
+    * hold a matching row, and a range predicate never matches null keys,
+    * so null-stat (all-null or empty) files are safe to skip. An empty
+    * keep set returns an empty frame with the table's schema, no file
+    * ever opened.
+    */
   def manifestPrunedScan(spark: SparkSession, path: String, keyCol: String,
       lo: Any, hi: Any): DataFrame =
     manifestPrunedScanMulti(spark, path, Seq((keyCol, lo, hi)))
