@@ -168,6 +168,16 @@ class ManifestSpec extends SparkTestBase {
       .count() == full)
   }
 
+  test("hive-partitioned layout is rejected loudly (manifest the leaves instead)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manp").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i % 4))
+      .toDF("k", "part").write.mode("overwrite").partitionBy("part").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.writeStatsManifest(spark, dir, Seq("k"))
+    }
+    assert(e.getMessage.contains("subdirectories"))
+  }
+
   test("manifest does not cover the requested key -> loud error") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mank").toString + "/t"
     (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
