@@ -392,6 +392,62 @@ object Tables {
       lo: Any, hi: Any): DataFrame =
     manifestPrunedScanMulti(spark, path, Seq((keyCol, lo, hi)))
 
+  /** The `key=value` leaf directories of a hive-partitioned table,
+    * recursing nested partition levels. A directory whose non-hidden
+    * entries are all files is a leaf; mixing files and subdirectories is
+    * rejected loudly (not a hive layout).
+    */
+  private[graft] def partitionLeaves(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val (dirs, files) = entries.partition(_.isDirectory)
+    if (dirs.isEmpty) Seq(path)
+    else {
+      require(files.isEmpty,
+        s"stats manifest: $path mixes data files and subdirectories — " +
+          "not a hive-partitioned layout")
+      dirs.toSeq.flatMap(d => partitionLeaves(spark, d.getPath.toString))
+    }
+  }
+
+  /** [[writeStatsManifest]] for a hive-partitioned table: one per-leaf
+    * manifest (recursing nested `key=value` levels), so DIRECTORY-level
+    * partition pruning composes with FILE-level zone maps inside each
+    * surviving partition — the two layers a lakehouse metadata tier
+    * fuses, as plain sidecars. `keyCols` must be DATA columns (leaf
+    * files do not store the partition columns; asking for one fails
+    * loudly at the leaf scan). Returns the total manifested file count.
+    */
+  def writeStatsManifestPartitioned(spark: SparkSession, path: String,
+      keyCols: Seq[String]): Int =
+    partitionLeaves(spark, path).map(writeStatsManifest(spark, _, keyCols)).sum
+
+  /** [[manifestPrunedScan]] over a hive-partitioned table: per-leaf
+    * manifest prunes, then ONE read of the surviving files with
+    * `basePath` set so Spark re-derives the partition columns from the
+    * file paths — the output schema matches the plain partitioned read,
+    * partition columns included (filter them on the result; their
+    * pruning is directory-level and free). Staleness stays per-leaf and
+    * loud.
+    */
+  def manifestPrunedScanPartitioned(spark: SparkSession, path: String,
+      keyCol: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = spark.read.parquet(path).schema
+    val dt = schema(keyCol).dataType
+    val kept = partitionLeaves(spark, path).flatMap(l =>
+      manifestKeptFilesMulti(spark, l, Seq((keyCol, lo, hi)))._1)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.option("basePath", path).parquet(kept: _*)
+    base.filter(col(keyCol) >= lit(lo).cast(dt) && col(keyCol) <= lit(hi).cast(dt))
+  }
+
   /** [[manifestPrunedScan]] for a conjunction of bands (tile-intersection
     * prune over a z-order layout).
     */

@@ -168,6 +168,38 @@ class ManifestSpec extends SparkTestBase {
       .count() == full)
   }
 
+  test("partitioned manifests: per-leaf zone maps compose with partition columns in the output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manpl").toString + "/t"
+    (1 to 8000).map(i => ((i * 2654435761L) % 9991, i.toLong, i % 4))
+      .toDF("k", "v", "part")
+      .repartitionByRange(16, col("part"), col("k"))
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val n = graft.sources.Tables.writeStatsManifestPartitioned(spark, dir, Seq("k"))
+    assert(n >= 4, s"expected at least one file per partition, got $n")
+    val pruned = graft.sources.Tables.manifestPrunedScanPartitioned(
+      spark, dir, "k", 1000L, 2000L)
+    // partition column present and typed — the plain-read schema
+    assert(pruned.columns.toSet == Set("k", "v", "part"))
+    val got = pruned.select("k", "v", "part").as[(Long, Long, Int)].collect().sorted
+    val want = spark.read.parquet(dir)
+      .filter(col("k") >= 1000L && col("k") <= 2000L)
+      .select("k", "v", "part").as[(Long, Long, Int)].collect().sorted
+    assert(got.nonEmpty && got.toSeq == want.toSeq)
+    // file-level pruning actually happened inside the leaves
+    val keptTotal = graft.sources.Tables.partitionLeaves(spark, dir).map { l =>
+      val (kept, total) = graft.sources.Tables.manifestKeptFiles(spark, l, "k", 1000L, 2000L)
+      (kept.size, total)
+    }
+    assert(keptTotal.map(_._1).sum < keptTotal.map(_._2).sum)
+    // staleness stays per-leaf and loud
+    (1 to 10).map(i => ((9000 + i).toLong, i.toLong)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/part=2")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.manifestPrunedScanPartitioned(spark, dir, "k", 0L, 99999L)
+    }
+    assert(e.getMessage.contains("stale manifest"))
+  }
+
   test("hive-partitioned layout is rejected loudly (manifest the leaves instead)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manp").toString + "/t"
     (1 to 100).map(i => (i.toLong, i % 4))
