@@ -426,6 +426,31 @@ object Tables {
       keyCols: Seq[String]): Int =
     partitionLeaves(spark, path).map(writeStatsManifest(spark, _, keyCols)).sum
 
+  /** [[statsManifestIngest]] over a hive-partitioned table — the shape a
+    * crawl-cadence store actually grows in: appends land extra files in
+    * EXISTING `key=value` leaves (O(batch) per-leaf ingest) and create
+    * BRAND-NEW leaves (a new day's partition), which get a fresh sidecar
+    * built from the key columns every existing sidecar already shares.
+    * Returns the number of newly manifested files across all leaves.
+    */
+  def statsManifestIngestPartitioned(spark: SparkSession, path: String): Int = {
+    val leaves = partitionLeaves(spark, path)
+    def hasManifest(l: String): Boolean = {
+      val mp = new org.apache.hadoop.fs.Path(l, ManifestDir)
+      mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp)
+    }
+    val seeded = leaves.find(hasManifest)
+    require(seeded.nonEmpty,
+      s"statsManifestIngestPartitioned: no leaf of $path has a manifest — " +
+        "bootstrap with writeStatsManifestPartitioned first")
+    val keyCols = spark.read.parquet(s"${seeded.get}/$ManifestDir").columns
+      .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
+    leaves.map { l =>
+      if (hasManifest(l)) statsManifestIngest(spark, l)
+      else writeStatsManifest(spark, l, keyCols)
+    }.sum
+  }
+
   /** [[manifestPrunedScan]] over a hive-partitioned table: per-leaf
     * manifest prunes, then ONE read of the surviving files with
     * `basePath` set so Spark re-derives the partition columns from the

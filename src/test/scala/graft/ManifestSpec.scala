@@ -200,6 +200,32 @@ class ManifestSpec extends SparkTestBase {
     assert(e.getMessage.contains("stale manifest"))
   }
 
+  test("partitioned ingest: appends into old leaves AND a brand-new partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manpi").toString + "/t"
+    (1 to 4000).map(i => ((i * 2654435761L) % 9991, i.toLong, i % 3))
+      .toDF("k", "v", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    graft.sources.Tables.writeStatsManifestPartitioned(spark, dir, Seq("k"))
+    // extra file into an existing leaf + a brand-new partition value
+    Seq((50L, 9001L, 1), (75L, 9002L, 7), (80L, 9003L, 7))
+      .toDF("k", "v", "part").coalesce(1)
+      .write.mode("append").partitionBy("part").parquet(dir)
+    intercept[IllegalArgumentException] {
+      graft.sources.Tables.manifestPrunedScanPartitioned(spark, dir, "k", 0L, 99999L)
+    }
+    assert(graft.sources.Tables.statsManifestIngestPartitioned(spark, dir) == 2)
+    val got = graft.sources.Tables.manifestPrunedScanPartitioned(
+        spark, dir, "k", 40L, 90L)
+      .select("k", "v", "part").as[(Long, Long, Int)].collect().sorted
+    val want = spark.read.parquet(dir)
+      .filter(col("k") >= 40L && col("k") <= 90L)
+      .select("k", "v", "part").as[(Long, Long, Int)].collect().sorted
+    assert(got.toSeq == want.toSeq)
+    assert(got.exists(_._3 == 7), "the new partition's rows must be probe-visible")
+    // idempotent
+    assert(graft.sources.Tables.statsManifestIngestPartitioned(spark, dir) == 0)
+  }
+
   test("hive-partitioned layout is rejected loudly (manifest the leaves instead)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_manp").toString + "/t"
     (1 to 100).map(i => (i.toLong, i % 4))
