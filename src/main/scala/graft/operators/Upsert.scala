@@ -49,6 +49,9 @@ object Upsert {
       if (n > 0) {
         val w = materialized.write.mode("append")
         partitionCol.fold(w)(c => w.partitionBy(c)).parquet(path)
+        // if the target carries a zone-map manifest, keep it fresh —
+        // O(|appended files|), no-op (one metadata call) otherwise
+        graft.sources.Tables.maintainManifest(spark, path): Unit
       } else if (!tableExists(spark, path)) {
         // create-if-absent even when the first batch is empty (K1)
         val w = materialized.write.mode("append")

@@ -202,6 +202,23 @@ object Tables {
       return dirs.map(d => compact(spark, d.getPath.toString, targetFileBytes)).sum
     }
     if (dataFiles.isEmpty) return 0
+    // Same compactor/appender mutual exclusion the index families enforce:
+    // a concurrent [[statsManifestIngest]] (or any guarded append) fails
+    // loudly instead of being dropped by the swap. The lease marker lives
+    // INSIDE the table dir and travels into the backup at swap time, so
+    // an append racing the brief post-swap window is caught by the
+    // manifest staleness check (loud) rather than the lease — documented
+    // residual, never silent.
+    graft.ext.CompactionLease.withLease(spark, path) {
+      compactFlatLeased(spark, path, targetFileBytes, fs, dataFiles)
+    }
+  }
+
+  private def compactFlatLeased(spark: SparkSession, path: String,
+      targetFileBytes: Long,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dataFiles: Array[org.apache.hadoop.fs.FileStatus]): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val totalBytes = dataFiles.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     // dot-prefixed siblings: invisible to parquet readers and to the
@@ -210,14 +227,14 @@ object Tables {
     val bak = new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}._compact_bak")
     fs.delete(tmp, true); fs.delete(bak, true)
     // a zone-map manifest travels with the directory into bak and would be
-    // deleted with it — remember its key columns so the pruning layer is
-    // REBUILT over the compacted files instead of silently lost (the
-    // rewrite invalidates every per-file stat anyway)
-    val manifestKeys: Seq[String] =
+    // deleted with it — remember its full spec (keys, bloom columns, bloom
+    // bits) so the pruning layer is REBUILT over the compacted files
+    // instead of silently lost or narrowed (the rewrite invalidates every
+    // per-file stat anyway)
+    val (manifestKeys, manifestBlooms, manifestBits) =
       if (fs.exists(new org.apache.hadoop.fs.Path(p, ManifestDir)))
-        spark.read.parquet(s"$path/$ManifestDir").columns
-          .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
-      else Seq.empty
+        manifestSpecOf(spark, path)
+      else (Seq.empty[String], Seq.empty[String], 8192)
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     // swap: path -> bak, tmp -> path, drop bak; on failure the original
@@ -228,7 +245,9 @@ object Tables {
       sys.error(s"compact: could not install compacted table at $path")
     }
     fs.delete(bak, true)
-    if (manifestKeys.nonEmpty) writeStatsManifest(spark, path, manifestKeys): Unit
+    if (manifestKeys.nonEmpty)
+      writeStatsManifest(spark, path, manifestKeys, manifestBlooms,
+        manifestBits): Unit
     nFiles
   }
 
@@ -275,24 +294,114 @@ object Tables {
     * 100 TB, written as one file. Zero-row files (possible after an empty
     * write) appear with cnt=0 and null stats, which no range predicate
     * matches — pruned, correctly. Returns the manifested file count.
+    *
+    * Optional per-file BLOOM columns for point-lookup keys
+    * (`bloomCols`): min/max bands prune range predicates but are useless for
+    * `key = x` / `key IN (...)` on a high-cardinality key that the layout
+    * does NOT cluster (the `doc_id IN (...)` shape of a dedup-audit
+    * query) — every file's [min, max] spans the whole domain. Each
+    * `bloomCols` entry adds a `bloomBits`-bit, 2-hash bloom filter per
+    * file (packed `array<long>`, bits/64 words), built by the same one
+    * scan (two xxhash64 per row per column, bit_or-aggregated — no
+    * per-file collection). [[manifestKeptFilesPoint]] tests membership on
+    * the DRIVER; a false positive keeps a file needlessly (row-group
+    * stats inside finish the job), a true key is NEVER pruned. Size the
+    * bits to the rows per file: fpp/probe ≈ (1 − e^(−2n/bits))², ~3% at
+    * n=750/bits=8192; at 1 M-row files use ~2²⁰ bits (128 KB/file — the
+    * manifest stays millions of times smaller than the data).
     */
   def writeStatsManifest(spark: SparkSession, path: String,
-      keyCols: Seq[String]): Int = {
+      keyCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 8192): Int = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty, "writeStatsManifest: at least one key column")
+    require(bloomBits >= 64 && bloomBits % 64 == 0,
+      "bloomBits must be a positive multiple of 64")
     import spark.implicits._
-    val names = dataFileStatuses(spark, path).map(_.getPath.getName).toSeq
-    val aggs = keyCols.flatMap(c =>
-      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
-    val stats = spark.read.parquet(path)
-      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
-      .agg(count(lit(1)).as("cnt"), aggs: _*)
-    val manifest = names.toDF("file")
-      .join(stats, Seq("file"), "left")
-      .na.fill(0L, Seq("cnt"))
+    // (name, byte length): the length rides along so the staleness check
+    // can catch a file REWRITTEN IN PLACE under the same name by an
+    // external writer (graft's own writers always mint fresh part names,
+    // but the manifest must never silently prune with stale stats)
+    val files = dataFileStatuses(spark, path)
+      .map(st => (st.getPath.getName, st.getLen)).toSeq
+    val stats = fileStatsFrame(spark.read.parquet(path), keyCols, bloomCols, bloomBits)
+    val manifest = joinStats(files.toDF("file", "len"), stats, bloomCols, bloomBits)
     manifest.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/$ManifestDir")
-    names.length
+    files.length
+  }
+
+  /** The one-scan stats frame behind both the full build and the
+    * O(batch) ingest: per file (grouped on input_file_name) the row
+    * count, each key's min/max, and each bloom column's packed word
+    * array.
+    */
+  private def fileStatsFrame(df: DataFrame, keyCols: Seq[String],
+      bloomCols: Seq[String], bloomBits: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val words = bloomBits / 64
+    val aggs = keyCols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))) ++
+      bloomCols.flatMap(c => bloomWordAggs(c, bloomBits))
+    val stats0 = df
+      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      .agg(count(lit(1)).as("cnt"), aggs: _*)
+    bloomCols.foldLeft(stats0) { (d, c) =>
+      d.withColumn(s"${c}__bloom",
+          array((0 until words).map(w => col(s"${c}__bloom_$w")): _*))
+        .drop((0 until words).map(w => s"${c}__bloom_$w"): _*)
+    }
+  }
+
+  /** Left-join the listing onto the stats and normalize the empty-file
+    * row: cnt 0, null min/max (no range matches), and an all-zero bloom
+    * rather than a null — the word count IS the bits parameter, and the
+    * ingest recovers it from any row's array size.
+    */
+  private def joinStats(listing: DataFrame, stats: DataFrame,
+      bloomCols: Seq[String], bloomBits: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val words = bloomBits / 64
+    val joined = listing.join(stats, Seq("file"), "left")
+      .na.fill(0L, Seq("cnt"))
+    bloomCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${c}__bloom",
+        coalesce(col(s"${c}__bloom"), array_repeat(lit(0L), words)))
+    }
+  }
+
+  /** The two bloom probe positions of a value of column `c` — shared by
+    * the build aggregation and the driver-side membership test so they
+    * cannot disagree (both are the same xxhash64 evaluated by Spark).
+    */
+  private def bloomPositions(c: org.apache.spark.sql.Column,
+      bits: Int): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions._
+    Seq(pmod(xxhash64(c), lit(bits.toLong)),
+      pmod(xxhash64(c, lit(0x9E3779B9L)), lit(bits.toLong)))
+  }
+
+  /** One bit_or aggregate per 64-bit word: each row contributes its two
+    * positions' bits to the word they fall in (null keys contribute
+    * nothing — a point probe for null is not meaningful and not
+    * supported). Stays inside whole-stage codegen; no per-file
+    * collection ever materializes. The SQL text mirrors
+    * [[bloomPositions]] exactly — same xxhash64 calls, same seeds — so
+    * build and probe cannot disagree on a bit.
+    */
+  private def bloomWordAggs(c: String, bits: Int): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.expr
+    val words = bits / 64
+    val ps = Seq(
+      s"pmod(xxhash64(`$c`), ${bits}L)",
+      s"pmod(xxhash64(`$c`, ${0x9E3779B9L}L), ${bits}L)")
+    (0 until words).map { w =>
+      val contrib = ps.map(p =>
+        s"(case when `$c` is null then 0L " +
+          s"when $p div 64 = $w then shiftleft(1L, int($p % 64)) " +
+          "else 0L end)").mkString(" | ")
+      expr(s"bit_or($contrib)").as(s"${c}__bloom_$w")
+    }
   }
 
   /** Driver-side prune against the manifest: the data files whose
@@ -317,7 +426,17 @@ object Tables {
       bands: Seq[(String, Any, Any)]): (Seq[String], Int) = {
     import org.apache.spark.sql.functions._
     require(bands.nonEmpty, "manifest prune: at least one band")
-    val listing = dataFileStatuses(spark, path).map(_.getPath.getName).toSet
+    val listing = dataFileStatuses(spark, path)
+      .map(st => (st.getPath.getName, st.getLen)).toSet
+    // checked BEFORE the read so a table that never had (or lost) its
+    // sidecar gets the actionable message, not a raw path-not-found
+    // AnalysisException — the brand-new-hive-leaf case included
+    val manPath = new org.apache.hadoop.fs.Path(path, ManifestDir)
+    require(
+      manPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(manPath),
+      s"no manifest at $path — bootstrap with writeStatsManifest (or " +
+        "writeStatsManifestPartitioned / statsManifestIngestPartitioned " +
+        "for hive-partitioned tables)")
     val man = spark.read.parquet(s"$path/$ManifestDir")
     val keep = bands.map { case (keyCol, lo, hi) =>
       require(man.columns.contains(s"${keyCol}__min"),
@@ -328,14 +447,111 @@ object Tables {
     }.reduce(_ && _)
     // distinct: a replayed statsManifestIngest appends bit-identical rows
     // for the same file — tolerated here, folded by the next rebuild
-    val rows = man.select(col("file"), keep.as("keep")).distinct().collect()
-    val manNames = rows.map(_.getString(0)).toSet
-    require(manNames == listing,
+    val rows = man.select(col("file"), col("len"), keep.as("keep")).distinct().collect()
+    // (name, length) pairs: a same-name in-place rewrite changes the
+    // length and fails here instead of pruning with stale stats (an
+    // equal-length rewrite is not detectable from FS metadata alone —
+    // graft's writers never rewrite in place, so this is defense in depth
+    // against external writers, not a completeness claim)
+    val manFiles = rows.map(r => (r.getString(0), r.getLong(1))).toSet
+    require(manFiles == listing,
       s"stale manifest at $path: file set changed since writeStatsManifest " +
-        s"(${(listing -- manNames).size} new, ${(manNames -- listing).size} " +
-        "gone) — rebuild the manifest")
-    (rows.filter(r => !r.isNullAt(1) && r.getBoolean(1))
+        s"(${(listing -- manFiles).size} new-or-rewritten, " +
+        s"${(manFiles -- listing).size} gone) — rebuild the manifest")
+    (rows.filter(r => !r.isNullAt(2) && r.getBoolean(2))
       .map(r => s"$path/${r.getString(0)}").toSeq, rows.length)
+  }
+
+  /** Driver-side POINT prune against the manifest's bloom band: the data
+    * files that may contain ANY of `values` for `keyCol` — the
+    * `key IN (...)` shape min/max cannot serve on an unclustered
+    * high-cardinality key. The probe positions are computed BY SPARK with
+    * the table column's exact type (one 1-row job), so they match the
+    * build's hashes bit-for-bit; the membership test itself is a
+    * driver-side AND over the collected word arrays (file-count-sized,
+    * like every manifest read). Same loud staleness/coverage contract as
+    * the band prunes. False positives keep files needlessly; a stored key
+    * is never pruned.
+    */
+  def manifestKeptFilesPoint(spark: SparkSession, path: String,
+      keyCol: String, values: Seq[Any]): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions._
+    require(values.nonEmpty, "manifest point prune: at least one value")
+    val listing = dataFileStatuses(spark, path)
+      .map(st => (st.getPath.getName, st.getLen)).toSet
+    val manPath = new org.apache.hadoop.fs.Path(path, ManifestDir)
+    require(
+      manPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(manPath),
+      s"no manifest at $path — bootstrap with writeStatsManifest (or " +
+        "writeStatsManifestPartitioned / statsManifestIngestPartitioned " +
+        "for hive-partitioned tables)")
+    val man = spark.read.parquet(s"$path/$ManifestDir")
+    require(man.columns.contains(s"${keyCol}__bloom"),
+      s"manifest at $path has no bloom band for '$keyCol' — rebuild with " +
+        s"""writeStatsManifest(..., bloomCols = Seq("$keyCol"))""")
+    val rows = man.select(col("file"), col("len"), col(s"${keyCol}__bloom"))
+      .distinct().collect()
+    val manFiles = rows.map(r => (r.getString(0), r.getLong(1))).toSet
+    require(manFiles == listing,
+      s"stale manifest at $path: file set changed since writeStatsManifest " +
+        s"(${(listing -- manFiles).size} new-or-rewritten, " +
+        s"${(manFiles -- listing).size} gone) — rebuild the manifest")
+    if (rows.isEmpty) return (Nil, 0)
+    val bits = rows.head.getSeq[Long](2).length * 64
+    val dt = spark.read.parquet(path).schema(keyCol).dataType
+    val posRow = spark.range(1)
+      .select(values.flatMap(v => bloomPositions(lit(v).cast(dt), bits)): _*)
+      .head()
+    val probes = values.indices
+      .map(i => (posRow.getLong(2 * i), posRow.getLong(2 * i + 1)))
+    def bitSet(words: Seq[Long], p: Long): Boolean =
+      (words((p / 64).toInt) & (1L << (p % 64).toInt)) != 0
+    val kept = rows.filter { r =>
+      val words = r.getSeq[Long](2)
+      probes.exists { case (a, b) => bitSet(words, a) && bitSet(words, b) }
+    }.map(r => s"$path/${r.getString(0)}")
+    (kept.toSeq, rows.length)
+  }
+
+  /** Point-lookup scan through the bloom band: read only the files whose
+    * bloom may hold one of `values`, then re-apply the IN predicate
+    * exactly. Row-identical to `read.parquet(path).filter(key IN values)`
+    * — bloom false positives only widen the file set, never the rows.
+    */
+  def manifestPrunedScanPoint(spark: SparkSession, path: String,
+      keyCol: String, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = spark.read.parquet(path).schema
+    val dt = schema(keyCol).dataType
+    val (kept, _) = manifestKeptFilesPoint(spark, path, keyCol, values)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.schema(schema).parquet(kept: _*)
+    base.filter(col(keyCol).isin(values.map(v => lit(v).cast(dt)): _*))
+  }
+
+  /** The (keyCols, bloomCols, bloomBits) a manifest was built with, read
+    * back from its own schema (+ one word-count probe when blooms exist)
+    * — what [[statsManifestIngest]], [[compact]]'s rebuild and the
+    * partitioned ingest's new-leaf bootstrap preserve across maintenance.
+    */
+  private def manifestSpecOf(spark: SparkSession,
+      path: String): (Seq[String], Seq[String], Int) = {
+    import org.apache.spark.sql.functions._
+    val man = spark.read.parquet(s"$path/$ManifestDir")
+    val keys = man.columns.filter(_.endsWith("__min"))
+      .map(_.stripSuffix("__min")).toSeq
+    val blooms = man.columns.filter(_.endsWith("__bloom"))
+      .map(_.stripSuffix("__bloom")).toSeq
+    val bits =
+      if (blooms.isEmpty) 8192
+      else man.select(size(col(s"${blooms.head}__bloom")) * 64)
+        .limit(1).collect().headOption.map(_.getInt(0))
+        .getOrElse(sys.error(
+          s"manifest at $path has bloom columns but zero rows — cannot " +
+            "recover bloomBits; rebuild with writeStatsManifest"))
+    (keys, blooms, bits)
   }
 
   /** O(|batch|) manifest maintenance — the index-ingest discipline
@@ -357,24 +573,28 @@ object Tables {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val man = spark.read.parquet(s"$path/$ManifestDir")
-    val keyCols = man.columns.filter(_.endsWith("__min"))
-      .map(_.stripSuffix("__min")).toSeq
+    val (keyCols, bloomCols, bloomBits) = manifestSpecOf(spark, path)
     val known = man.select(col("file")).as[String].collect().toSet
-    val fresh = dataFileStatuses(spark, path).map(_.getPath.getName)
-      .filterNot(known).toSeq
+    val fresh = dataFileStatuses(spark, path)
+      .filterNot(st => known(st.getPath.getName))
+      .map(st => (st.getPath.getName, st.getLen)).toSeq
     if (fresh.isEmpty) return 0
-    val aggs = keyCols.flatMap(c =>
-      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
-    val stats = spark.read
-      .schema(spark.read.parquet(path).schema)
-      .parquet(fresh.map(f => s"$path/$f"): _*)
-      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
-      .agg(count(lit(1)).as("cnt"), aggs: _*)
-    val rows = fresh.toDF("file")
-      .join(stats, Seq("file"), "left")
-      .na.fill(0L, Seq("cnt"))
+    val stats = fileStatsFrame(
+      spark.read
+        .schema(spark.read.parquet(path).schema)
+        .parquet(fresh.map { case (f, _) => s"$path/$f" }: _*),
+      keyCols, bloomCols, bloomBits)
+    val rows = joinStats(fresh.toDF("file", "len"), stats, bloomCols, bloomBits)
       .select(man.columns.map(col): _*) // align column order with the sidecar
-    rows.coalesce(1).write.mode("append").parquet(s"$path/$ManifestDir")
+    // Guarded like every other index family's appends: a [[compact]]
+    // holding the table's lease would read-and-swap the very files this
+    // ingest is summarizing — fail loudly instead (and even if an
+    // unguarded writer raced the swap, the (file, len) staleness check at
+    // prune time stays the loud backstop; the lease turns that
+    // after-the-fact error into a fail-fast one).
+    graft.ext.CompactionLease.guardedAppend(spark, path) {
+      rows.coalesce(1).write.mode("append").parquet(s"$path/$ManifestDir")
+    }
     fresh.size
   }
 
@@ -423,8 +643,47 @@ object Tables {
     * loudly at the leaf scan). Returns the total manifested file count.
     */
   def writeStatsManifestPartitioned(spark: SparkSession, path: String,
-      keyCols: Seq[String]): Int =
-    partitionLeaves(spark, path).map(writeStatsManifest(spark, _, keyCols)).sum
+      keyCols: Seq[String], bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 8192): Int = {
+    val n = partitionLeaves(spark, path)
+      .map(writeStatsManifest(spark, _, keyCols, bloomCols, bloomBits)).sum
+    // root marker so [[maintainManifest]] can detect a manifested
+    // PARTITIONED table with one O(1) metadata call instead of a
+    // recursive leaf walk per micro-batch on every UN-manifested store
+    val mk = new org.apache.hadoop.fs.Path(path, PartitionedManifestMarker)
+    mk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(mk, true).close()
+    n
+  }
+
+  /** Root-level marker file written by [[writeStatsManifestPartitioned]];
+    * underscore-prefixed so parquet reads never see it.
+    */
+  val PartitionedManifestMarker = "_graft_manifest_partitioned"
+
+  /** The operational seam between the appending write paths and the
+    * zone-map layer: if (and only if) `path` carries a manifest, ingest
+    * stats for any files the manifest does not know yet — O(|batch|), the
+    * [[statsManifestIngest]] discipline — so a store that appends every
+    * micro-batch keeps its manifest fresh instead of going loudly stale
+    * after the first batch. A table with no manifest costs one (flat) or
+    * two (marker probe) filesystem metadata calls and nothing else.
+    * Called by [[graft.operators.Upsert.upsertParquet]] and every
+    * appending streaming sink after their store writes; bootstrap the
+    * manifest ONCE ([[writeStatsManifest]] / the partitioned form) and
+    * the write paths maintain it from then on. Returns the number of
+    * newly manifested files (0 when unmanifested).
+    */
+  def maintainManifest(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else if (fs.exists(new org.apache.hadoop.fs.Path(p, ManifestDir)))
+      statsManifestIngest(spark, path)
+    else if (fs.exists(new org.apache.hadoop.fs.Path(p, PartitionedManifestMarker)))
+      statsManifestIngestPartitioned(spark, path)
+    else 0
+  }
 
   /** [[statsManifestIngest]] over a hive-partitioned table — the shape a
     * crawl-cadence store actually grows in: appends land extra files in
@@ -443,11 +702,10 @@ object Tables {
     require(seeded.nonEmpty,
       s"statsManifestIngestPartitioned: no leaf of $path has a manifest — " +
         "bootstrap with writeStatsManifestPartitioned first")
-    val keyCols = spark.read.parquet(s"${seeded.get}/$ManifestDir").columns
-      .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
+    val (keyCols, bloomCols, bloomBits) = manifestSpecOf(spark, seeded.get)
     leaves.map { l =>
       if (hasManifest(l)) statsManifestIngest(spark, l)
-      else writeStatsManifest(spark, l, keyCols)
+      else writeStatsManifest(spark, l, keyCols, bloomCols, bloomBits)
     }.sum
   }
 

@@ -239,6 +239,25 @@ object Streams {
   def enrichStream(stream: DataFrame, dim: DataFrame, cond: org.apache.spark.sql.Column, how: String = "left"): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), cond, how)
 
+  /** A directory counts as a COMMITTED index table only when it holds at
+    * least one visible (non-underscore, non-dot) entry: a crash during
+    * the bootstrap write can leave the directory present with only the
+    * committer's `_temporary` inside, and keying bootstrap-vs-ingest on
+    * bare `exists()` would then take the ingest path forever — loud
+    * (readPqCodebooks/readIvfCentroids fail) but permanently wedged until
+    * someone deletes the directory by hand. Under the v1 file committer
+    * task outputs stay under `_temporary` until job commit, so a visible
+    * entry means the job committed.
+    */
+  private def committedDir(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Streaming sink with the reference's K1/K2 upsert semantics: each
     * micro-batch runs the same anti-join insert-only merge the batch
     * pipeline uses ([[graft.operators.Upsert.upsertParquet]]), so a
@@ -296,7 +315,8 @@ object Streams {
           .join(accepted, Seq(idCol, "__ch"))
           .dropDuplicates(idCol, "__ch")
           .drop("__ch")
-          .write.mode("append").parquet(targetPath): Unit
+          .write.mode("append").parquet(targetPath)
+        graft.sources.Tables.maintainManifest(spark, targetPath): Unit
       }
       .start()
 
@@ -353,7 +373,8 @@ object Streams {
             existing, exactKept, idCol, textCol, n, numHashes, bands, threshold)
           .select(col("incoming_id").as(idCol)).distinct()
         exactKept.join(nearBlocked, Seq(idCol), "left_anti")
-          .write.mode("append").parquet(targetPath): Unit
+          .write.mode("append").parquet(targetPath)
+        graft.sources.Tables.maintainManifest(spark, targetPath): Unit
       }
       .start()
 
@@ -403,13 +424,13 @@ object Streams {
         val b = batch.toDF()
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sets"))
+        val hasIndex = committedDir(fs, s"$indexDir/sets")
         // gated SEPARATELY from sets/: hashes/ is written LAST in the
         // batch, so a crash between the index build and the hashes append
         // leaves sets/ present with hashes/ missing — keying the exact
         // anti-join on sets/ would make the replay throw PATH_NOT_FOUND
         // forever (the batch would wedge, contradicting replay-idempotence)
-        val hasHashes = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/hashes"))
+        val hasHashes = committedDir(fs, s"$indexDir/hashes")
         // one survivor per distinct text, chosen deterministically (min id):
         // at-least-once sources repeat rows, and two batch rows with the
         // same text are exact dups of each other
@@ -437,6 +458,7 @@ object Streams {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(targetPath)
+          graft.sources.Tables.maintainManifest(spark, targetPath): Unit
           if (hasIndex)
             graft.ext.Dedup.dedupIndexIngest(accepted.drop("__ch"), idCol,
               textCol, indexDir, n, numHashes, bands)
@@ -498,7 +520,8 @@ object Streams {
           .filter(col("accept"))
           .select(col(idCol))
         b.join(accepted, Seq(idCol), "left_semi")
-          .write.mode("append").parquet(targetPath): Unit
+          .write.mode("append").parquet(targetPath)
+        graft.sources.Tables.maintainManifest(spark, targetPath): Unit
       }
       .start()
 
@@ -535,7 +558,7 @@ object Streams {
         val b = batch.toDF().dropDuplicates(idCol, vecCol)
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/centroids"))
+        val hasIndex = committedDir(fs, s"$indexDir/centroids")
         val accepted = (if (!hasIndex) b
           else {
             val acc = graft.ext.Similarity.semanticIngestAgainstIndex(
@@ -549,6 +572,7 @@ object Streams {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(targetPath)
+          graft.sources.Tables.maintainManifest(spark, targetPath): Unit
           if (hasIndex)
             graft.ext.Similarity.ivfIndexIngest(spark, indexDir, accepted,
               idCol, vecCol)
@@ -603,7 +627,7 @@ object Streams {
           df.select(col(idCol).as("id"), col(sigCol).as("sig"))
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/sigs"))
+        val hasIndex = committedDir(fs, s"$indexDir/sigs")
         val accepted = (if (!hasIndex) b
           else {
             val blocked = graft.ext.Dedup.signatureIndexProbe(
@@ -617,6 +641,7 @@ object Streams {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(targetPath)
+          graft.sources.Tables.maintainManifest(spark, targetPath): Unit
           if (hasIndex)
             graft.ext.Dedup.signatureIndexIngest(spark, indexDir, asSig(accepted))
           else graft.ext.Dedup.buildSignatureIndex(asSig(accepted), indexDir)
@@ -660,8 +685,7 @@ object Streams {
           .dropDuplicates("id")
         val fs = new org.apache.hadoop.fs.Path(indexDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        val bootstrapped = fs.exists(
-          new org.apache.hadoop.fs.Path(s"$indexDir/merges"))
+        val bootstrapped = committedDir(fs, s"$indexDir/merges")
         if (!bootstrapped) graft.ext.Dedup.buildComponentsIndex(b, indexDir, maxHamming)
         else graft.ext.Dedup.componentsIngest(spark, b, indexDir, maxHamming)
       }
@@ -898,10 +922,12 @@ object Streams {
     * [[graft.ext.Similarity.pqIndexIngest]] — encode against the FROZEN
     * codebooks, no re-fit, no corpus touch. The first non-empty batch
     * bootstraps the model ([[graft.ext.Similarity.buildPqIndex]], fit on
-    * that batch — the documented frozen-quantizer trade of every indexed
-    * sink here: codebook drift is a rebuild, not an ingest). A replayed
-    * batch appends bit-identical code rows, tolerated at probe and
-    * removed by [[graft.ext.Similarity.pqIndexCompact]] — the
+    * that batch — the frozen-quantizer trade of every indexed sink here;
+    * [[graft.ext.Similarity.pqSinkRetrainCompact]] is the repair when the
+    * bootstrap batch proves unrepresentative). A replayed batch appends
+    * bit-identical code rows — tolerated at probe AS DUPLICATE NEIGHBOR
+    * ROWS (the same id can occupy two top-k slots) until
+    * [[graft.ext.Similarity.pqIndexCompact]] folds them — the
     * [[indexedSemanticIngestSink]] contract. Unlike the GATING sinks this
     * one indexes every row it is handed: the same id arriving in two
     * DIFFERENT batches is two store rows and two code rows by design —
@@ -936,10 +962,16 @@ object Streams {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(targetPath)
+          graft.sources.Tables.maintainManifest(spark, targetPath): Unit
           val fs = new org.apache.hadoop.fs.Path(indexDir)
             .getFileSystem(spark.sessionState.newHadoopConf())
-          val hasIndex = fs.exists(
-            new org.apache.hadoop.fs.Path(s"$indexDir/codebooks"))
+          // committedDir, not exists(): a crash during the bootstrap
+          // commit leaves codebooks/ present with no committed part file,
+          // and keying on bare existence would send every replay down the
+          // ingest path into readPqCodebooks' failure forever — an
+          // uncommitted model directory is NO index, so the replay
+          // re-bootstraps (overwrite mode, idempotent)
+          val hasIndex = committedDir(fs, s"$indexDir/codebooks")
           if (hasIndex)
             graft.ext.Similarity.pqIndexIngest(spark, indexDir, b, idCol, vecCol)
           else

@@ -187,6 +187,32 @@ class CompactionSpec extends SparkTestBase {
     assert(!lease.exists())
   }
 
+  test("statsManifestIngest is lease-guarded; Tables.compact holds the lease") {
+    val dir = Files.createTempDirectory("graft_lease5").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Tables.writeStatsManifest(spark, dir, Seq("k")): Unit
+    (101 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    // a table-level compactor (Tables.compact holds this same lease) in
+    // progress: the sidecar append fails FAST, nothing written — without
+    // the guard the compactor's swap would drop the sidecar file and the
+    // staleness check would only catch it after the fact
+    val ex = leasedBy(dir) {
+      intercept[CompactionLease.CompactionInProgressException] {
+        Tables.statsManifestIngest(spark, dir)
+      }
+    }
+    assert(ex.getMessage.contains("nothing was written"))
+    // lease released -> the same ingest succeeds and pruning works
+    assert(Tables.statsManifestIngest(spark, dir) == 1)
+    assert(Tables.manifestPrunedScan(spark, dir, "k", 0L, 1000L).count() == 200)
+    // compact itself takes and releases the lease, rebuilding the manifest
+    Tables.compact(spark, dir): Unit
+    assert(!new java.io.File(s"$dir/_compact_lease").exists())
+    assert(Tables.manifestPrunedScan(spark, dir, "k", 0L, 1000L).count() == 200)
+  }
+
   test("dispatched components recompute takes and releases the lease around its swaps") {
     val dir = Files.createTempDirectory("graft_lease4").toString + "/idx"
     val sig = Seq((10L, 0x00L), (20L, 0xF0F0L)).toDF("id", "sig")

@@ -236,6 +236,145 @@ class ManifestSpec extends SparkTestBase {
     assert(e.getMessage.contains("subdirectories"))
   }
 
+  test("missing manifest -> bootstrap message, not a raw path error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mannone").toString + "/t"
+    (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.manifestPrunedScan(spark, dir, "k", 0L, 5L)
+    }
+    assert(e.getMessage.contains("no manifest"), e.getMessage)
+  }
+
+  test("partitioned scan with a brand-new sidecar-less leaf reports bootstrap, not path-not-found") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mannl").toString + "/t"
+    (1 to 400).map(i => (i.toLong, i % 2)).toDF("k", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    graft.sources.Tables.writeStatsManifestPartitioned(spark, dir, Seq("k"))
+    // ONLY a brand-new leaf appears (existing leaves untouched, so the
+    // stale path cannot mask the missing-sidecar path)
+    Seq((999L, 7)).toDF("k", "part")
+      .coalesce(1).write.mode("append").partitionBy("part").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.manifestPrunedScanPartitioned(spark, dir, "k", 0L, 9999L)
+    }
+    assert(e.getMessage.contains("no manifest"), e.getMessage)
+    assert(e.getMessage.contains("statsManifestIngestPartitioned"), e.getMessage)
+    // the named repair works
+    assert(graft.sources.Tables.statsManifestIngestPartitioned(spark, dir) == 1)
+    assert(graft.sources.Tables.manifestPrunedScanPartitioned(spark, dir, "k", 0L, 9999L)
+      .count() == 401)
+  }
+
+  test("a file rewritten in place under its name is caught by the length check") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manlen").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    graft.sources.Tables.writeStatsManifest(spark, dir, Seq("k"))
+    // an EXTERNAL writer rewrites a data file in place (same name, new
+    // bytes — graft's own writers never do this); simulate by appending
+    // junk bytes, which changes the length the manifest recorded
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .head
+    val out = new java.io.FileOutputStream(part, true)
+    out.write(Array.fill[Byte](64)(0)); out.close()
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.manifestKeptFiles(spark, dir, "k", 0L, 1000L)
+    }
+    assert(e.getMessage.contains("stale manifest"), e.getMessage)
+  }
+
+  test("maintainManifest: no-op unmanifested; O(batch) flat; partitioned via the root marker") {
+    // unmanifested -> 0, no sidecar appears
+    val flat = java.nio.file.Files.createTempDirectory("graft_manm").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(flat)
+    assert(graft.sources.Tables.maintainManifest(spark, flat) == 0)
+    assert(!new java.io.File(s"$flat/_graft_manifest").exists())
+    // flat manifested -> ingests exactly the appended files
+    graft.sources.Tables.writeStatsManifest(spark, flat, Seq("k"))
+    (101 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(flat)
+    assert(graft.sources.Tables.maintainManifest(spark, flat) == 1)
+    assert(graft.sources.Tables.manifestPrunedScan(spark, flat, "k", 0L, 1000L)
+      .count() == 200)
+    // partitioned manifested -> the root marker routes to the per-leaf
+    // ingest, covering appends into old leaves AND a brand-new leaf
+    val part = java.nio.file.Files.createTempDirectory("graft_manmp").toString + "/t"
+    (1 to 400).map(i => (i.toLong, i % 2)).toDF("k", "part")
+      .write.mode("overwrite").partitionBy("part").parquet(part)
+    graft.sources.Tables.writeStatsManifestPartitioned(spark, part, Seq("k"))
+    Seq((900L, 0), (901L, 5)).toDF("k", "part").coalesce(1)
+      .write.mode("append").partitionBy("part").parquet(part)
+    assert(graft.sources.Tables.maintainManifest(spark, part) == 2)
+    assert(graft.sources.Tables.manifestPrunedScanPartitioned(spark, part, "k", 0L, 9999L)
+      .count() == 402)
+  }
+
+  test("upsertParquet maintains an existing manifest across appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manu").toString + "/t"
+    graft.operators.Upsert.upsertParquet(spark,
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "v"), dir, Seq("k")): Unit
+    graft.sources.Tables.writeStatsManifest(spark, dir, Seq("k"))
+    // second window overlaps the first: only the new keys append, and the
+    // sidecar follows without any caller-side maintenance
+    graft.operators.Upsert.upsertParquet(spark,
+      (51 to 150).map(i => (i.toLong, s"r$i")).toDF("k", "v"), dir, Seq("k")): Unit
+    val pruned = graft.sources.Tables.manifestPrunedScan(spark, dir, "k", 60L, 140L)
+    assert(pruned.count() ==
+      spark.read.parquet(dir).filter(col("k").between(60L, 140L)).count())
+  }
+
+  test("bloom point prune: IN-lookup on an unclustered key skips most files, survives ingest and compact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manb").toString + "/t"
+    // layout clusters k (range layout) — id is HIGH-CARDINALITY and
+    // UNCLUSTERED, the shape min/max cannot prune
+    val df = (1 to 20000)
+      .map(i => ((i * 2654435761L) % 99991, i.toLong)).toDF("k", "id")
+    graft.sources.Tables.writeRangeLayout(df, dir, "k", 32)
+    graft.sources.Tables.writeStatsManifest(spark, dir, Seq("k", "id"),
+      bloomCols = Seq("id"))
+    // min/max on id is useless here: every file spans ~the whole domain,
+    // so the range band keeps (almost) everything
+    val (keptRange, total) = graft.sources.Tables.manifestKeptFiles(
+      spark, dir, "id", 777L, 777L)
+    assert(total == 32)
+    assert(keptRange.size >= total / 2,
+      s"unclustered min/max should keep most files, kept ${keptRange.size}")
+    // the bloom keeps only the true file plus false positives
+    val probe = Seq(777L, 12345L, 19999L)
+    val (keptPt, _) = graft.sources.Tables.manifestKeptFilesPoint(
+      spark, dir, "id", probe)
+    assert(keptPt.size <= total / 4,
+      s"bloom must skip most of $total files, kept ${keptPt.size} " +
+        s"(range bands kept ${keptRange.size})")
+    val got = graft.sources.Tables.manifestPrunedScanPoint(spark, dir, "id", probe)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == probe.sorted)
+    // absent values: only false positives kept, zero rows returned
+    val (keptAbs, _) = graft.sources.Tables.manifestKeptFilesPoint(
+      spark, dir, "id", Seq(123456789L))
+    assert(keptAbs.size <= 3, s"absent key kept ${keptAbs.size} files")
+    assert(graft.sources.Tables.manifestPrunedScanPoint(
+      spark, dir, "id", Seq(123456789L)).count() == 0)
+    // O(batch) ingest preserves the bloom band with the SAME bits
+    Seq((5L, 777777L)).toDF("k", "id")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(graft.sources.Tables.statsManifestIngest(spark, dir) == 1)
+    assert(graft.sources.Tables.manifestPrunedScanPoint(
+      spark, dir, "id", Seq(777777L)).count() == 1)
+    // compact rebuilds the manifest WITH its bloom columns
+    graft.sources.Tables.compact(spark, dir): Unit
+    assert(graft.sources.Tables.manifestPrunedScanPoint(
+      spark, dir, "id", probe).count() == 3)
+    // no bloom band for this key -> loud, actionable
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.manifestKeptFilesPoint(spark, dir, "k", Seq(1L))
+    }
+    assert(e.getMessage.contains("no bloom band"), e.getMessage)
+  }
+
   test("manifest does not cover the requested key -> loud error") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mank").toString + "/t"
     (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("k", "v")

@@ -217,6 +217,35 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("appending sinks maintain a zone-map manifest across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingman").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_ingman_cp").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.dedupIngestSink(
+      input.toDS().toDF("doc_id", "text"), s"$dir/t", "doc_id", "text", cp)
+    try {
+      // batch 1 creates the store; the user bootstraps the manifest ONCE
+      input.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      graft.sources.Tables.writeStatsManifest(spark, s"$dir/t", Seq("doc_id"))
+      // every later batch appends files — the sink's maintainManifest call
+      // keeps the sidecar fresh, so the pruned scan NEVER goes stale and
+      // always equals the plain filtered read
+      input.addData((3L, "gamma"), (4L, "delta"))
+      q.processAllAvailable()
+      input.addData((5L, "epsilon"), (6L, "zeta"))
+      q.processAllAvailable()
+      val pruned = graft.sources.Tables
+        .manifestPrunedScan(spark, s"$dir/t", "doc_id", 3L, 5L)
+        .select("doc_id").as[Long].collect().sorted
+      val full = spark.read.parquet(s"$dir/t")
+        .filter(col("doc_id").between(3L, 5L))
+        .select("doc_id").as[Long].collect().sorted
+      assert(pruned.toSeq == full.toSeq && pruned.toSeq == Seq(3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("nearDedupIngestSink drops exact and stored-near dups; replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_neardup").toString
