@@ -1230,15 +1230,16 @@ object Dedup {
   // equi-join + one append.
   // --------------------------------------------------------------------------
 
-  /** The ONE chunk projection shared by the signature index's build,
-    * ingest, and probe: 4 rows per signature — (chunk 0..3, key = the
-    * chunk's 16 bits, kb = key's top 6 bits, id, sig). `(chunk, kb)` is
-    * the index's hive-partition pair (256 dirs), so a probe joining on
-    * (chunk, kb, key) dynamically prunes the store read to the ≤
-    * 4·|batch| buckets the batch actually touches — the signature twin
-    * of the IVF index's DPP cell reads. kb is cast to int to match the
-    * type hive partition discovery infers on read-back (a long/int
-    * mismatch would put a cast under the join key and defeat pruning).
+  /** The NARROW chunk projection (layout v1) shared by the signature
+    * index's build, ingest, and probe: 4 rows per signature — (chunk
+    * 0..3, key = the chunk's 16 bits, kb = key's top 6 bits, id, sig).
+    * `(chunk, kb)` is the index's hive-partition pair (256 dirs), so a
+    * probe joining on (chunk, kb, key) dynamically prunes the store read
+    * to the ≤ 4·|batch| buckets the batch actually touches — the
+    * signature twin of the IVF index's DPP cell reads. kb is cast to int
+    * to match the type hive partition discovery infers on read-back (a
+    * long/int mismatch would put a cast under the join key and defeat
+    * pruning).
     */
   private def sigIndexChunks(sig: DataFrame): DataFrame = sig.select(
     col("id"), col("sig"),
@@ -1247,43 +1248,158 @@ object Dedup {
     .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "key"))
     .withColumn("kb", shiftright(col("key"), 10).cast("int"))
 
-  /** Build the index under `indexDir`: one table `sigs/` holding the
-    * [[sigIndexChunks]] projection hive-partitioned by `(chunk, kb)` —
-    * the storage layout IS the blocking, so the probe needs no
-    * index-side filtering code at all. `repartition` by the partition
-    * pair keeps each bucket a contiguous file set.
+  /** The WIDE blocking projection (layout v2 — multi-index hashing,
+    * Norouzi & Fleet): 2 blocks of 32 bits per signature instead of 4 of
+    * 16. Pigeonhole at maxHamming ≤ 3: some 32-bit half differs by ≤ 1
+    * bit, so the PROBE side explodes each incoming signature to the
+    * 33-key hamming-1 ball per block ([[sigProbeKeysWide]]) and joins on
+    * the EXACT stored key. Candidate collisions per probe fall from
+    * 4·n·B/2¹⁶ to 66·n·B/2³² — the ~2000× that keeps the join stream
+    * sub-O(n·B) at the second decade, where the 16-bit keyspace
+    * saturates ([[SIG_WIDE_BLOCKING_AT]]). Column names match v1 (chunk
+    * = block id, key, kb) so ingest/probe/compact and the chunk=0
+    * store-count slices are layout-agnostic.
     */
-  def buildSignatureIndex(sig: DataFrame, indexDir: String): Unit =
-    sigIndexChunks(sig).repartition(col("chunk"), col("kb"))
+  private def sigIndexChunksWide(sig: DataFrame, kbBits: Int): DataFrame =
+    sig.select(
+        col("id"), col("sig"),
+        posexplode(array(
+          col("sig").bitwiseAND(lit(0xFFFFFFFFL)),
+          shiftright(col("sig"), 32).bitwiseAND(lit(0xFFFFFFFFL)))))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "key"))
+      .withColumn("kb", shiftright(col("key"), 32 - kbBits).cast("int"))
+
+  /** Probe-side ball explosion for the wide layout: per block, the block
+    * value itself plus its 32 single-bit flips — 66 slim key rows per
+    * incoming signature, each an EXACT lookup into the store's key
+    * space.
+    */
+  private def sigProbeKeysWide(sig: DataFrame, kbBits: Int): DataFrame = {
+    def blockVal(b: Int) =
+      if (b == 0) col("sig").bitwiseAND(lit(0xFFFFFFFFL))
+      else shiftright(col("sig"), 32).bitwiseAND(lit(0xFFFFFFFFL))
+    val ball = array((for { b <- 0 until 2; i <- -1 until 32 } yield {
+      val k = if (i < 0) blockVal(b) else blockVal(b).bitwiseXOR(lit(1L << i))
+      struct(lit(b).as("chunk"), k.as("key"))
+    }): _*)
+    sig.select(col("id"), col("sig"), explode(ball).as("ck"))
+      .select(col("id"), col("sig"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+      .withColumn("kb", shiftright(col("key"), 32 - kbBits).cast("int"))
+  }
+
+  /** Store size at which [[buildSignatureIndex]] switches to the wide
+    * blocking: the narrow layout's candidate stream grows as 4·n·B/2¹⁶,
+    * which SigCcCrossover measured degenerating to O(n) per batch above
+    * ~8 M stored signatures (a batch's keys cover the whole 16-bit
+    * space); the wide layout's 66·n·B/2³² stays negligible through the
+    * billions. The probe-side cost of wide is a constant 16.5× more key
+    * rows per incoming signature, so small stores stay narrow.
+    */
+  val SIG_WIDE_BLOCKING_AT: Long = 4000000L
+
+  /** Hive-bucket width of the wide layout, from the stored count:
+    * enough `kb` bits that a bucket holds ~16 k signatures (n/2^kb),
+    * clamped to [6, 12] — 128 to 8 192 directories, the adaptive bucket
+    * count that keeps O(n/buckets) probes as the store grows.
+    */
+  private def wideKbBits(n: Long): Int =
+    math.min(12, math.max(6,
+      math.ceil(math.log(math.max(n, 1L).toDouble / 16384.0) / math.log(2.0)).toInt))
+
+  private def writeSigMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, wide: Boolean, kbBits: Int): Unit = {
+    import spark.implicits._
+    Seq((wide, kbBits)).toDF("wide", "kb_bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/sigmeta")
+  }
+
+  /** The layout the index was built with. Meta is written FIRST at build
+    * (a crash between meta and sigs leaves a missing-sigs loud error,
+    * never a silent cross-layout probe); an index with no sigmeta/
+    * predates the wide layout and is narrow by construction.
+    */
+  private def readSigMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Boolean, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/sigmeta")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      (false, 6)
+    else {
+      val r = spark.read.parquet(s"$indexDir/sigmeta").head()
+      (r.getBoolean(0), r.getInt(1))
+    }
+  }
+
+  /** Build the index under `indexDir`: one table `sigs/` holding the
+    * blocking projection hive-partitioned by `(chunk, kb)` — the storage
+    * layout IS the blocking, so the probe needs no index-side filtering
+    * code at all. The layout ADAPTS to the corpus: narrow 4×16-bit
+    * chunks below [[SIG_WIDE_BLOCKING_AT]] signatures (cheapest probe at
+    * small n), wide 2×32-bit blocks with ball probing above it (the
+    * pigeonhole generalization that lifts the 16-bit prune ceiling),
+    * with the bucket count growing with n ([[wideKbBits]]). One count
+    * pass prices the choice; `repartition` by the partition pair keeps
+    * each bucket a contiguous file set.
+    */
+  def buildSignatureIndex(sig: DataFrame, indexDir: String): Unit = {
+    val n = sig.count()
+    buildSignatureIndexWithLayout(sig, indexDir,
+      wide = n >= SIG_WIDE_BLOCKING_AT, kbBits = wideKbBits(n))
+  }
+
+  /** [[buildSignatureIndex]] with the layout forced — the testing/witness
+    * entry point (q256 runs the wide layout on the catalog corpus) and
+    * the escape hatch for callers who know their growth curve. `kbBits`
+    * only applies to the wide layout; narrow keeps its fixed 6.
+    */
+  def buildSignatureIndexWithLayout(sig: DataFrame, indexDir: String,
+      wide: Boolean, kbBits: Int = 6): Unit = {
+    writeSigMeta(sig.sparkSession, indexDir, wide, kbBits)
+    val proj =
+      if (wide) sigIndexChunksWide(sig, kbBits) else sigIndexChunks(sig)
+    proj.repartition(col("chunk"), col("kb"))
       .write.mode("overwrite").partitionBy("chunk", "kb")
       .parquet(s"$indexDir/sigs")
+  }
 
   /** Append a batch's signatures into the index (no rebuild): the same
-    * [[sigIndexChunks]] projection, appended into the bucket layout.
-    * Replayed appends create bit-identical duplicate rows — harmless to
-    * probes (pair output is distinct) and removed by
-    * [[signatureIndexCompact]], the IVF-ingest convention.
+    * blocking projection the index was built with (layout read back from
+    * sigmeta/), appended into the bucket layout. Replayed appends create
+    * bit-identical duplicate rows — harmless to probes (pair output is
+    * distinct) and removed by [[signatureIndexCompact]], the IVF-ingest
+    * convention.
     */
   def signatureIndexIngest(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, incoming: DataFrame): Unit =
+      indexDir: String, incoming: DataFrame): Unit = {
+    val (wide, kbBits) = readSigMeta(spark, indexDir)
     CompactionLease.guardedAppend(spark, indexDir) {
-      sigIndexChunks(incoming).repartition(col("chunk"), col("kb"))
+      (if (wide) sigIndexChunksWide(incoming, kbBits)
+       else sigIndexChunks(incoming))
+        .repartition(col("chunk"), col("kb"))
         .write.mode("append").partitionBy("chunk", "kb")
         .parquet(s"$indexDir/sigs")
     }
+  }
 
   /** Probe a batch against the index: equi-join on `(chunk, kb, key)` —
     * partition pruning restricts the store read to the batch's buckets,
     * so per-batch cost is O(|batch| + matched buckets), independent of
-    * store size. Output contract of [[hammingPairsIncremental64]]:
-    * (existing_id, incoming_id, hamming ≤ maxHamming) cross pairs,
-    * hamming filtered INSIDE the join stream before the pair-dedup
-    * exchange. Row-identical to the direct in-memory recompute over the
-    * same stored signatures (q217 pins that).
+    * store size. The batch side uses whichever projection matches the
+    * stored layout: narrow chunks join radius-0 (pairs within hamming 3
+    * share an exact 16-bit chunk), wide blocks join the incoming side's
+    * hamming-1 ball (pairs within hamming 3 share a 32-bit block within
+    * 1 bit — [[sigProbeKeysWide]]). Output contract of
+    * [[hammingPairsIncremental64]]: (existing_id, incoming_id, hamming ≤
+    * maxHamming) cross pairs, hamming filtered INSIDE the join stream
+    * before the pair-dedup exchange. Row-identical to the direct
+    * in-memory recompute over the same stored signatures under EITHER
+    * layout (q217 narrow, q256 wide).
     */
   def signatureIndexProbe(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, incoming: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "blocking uses 4 x 16-bit chunks => hamming <= 3")
+    require(maxHamming <= 3,
+      "blocking covers hamming <= 3 (4 x 16-bit chunks / 2 x 32-bit ball)")
+    val (wide, kbBits) = readSigMeta(spark, indexDir)
     val store = spark.read.parquet(s"$indexDir/sigs")
       .select(col("chunk"), col("kb"), col("key"),
         col("id").as("existing_id"), col("sig").as("sig_e"))
@@ -1291,7 +1407,8 @@ object Dedup {
     // hiding its filters behind a LogicalRDD would defeat the dynamic
     // partition pruning this layout exists for (DPP's benefit check
     // needs the build side's selective predicate visible)
-    sigIndexChunks(incoming)
+    (if (wide) sigProbeKeysWide(incoming, kbBits)
+     else sigIndexChunks(incoming))
       .select(col("chunk"), col("kb"), col("key"),
         col("id").as("incoming_id"), col("sig").as("sig_i"))
       .join(store, Seq("chunk", "kb", "key"))

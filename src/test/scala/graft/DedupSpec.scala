@@ -231,6 +231,49 @@ class DedupSpec extends SparkTestBase {
     assert(rows(Dedup.signatureIndexProbe(spark, dir2, odd)) == rows(direct))
   }
 
+  test("wide signature blocking: ball probe equals the narrow recompute; layout auto-selects by count") {
+    // same fixture as the narrow test: a hamming-2 cluster + hash spread —
+    // crucially covering pairs whose differing bits straddle BOTH 32-bit
+    // halves (id 0 flips bit 0, id 33.. hash-spread; the <10 cluster flips
+    // bits 0..9, all in the low half; add a high-bit twin pair)
+    val base = 0x123456789abcdef0L
+    val sig = spark.range(0, 200).select(col("id"),
+      when(col("id") < 10,
+        expr(s"${base}L ^ shiftleft(1L, cast(id as int))"))
+        .when(col("id") === 190, lit(base ^ (1L << 3) ^ (1L << 40))) // 1 bit per half
+        .when(col("id") === 191, lit(base ^ (1L << 50) ^ (1L << 60) ^ (1L << 2))) // 2 high + 1 low
+        .otherwise(xxhash64(col("id"))).as("sig")).localCheckpoint()
+    val even = sig.filter(pmod(col("id"), lit(2)) === 0)
+    val odd = sig.filter(pmod(col("id"), lit(2)) === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigwide").toString
+    Dedup.buildSignatureIndexWithLayout(even, dir, wide = true, kbBits = 7)
+    // layout: 2 block dirs, kb buckets inside
+    val chunkDirs = new java.io.File(s"$dir/sigs").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk="))
+    assert(chunkDirs.map(_.getName).sorted.sameElements(Array("chunk=0", "chunk=1")))
+    val direct = Dedup.hammingPairsIncremental64(even, odd)
+    assert(rows(Dedup.signatureIndexProbe(spark, dir, odd)) == rows(direct))
+    // the straddling pairs are found (190/191 pair with cluster evens)
+    assert(Dedup.signatureIndexProbe(spark, dir, odd)
+      .filter(col("incoming_id") >= 190 || col("existing_id") >= 190)
+      .count() > 0)
+    // ingest respects the stored layout; replay + compact identity
+    Dedup.signatureIndexIngest(spark, dir, odd.filter(col("id") < 100))
+    Dedup.signatureIndexIngest(spark, dir, odd.filter(col("id") < 100)) // replay
+    val probe2 = odd.filter(col("id") >= 100)
+    val grown = Dedup.hammingPairsIncremental64(
+      even.unionByName(odd.filter(col("id") < 100)), probe2)
+    assert(rows(Dedup.signatureIndexProbe(spark, dir, probe2)) == rows(grown))
+    Dedup.signatureIndexCompact(spark, dir)
+    assert(rows(Dedup.signatureIndexProbe(spark, dir, probe2)) == rows(grown))
+    // auto-selection: a small corpus builds NARROW (4 chunk dirs, meta says so)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_signarrow").toString
+    Dedup.buildSignatureIndex(even, dir2)
+    assert(spark.read.parquet(s"$dir2/sigmeta").head().getBoolean(0) == false)
+    assert(new java.io.File(s"$dir2/sigs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("chunk=")) == 4)
+  }
+
   test("randomized: every hamming-family form equals brute force at every maxHamming") {
     val rnd = new scala.util.Random(11)
     // 60 sigs: spread bases, exact dups, and near-dups within 1-3 flipped bits
