@@ -777,6 +777,20 @@ object Similarity {
     GraftFunctions.register(corpus.sparkSession)
     val cents = fitCellCentroids(corpus, idCol, vecCol, nlist, fitSample, kmeansIters)
     val books = pqFit(corpus, idCol, vecCol, m, ksub, fitSample, pqIters)
+    ivfPqTopKWithModels(corpus, queries, idCol, vecCol, k, nprobe, cents,
+      books, rerank)
+  }
+
+  /** [[ivfPqTopK]] with caller-supplied coarse centroids AND codebooks —
+    * the comparator the persisted composed index's lifecycle witness
+    * needs (same models in, row-identical results out: cell assignment
+    * and ADC are both deterministic functions of the models).
+    */
+  def ivfPqTopKWithModels(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      rerank: Int = 0): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val kEff = books.head.length
     val nl = typedLit(pqNormLut(books))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
@@ -1237,19 +1251,40 @@ object Similarity {
       pqIters: Int = 10): Unit = {
     GraftFunctions.register(corpus.sparkSession)
     val spark = corpus.sparkSession
-    import spark.implicits._
     val books = pqFit(corpus, idCol, vecCol, m, ksub, fitSample, pqIters)
-    books.zipWithIndex.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
-    }.toSeq.toDF("subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    writeBooks(spark, books, s"$indexDir/codebooks")
     encodedCodes(corpus, idCol, vecCol, books)
       .write.mode("overwrite").parquet(s"$indexDir/codes")
   }
 
-  /** The stored row form: (neighbor_id, codes: binary, cn: double) — the
-    * reconstructed norm is precomputed at WRITE time (one static-LUT ADC
-    * pass), so probes pay only the per-query table.
+  private def writeBooks(spark: SparkSession,
+      books: Array[Array[Array[Float]]], path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Deterministic fingerprint of a codebook model — stamped into every
+    * code row (`bid`) so a probe can verify the codes were encoded
+    * against THE model it just read back. Codes are meaningless under any
+    * other codebooks (the ADC LUT indexes by code id), and the one
+    * mismatch source that can't be prevented by ordering writes — a crash
+    * between [[pqSinkRetrainCompact]]'s two generation swaps — becomes a
+    * loud probe-time error instead of silently mis-ranked neighbors.
+    */
+  private[graft] def booksId(books: Array[Array[Array[Float]]]): Long = {
+    var h = 1125899906842597L
+    for (b <- books; c <- b; x <- c)
+      h = h * 31 + java.lang.Float.floatToIntBits(x)
+    h
+  }
+
+  /** The stored row form: (neighbor_id, codes: binary, cn: double,
+    * bid: long) — the reconstructed norm is precomputed at WRITE time
+    * (one static-LUT ADC pass), so probes pay only the per-query table;
+    * `bid` is the [[booksId]] generation stamp the probe verifies.
     */
   private def encodedCodes(df: DataFrame, idCol: String, vecCol: String,
       books: Array[Array[Array[Float]]]): DataFrame = {
@@ -1258,7 +1293,22 @@ object Similarity {
         GraftFunctions.pqEncode(col(vecCol), books).as("codes"))
       .withColumn("cn",
         sqrt(GraftFunctions.pqAdcDot(col("codes"), nl, books.head.length)))
+      .withColumn("bid", lit(booksId(books)))
   }
+
+  /** Codegen'd generation guard that rides the codes scan (no extra
+    * job): `assert_true` throws on the first row whose `bid` differs
+    * from the model just read back, and returns null (→ `isNull` true)
+    * otherwise, so the filter passes every consistent row untouched.
+    */
+  private def bidGuard(books: Array[Array[Array[Float]]],
+      indexDir: String): Column =
+    assert_true(col("bid") === lit(booksId(books)),
+      lit(s"PQ index at $indexDir: codes were encoded against a DIFFERENT " +
+        "codebook generation than codebooks/ holds — a retrain/compact " +
+        "crashed between its two swaps, or an external writer mixed " +
+        "generations; re-run pqSinkRetrainCompact to restore one " +
+        "generation")).isNull
 
   /** The index's model, read back: a model-parameter collect of m × ksub
     * rows, reassembled positionally ([[buildPqIndex]] writes complete
@@ -1317,6 +1367,7 @@ object Similarity {
         GraftFunctions.pqLut(col(vecCol), books).as("lut"),
         norm(col(vecCol)).as("qn"))
     val scored = spark.read.parquet(s"$indexDir/codes")
+      .filter(bidGuard(books, indexDir))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (GraftFunctions.pqAdcDot(col("codes"), col("lut"), kEff) /
@@ -1364,6 +1415,45 @@ object Similarity {
       Dedup.swapIn(spark, tmp, s"$indexDir/codes")
     }
 
+  /** RETRAIN-on-compact — the codebook-lifecycle repair the frozen-model
+    * contract needs: [[graft.streaming.Streams.indexedPqIngestSink]]
+    * bootstraps codebooks from its FIRST non-empty micro-batch, and a
+    * small or unrepresentative bootstrap quantizes every later vector
+    * against bad centroids forever (compact folds duplicates but never
+    * retrains). The float store the sink maintains retains raw vectors
+    * precisely for this: refit the codebooks on the CURRENT store
+    * (bounded [[pqFit]] sample), re-encode the whole store, and swap both
+    * generations in — under the compaction lease, so concurrent ingests
+    * fail loudly instead of appending old-generation codes mid-swap.
+    *
+    * Also a compact: the re-encode reads the deduplicated store, so
+    * replayed duplicate code rows fold away exactly as in
+    * [[pqIndexCompact]]. Model shape (m, ksub) defaults to the index's
+    * current one. Crash windows: each table swap is the crash-safe
+    * backup-rename; a crash BETWEEN the codes and codebooks swaps leaves
+    * the two tables on different generations — caught LOUDLY by the
+    * probes' `bid` generation guard (never a silently mis-ranked
+    * neighbor); re-running this call repairs it.
+    */
+  def pqSinkRetrainCompact(spark: SparkSession, indexDir: String,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int = -1, ksub: Int = -1, fitSample: Int = 4096,
+      pqIters: Int = 10): Unit =
+    CompactionLease.withLease(spark, indexDir) {
+      GraftFunctions.register(spark)
+      val old = readPqCodebooks(spark, indexDir)
+      val mEff = if (m > 0) m else old.length
+      val ksubEff = if (ksub > 0) ksub else old.head.length
+      val v = vectors.select(col(idCol), col(vecCol))
+        .dropDuplicates().localCheckpoint()
+      val books = pqFit(v, idCol, vecCol, mEff, ksubEff, fitSample, pqIters)
+      encodedCodes(v, idCol, vecCol, books)
+        .write.mode("overwrite").parquet(s"$indexDir/codes_retraining")
+      writeBooks(spark, books, s"$indexDir/codebooks_retraining")
+      Dedup.swapIn(spark, s"$indexDir/codes_retraining", s"$indexDir/codes")
+      Dedup.swapIn(spark, s"$indexDir/codebooks_retraining", s"$indexDir/codebooks")
+    }
+
   /** [[pqTopK]] with a caller-supplied model — the comparator the
     * persisted-index witnesses need (q237: index built on a prefix +
     * frozen-codebook ingest of the rest must equal the in-memory form
@@ -1385,4 +1475,141 @@ object Similarity {
     rerankExact(heapTopK(scored, math.max(k, rerank)), corpus, queries,
       idCol, vecCol, k, rerank)
   }
+
+  // ---- Persisted composed IVF-PQ index: the billion-scale serving shape
+  // ([[ivfPqTopK]]'s architecture) as a persisted family with the full
+  // build/ingest/probe/compact lifecycle. The two single-model indexes
+  // each carry one scale lever — IVF cells PRUNE (DPP reads nprobe cells'
+  // files), PQ codes COMPRESS (~24 B/row ADC scan) — and the 100-TB ANN
+  // store needs both at once: `centroids/` + `codebooks/` hold the two
+  // frozen models, `codes/` holds the encoded corpus HIVE-PARTITIONED BY
+  // CELL, so a probe opens only nprobe cells' files and ADC-ranks ~
+  // nprobe/nlist of the codes, then exact-reranks the shortlist from the
+  // caller's float store. Models are bootstrap-frozen (the
+  // [[buildIvfIndex]]/[[buildPqIndex]] contract); codes quantize RAW
+  // vectors, not per-cell residuals ([[ivfPqTopK]]'s documented trade).
+
+  /** Build: fit both models on `corpus` (bounded samples), write them,
+    * and write the encoded corpus into the `cell=` layout. One shuffle
+    * into the cell layout — nlist output partitions, contiguous per cell.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, nlist: Int = 16, m: Int = 16, ksub: Int = 64,
+      fitSample: Int = 4096, kmeansIters: Int = 3, pqIters: Int = 10): Unit = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = fitCellCentroids(corpus, idCol, vecCol, nlist, fitSample, kmeansIters)
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val books = pqFit(corpus, idCol, vecCol, m, ksub, fitSample, pqIters)
+    writeBooks(spark, books, s"$indexDir/codebooks")
+    encodedCellCodes(corpus, idCol, vecCol, books, cents)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+  }
+
+  /** [[encodedCodes]] plus the coarse cell assignment — the composed
+    * index's stored row form (cell, neighbor_id, codes, cn, bid).
+    */
+  private def encodedCellCodes(df: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Float]]],
+      cents: Array[Array[Float]]): DataFrame = {
+    val nl = typedLit(pqNormLut(books))
+    df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        cellOf(cents, col(vecCol), 0).as("cell"))
+      .select(col("neighbor_id"), col("cell"),
+        GraftFunctions.pqEncode(col("__cv"), books).as("codes"))
+      .withColumn("cn",
+        sqrt(GraftFunctions.pqAdcDot(col("codes"), nl, books.head.length)))
+      .withColumn("bid", lit(booksId(books)))
+  }
+
+  /** Ingest: assign + encode `incoming` against BOTH frozen models and
+    * append into the cell layout — O(|batch|), no re-fit, no corpus
+    * touch; replayed appends are bit-identical duplicates folded by
+    * [[ivfPqIndexCompact]]. Guarded against a concurrent compaction.
+    */
+  def ivfPqIndexIngest(spark: SparkSession, indexDir: String,
+      incoming: DataFrame, idCol: String, vecCol: String): Unit = {
+    GraftFunctions.register(spark)
+    val cents = readIvfCentroids(spark, indexDir)
+    val books = readPqCodebooks(spark, indexDir)
+    CompactionLease.guardedAppend(spark, indexDir) {
+      encodedCellCodes(incoming, idCol, vecCol, books, cents)
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
+    }
+  }
+
+  /** Probe: each query explodes to its nprobe nearest cells (read back
+    * from `centroids/`), the candidate join hits the `cell=`-partitioned
+    * codes ON THE PARTITION COLUMN — the broadcast query side makes
+    * Spark's dynamic partition pruning restrict the scan to the probed
+    * cells' files — and candidates ADC-rank at m byte lookups each. With
+    * `rerank > k` and the float `vectors` store supplied, the shortlist
+    * re-ranks exactly ([[rerankExact]]). Same models in → row-identical
+    * to [[ivfPqTopKWithModels]] over the same rows.
+    */
+  def ivfPqIndexTopK(spark: SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4, rerank: Int = 0,
+      vectors: Option[DataFrame] = None): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = readIvfCentroids(spark, indexDir)
+    val books = readPqCodebooks(spark, indexDir)
+    val kEff = books.head.length
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        explode(GraftFunctions.nearestCellIds(col(vecCol), cents,
+          math.min(nprobe, cents.length))).as("cell"))
+      .select(col("query_id"), col("cell"),
+        GraftFunctions.pqLut(col("__qv"), books).as("lut"),
+        norm(col("__qv")).as("qn"))
+    val scored = spark.read.parquet(s"$indexDir/codes")
+      .filter(bidGuard(books, indexDir))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (GraftFunctions.pqAdcDot(col("codes"), col("lut"), kEff) /
+          (col("qn") * col("cn"))).as("cos"))
+    val shortlist = heapTopK(scored, math.max(k, rerank))
+    vectors match {
+      case Some(v) if rerank > k =>
+        rerankExact(shortlist, v, queries, idCol, vecCol, k, rerank)
+      case _ => shortlist.filter(col("rank") <= k)
+    }
+  }
+
+  /** [[ivfPqIndexTopK]] with every knob derived from the INDEX itself —
+    * nprobe from the stored cell count ([[autoNprobe]]'s measured
+    * fraction), refine depth from the stored code count ([[autoRerank]]'s
+    * √n rule; footer-metadata count, no data scan) — so probes keep the
+    * measured recall as the index grows under [[ivfPqIndexIngest]]
+    * appends. Requires the float `vectors` side (the refine is the point,
+    * as in [[pqIndexTopKAuto]]).
+    */
+  def ivfPqIndexTopKAuto(spark: SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      vectors: DataFrame): DataFrame = {
+    val nlist = spark.read.parquet(s"$indexDir/centroids").count().toInt
+    val n = spark.read.parquet(s"$indexDir/codes").count()
+    ivfPqIndexTopK(spark, indexDir, queries, idCol, vecCol, k,
+      nprobe = autoNprobe(nlist), rerank = autoRerank(n, k),
+      vectors = Some(vectors))
+  }
+
+  /** Compact: fold replayed duplicate code rows and re-cluster each cell
+    * into one contiguous file set ([[ivfIndexCompact]]'s shape on the
+    * codes table). Models untouched; crash-safe backup-rename swap.
+    */
+  def ivfPqIndexCompact(spark: SparkSession, indexDir: String): Unit =
+    CompactionLease.withLease(spark, indexDir) {
+      val tmp = s"$indexDir/codes_compacting"
+      spark.read.parquet(s"$indexDir/codes")
+        .dropDuplicates()
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      Dedup.swapIn(spark, tmp, s"$indexDir/codes")
+    }
 }

@@ -177,6 +177,100 @@ class PqSpec extends SparkTestBase {
     assert(ex.getMessage.contains("corrupt model"))
   }
 
+  test("persisted IVF-PQ index: lifecycle probe equals the in-memory composed form; compact folds replay; DPP prunes cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val even = e.filter(col("vec_id") % 2 === 0)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    Similarity.buildIvfPqIndex(even, "vec_id", "embedding", idx, nlist = 8)
+    Similarity.ivfPqIndexIngest(spark, idx, odd, "vec_id", "embedding")
+    Similarity.ivfPqIndexIngest(spark, idx, odd, "vec_id", "embedding") // replay
+    Similarity.ivfPqIndexCompact(spark, idx)
+    val dupes = spark.read.parquet(s"$idx/codes")
+      .groupBy(col("neighbor_id")).count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+    val q = e.filter(col("vec_id") < 5)
+    val fromIndex = Similarity.ivfPqIndexTopK(spark, idx, q, "vec_id",
+      "embedding", 5, nprobe = 4, rerank = 20, vectors = Some(e))
+    // same models in (read back from the index), row-identical out
+    val direct = Similarity.ivfPqTopKWithModels(e, q, "vec_id", "embedding", 5,
+      nprobe = 4, Similarity.readIvfCentroids(spark, idx),
+      Similarity.readPqCodebooks(spark, idx), rerank = 20)
+    assert(rows(fromIndex) === rows(direct))
+    // nprobe=1 still returns k ranked rows per query (the probed cell
+    // holds >= k candidates on this corpus); cell-file pruning itself is
+    // exercised by the shared DPP layout (ivfIndexTopK's q200 plan audit)
+    val adcOnly = Similarity.ivfPqIndexTopK(spark, idx, q, "vec_id", "embedding", 5,
+      nprobe = 1)
+    assert(spark.read.parquet(s"$idx/centroids").count() == 8)
+    assert(adcOnly.groupBy(col("query_id")).count()
+      .filter(col("count") =!= 5).count() == 0)
+    // auto form: knobs derived from the index, k rows per query
+    val auto = Similarity.ivfPqIndexTopKAuto(spark, idx, q, "vec_id",
+      "embedding", 5, vectors = e)
+    assert(auto.groupBy(col("query_id")).count()
+      .filter(col("count") =!= 5).count() == 0)
+  }
+
+  test("bid generation guard: codes under a foreign codebook generation fail loudly at probe") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_bid").toString
+    Similarity.buildPqIndex(e, "vec_id", "embedding", idx)
+    // simulate the one unpreventable crash window: a retrain that swapped
+    // codebooks/ but not codes/ — rewrite the model from a different fit
+    // WITHOUT re-encoding
+    val otherBooks = Similarity.pqFit(e.filter(col("vec_id") < 100),
+      "vec_id", "embedding", m = 16, ksub = 64)
+    val rows2 = otherBooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid").localCheckpoint()
+    rows2.coalesce(1).write.mode("overwrite").parquet(s"$idx/codebooks")
+    val ex = intercept[Exception] {
+      Similarity.pqIndexTopK(spark, idx, e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", 5).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(ex).contains("DIFFERENT codebook generation"), messages(ex))
+    // the named repair restores one generation and the probe works again
+    Similarity.pqSinkRetrainCompact(spark, idx, e, "vec_id", "embedding")
+    assert(Similarity.pqIndexTopK(spark, idx, e.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 5).count() == 15)
+  }
+
+  test("pqSinkRetrainCompact recovers recall after an unrepresentative bootstrap") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint()
+    // skewed bootstrap: 50 DEGENERATE vectors (all-ones) — their fit
+    // collapses every subspace to one centroid, so every later vector
+    // encodes to the same code and ADC ordering carries no signal
+    val skewed = e.filter(col("vec_id") < 50)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(1.0 as float))"))
+    val rest = e.filter(col("vec_id") >= 50)
+    val store = skewed.unionByName(rest).localCheckpoint()
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_retrain").toString
+    Similarity.buildPqIndex(skewed, "vec_id", "embedding", idx)
+    Similarity.pqIndexIngest(spark, idx, rest, "vec_id", "embedding")
+    Similarity.pqIndexIngest(spark, idx, rest, "vec_id", "embedding") // replay
+    val q = e.filter(col("vec_id").between(50, 59))
+    val exact = Similarity.bruteForceTopK(store, q, "vec_id", "embedding", 5)
+      .localCheckpoint()
+    def recall(): Double = Recall.topKRecall(exact,
+        Similarity.pqIndexTopKAuto(spark, idx, q, "vec_id", "embedding", 5,
+          vectors = store))
+      .agg(avg(col("recall"))).head().getDouble(0)
+    val before = recall()
+    Similarity.pqSinkRetrainCompact(spark, idx, store, "vec_id", "embedding")
+    val after = recall()
+    assert(after >= 0.9, s"post-retrain recall $after")
+    assert(after > before, s"retrain must improve on the skewed bootstrap: $before -> $after")
+    // also a compact: the replay's duplicate code rows folded away
+    val dupes = spark.read.parquet(s"$idx/codes")
+      .groupBy(col("neighbor_id")).count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+  }
+
   test("autoRerank follows the measured sqrt rule and floors at 4k") {
     import graft.ext.Similarity.autoRerank
     assert(autoRerank(5000, 5) == 64)
