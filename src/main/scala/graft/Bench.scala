@@ -65,7 +65,19 @@ object Bench {
         "q240_chunk_index_check",
         // manifest witness: layout+manifest lifecycle plus the full
         // unpruned comparator scan (q248 times the operator itself)
-        "q249_manifest_prune_check")
+        "q249_manifest_prune_check",
+        // composed IVF-PQ index witnesses: lifecycle ≡ in-memory
+        // comparator / recall vs brute force (q250 times the operator)
+        "q251_ivfpq_index_check", "q252_ivfpq_index_recall_check",
+        // PQ retrain witness: two recall measurements (each = index probe
+        // + brute-force baseline) around the retrain
+        "q253_pq_retrain_check",
+        // bloom point-prune witness re-runs the layout lifecycle + the
+        // full IN-filter comparator (q254 times the operator itself)
+        "q255_manifest_point_prune_check",
+        // wide-blocking witness: forced-wide lifecycle + the direct
+        // in-memory recompute comparator, twice around a compact
+        "q256_sig_wide_blocking_check")
     // Warm the ENTIRE measured catalog at sf0.001 (one pass, seconds) so
     // every query's codegen is C2-compiled before its timed run — round-2's
     // family-sample warmup still left the driver's first timed query paying

@@ -2797,7 +2797,11 @@ object SparkEntry {
     "q216_signature_index" -> ((s, dir) => {
       val sig = dhashSigs(s, dir)
       val idx = sigIndexDir(dir)
-      Dedup.buildSignatureIndex(sig.filter(pmod(col("id"), lit(2)) === 0), idx)
+      // build side pinned: buildSignatureIndex counts to pick its layout,
+      // and an unpinned frame would re-run the PNG codec per pass (the
+      // probe side stays lazy — DPP needs its filters visible)
+      Dedup.buildSignatureIndex(
+        sig.filter(pmod(col("id"), lit(2)) === 0).localCheckpoint(), idx)
       Dedup.signatureIndexProbe(s, idx, sig.filter(pmod(col("id"), lit(2)) === 1))
     }),
 
@@ -2810,7 +2814,8 @@ object SparkEntry {
       val idx = sigIndexDir(dir) + "_ing"
       val even = sig.filter(pmod(col("id"), lit(2)) === 0)
       val odd = sig.filter(pmod(col("id"), lit(2)) === 1)
-      Dedup.buildSignatureIndex(sig.filter(pmod(col("id"), lit(4)) === 0), idx)
+      Dedup.buildSignatureIndex(
+        sig.filter(pmod(col("id"), lit(4)) === 0).localCheckpoint(), idx)
       Dedup.signatureIndexIngest(s, idx, sig.filter(pmod(col("id"), lit(4)) === 2))
       val fromIndex = Dedup.signatureIndexProbe(s, idx, odd)
       val direct = Dedup.hammingPairsIncremental64(even, odd)
@@ -2888,7 +2893,7 @@ object SparkEntry {
     "q218_signature_index_compact" -> ((s, dir) => {
       val sig = dhashSigs(s, dir)
       val idx = sigIndexDir(dir) + "_cmp"
-      val even = sig.filter(pmod(col("id"), lit(2)) === 0)
+      val even = sig.filter(pmod(col("id"), lit(2)) === 0).localCheckpoint()
       val odd = sig.filter(pmod(col("id"), lit(2)) === 1).localCheckpoint()
       Dedup.buildSignatureIndex(even, idx)
       Dedup.signatureIndexIngest(s, idx, even) // replayed append
@@ -3435,6 +3440,200 @@ object SparkEntry {
           col("o_orderkey").cast("string").as("detail"))
       mismatch.unionByName(ingestMismatch)
         .unionByName(structural.toDF("kind", "detail"))
+    }),
+
+    // ---- Persisted composed IVF-PQ index (q250-q252): the
+    // billion-scale serving shape as the fifth persisted family — IVF
+    // cells PRUNE (hive cell= layout, DPP-restricted probe reads), PQ
+    // codes COMPRESS (~24 B/row ADC), float store REFINES (exact rerank).
+    // Approximate ordering → q250 pinned; q251 pins the lifecycle
+    // hash-exactly against the in-memory composed comparator; q252 holds
+    // the q247 recall floor through the persisted path.
+    "q250_ivfpq_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = pqIndexDir(dir).replace("pq_index", "ivfpq_index")
+      Similarity.buildIvfPqIndex(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx)
+      Similarity.ivfPqIndexIngest(s, idx,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+      Similarity.ivfPqIndexTopKAuto(s, idx, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, vectors = e)
+    }),
+
+    // q250 companion: build + frozen two-model ingest + replay + compact
+    // ≡ the in-memory composed form given the SAME models (read back from
+    // the index) over the same rows; plus no duplicate code row survives
+    // compaction. Symmetric diff ∪ dup frame, WHERE FALSE oracle.
+    "q251_ivfpq_index_check" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val even = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val idx = pqIndexDir(dir).replace("pq_index", "ivfpq_index") + "_chk"
+      Similarity.buildIvfPqIndex(even, "vec_id", "embedding", idx)
+      Similarity.ivfPqIndexIngest(s, idx, odd, "vec_id", "embedding")
+      Similarity.ivfPqIndexIngest(s, idx, odd, "vec_id", "embedding") // replay
+      Similarity.ivfPqIndexCompact(s, idx)
+      val fromIndex = Similarity.ivfPqIndexTopK(s, idx, q, "vec_id",
+        "embedding", 5, nprobe = 4, rerank = 50, vectors = Some(e))
+      val direct = Similarity.ivfPqTopKWithModels(e, q, "vec_id", "embedding",
+        5, nprobe = 4, Similarity.readIvfCentroids(s, idx),
+        Similarity.readPqCodebooks(s, idx), rerank = 50)
+      val dupIds = s.read.parquet(s"$idx/codes")
+        .groupBy(col("neighbor_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(col("neighbor_id").as("query_id"),
+          col("neighbor_id"), lit(1).as("rank"))
+      fromIndex.exceptAll(direct).unionByName(direct.exceptAll(fromIndex))
+        .unionByName(dupIds)
+    }),
+
+    // q250 recall companion: the persisted auto probe (nprobe from the
+    // stored cell count, rerank from the stored code count) must hold the
+    // q247 floor — the index path adds no recall cost over the in-memory
+    // auto form because the models and arithmetic are identical.
+    "q252_ivfpq_index_recall_check" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val idx = pqIndexDir(dir).replace("pq_index", "ivfpq_index") + "_rc"
+      Similarity.buildIvfPqIndex(e, "vec_id", "embedding", idx,
+        nlist = Similarity.autoNlist(e.count(), 256, 4096))
+      Recall.topKRecall(
+          Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5),
+          Similarity.ivfPqIndexTopKAuto(s, idx, q, "vec_id", "embedding", 5,
+            vectors = e))
+        .agg(count(lit(1)).as("n_queries"),
+          (avg(col("recall")) >= 0.88).as("above_floor"))
+    }),
+
+    // ---- PQ-sink codebook lifecycle witness (q253): the frozen-model
+    // risk made concrete and repaired — a DEGENERATE 50-vector bootstrap
+    // (all-ones vectors; their fit collapses every subspace to one
+    // centroid, so ADC ordering of the later corpus carries no signal)
+    // followed by a frozen-codebook ingest of the real corpus leaves
+    // probe recall under the floor; pqSinkRetrainCompact refits on the
+    // float store and re-encodes, restoring recall ≥ 0.9. Oracle
+    // recomputes the query count exactly; the recall floors are the model
+    // contract (q235/q244 convention).
+    "q253_pq_retrain_check" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").localCheckpoint()
+      val skewed = e.filter(col("vec_id") < 50)
+        .withColumn("embedding",
+          expr("transform(embedding, x -> cast(1.0 as float))"))
+      val store = skewed.unionByName(e.filter(col("vec_id") >= 50))
+        .localCheckpoint()
+      val idx = pqIndexDir(dir) + "_rt"
+      Similarity.buildPqIndex(skewed, "vec_id", "embedding", idx)
+      Similarity.pqIndexIngest(s, idx, e.filter(col("vec_id") >= 50),
+        "vec_id", "embedding")
+      val q = e.filter(col("vec_id").between(50, 59))
+      val exact = Similarity.bruteForceTopK(store, q, "vec_id", "embedding", 5)
+        .localCheckpoint()
+      def recall(): Double = Recall.topKRecall(exact,
+          Similarity.pqIndexTopKAuto(s, idx, q, "vec_id", "embedding", 5,
+            vectors = store))
+        .agg(avg(col("recall"))).head().getDouble(0)
+      val before = recall()
+      Similarity.pqSinkRetrainCompact(s, idx, store, "vec_id", "embedding")
+      val after = recall()
+      q.agg(count(lit(1)).as("n_queries"),
+        lit(before < 0.9).as("bootstrap_underperforms"),
+        lit(after >= 0.9).as("retrain_above_floor"),
+        lit(after > before).as("retrain_improves"))
+    }),
+
+    // ---- Bloom point-lookup manifest band (q254): the `key IN (...)`
+    // shape min/max zone maps cannot serve — o_orderkey is
+    // high-cardinality and UNCLUSTERED by the o_orderdate range layout,
+    // so every file's [min, max] spans the whole key domain; the per-file
+    // bloom keeps only the true files plus bounded false positives.
+    // Bits sized ~16 per stored key (fpp ≈ 1.4%/probe at any SF). Full
+    // DuckDB oracle: pruned point scan ≡ plain IN-filter.
+    "q254_manifest_point_lookup" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val dest = pqIndexDir(dir).replace("pq_index", "orders_layout_q254")
+      graft.sources.Tables.writeRangeLayout(orders, dest, "o_orderdate", 64)
+      val r = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val mid = orders.filter(col("o_orderkey") >= (lo + hi) / 2)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      val n = orders.count()
+      val bits = math.max(8192L, ((n / 64) * 16 / 64 + 1) * 64).toInt
+      graft.sources.Tables.writeStatsManifest(s, dest, Seq("o_orderdate"),
+        bloomCols = Seq("o_orderkey"), bloomBits = bits)
+      graft.sources.Tables.manifestPrunedScanPoint(s, dest, "o_orderkey",
+          Seq(lo, mid, hi))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // q254 prune witness (q249 convention, WHERE FALSE oracle):
+    // violations only — (a) pruned point scan ≠ plain IN-filter, (b) a
+    // 3-key probe keeping more than 10% of the 64 files (the ≥90%-skip
+    // contract), (c) an ABSENT key keeping more than the false-positive
+    // allowance.
+    "q255_manifest_point_prune_check" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val dest = pqIndexDir(dir).replace("pq_index", "orders_layout_q255")
+      graft.sources.Tables.writeRangeLayout(orders, dest, "o_orderdate", 64)
+      val r = orders.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val mid = orders.filter(col("o_orderkey") >= (lo + hi) / 2)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      val n = orders.count()
+      val bits = math.max(8192L, ((n / 64) * 16 / 64 + 1) * 64).toInt
+      graft.sources.Tables.writeStatsManifest(s, dest, Seq("o_orderdate"),
+        bloomCols = Seq("o_orderkey"), bloomBits = bits)
+      val probe = Seq(lo, mid, hi)
+      val pruned = graft.sources.Tables.manifestPrunedScanPoint(
+        s, dest, "o_orderkey", probe)
+      val full = s.read.parquet(dest)
+        .filter(col("o_orderkey").isin(probe: _*))
+      def keys(df: DataFrame) = df.select(col("o_orderkey"))
+      val mismatch = keys(pruned).exceptAll(keys(full))
+        .unionByName(keys(full).exceptAll(keys(pruned)))
+        .select(lit("mismatch").as("kind"),
+          col("o_orderkey").cast("string").as("detail"))
+      val (keptIn, total) = graft.sources.Tables.manifestKeptFilesPoint(
+        s, dest, "o_orderkey", probe)
+      // absent key: hi+1 can never be stored (hi is the max)
+      val (keptAbs, _) = graft.sources.Tables.manifestKeptFilesPoint(
+        s, dest, "o_orderkey", Seq(hi + 1))
+      val structural = Seq(
+        (keptIn.size <= total / 10, "skip_below_90pct",
+          s"kept ${keptIn.size} of $total"),
+        (keptAbs.size <= math.max(2, total / 20), "absent_key_kept_files",
+          s"kept ${keptAbs.size} of $total"))
+        .collect { case (ok, k, d) if !ok => (k, d) }
+      mismatch.unionByName(structural.toDF("kind", "detail"))
+    }),
+
+    // ---- WIDE signature blocking witness (q256): the layout
+    // buildSignatureIndex auto-selects above SIG_WIDE_BLOCKING_AT stored
+    // signatures (2×32-bit blocks, hamming-1 ball probe — multi-index
+    // hashing), FORCED here on the catalog corpus so the q217 lifecycle
+    // identity pins it at every SF: build + ingest + probe ≡ the direct
+    // cross-frame recompute, plus a replay + compact identity leg.
+    // Symmetric diffs, WHERE FALSE oracle.
+    "q256_sig_wide_blocking_check" -> ((s, dir) => {
+      val sig = dhashSigs(s, dir)
+      val idx = sigIndexDir(dir) + "_wide"
+      val even = sig.filter(pmod(col("id"), lit(2)) === 0).localCheckpoint()
+      val odd = sig.filter(pmod(col("id"), lit(2)) === 1).localCheckpoint()
+      Dedup.buildSignatureIndexWithLayout(
+        even.filter(pmod(col("id"), lit(4)) === 0), idx,
+        wide = true, kbBits = 8)
+      Dedup.signatureIndexIngest(s, idx,
+        even.filter(pmod(col("id"), lit(4)) === 2))
+      Dedup.signatureIndexIngest(s, idx, // replayed append
+        even.filter(pmod(col("id"), lit(4)) === 2))
+      val before = Dedup.signatureIndexProbe(s, idx, odd).localCheckpoint()
+      Dedup.signatureIndexCompact(s, idx)
+      val after = Dedup.signatureIndexProbe(s, idx, odd)
+      val direct = Dedup.hammingPairsIncremental64(even, odd)
+      before.exceptAll(direct).unionByName(direct.exceptAll(before))
+        .unionByName(before.exceptAll(after))
+        .unionByName(after.exceptAll(before))
     })
   )
 
@@ -6314,7 +6513,57 @@ object SparkEntry {
     // empty
     "q249_manifest_prune_check" -> """
       SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS detail
-      FROM orders WHERE FALSE"""
+      FROM orders WHERE FALSE""",
+
+    // q251: composed-index lifecycle probe ≡ the in-memory composed form
+    // with the same models; no duplicate code rows after compaction —
+    // empty, WHERE FALSE oracle
+    "q251_ivfpq_index_check" -> """
+      SELECT CAST(vec_id AS BIGINT) AS query_id,
+             CAST(vec_id AS BIGINT) AS neighbor_id,
+             CAST(0 AS INT) AS rank
+      FROM embeddings WHERE FALSE""",
+
+    // q252: query count recomputed exactly; the recall floor is the
+    // operator's measured contract (q247 convention)
+    "q252_ivfpq_index_recall_check" -> """
+      SELECT count(*) AS n_queries, TRUE AS above_floor
+      FROM embeddings WHERE vec_id < 10""",
+
+    // q253: query count recomputed exactly; the under/over-floor
+    // contrast is the codebook-lifecycle contract (q244 convention)
+    "q253_pq_retrain_check" -> """
+      SELECT count(*) AS n_queries,
+             TRUE AS bootstrap_underperforms,
+             TRUE AS retrain_above_floor,
+             TRUE AS retrain_improves
+      FROM embeddings WHERE vec_id BETWEEN 50 AND 59""",
+
+    // q254: the bloom-pruned point scan must equal the plain IN-filter —
+    // the probe keys (min, midpoint-successor, max of o_orderkey) are
+    // recomputed by the same integer arithmetic
+    "q254_manifest_point_lookup" -> """
+      WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+           m AS (SELECT min(o_orderkey) AS md FROM orders, b
+                 WHERE o_orderkey >= (b.lo + b.hi) // 2)
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders, b, m
+      WHERE o_orderkey IN (b.lo, m.md, b.hi)""",
+
+    // q255: pruned ≡ IN-filter, ≥90% files skipped, absent key bounded
+    // by the false-positive allowance -> empty
+    "q255_manifest_point_prune_check" -> """
+      SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS VARCHAR) AS detail
+      FROM orders WHERE FALSE""",
+
+    // q256: wide-blocking lifecycle probe ≡ direct recompute, and
+    // identical before/after compaction of a replayed ingest — empty,
+    // WHERE FALSE oracle
+    "q256_sig_wide_blocking_check" -> """
+      SELECT CAST(doc_id AS BIGINT) AS existing_id,
+             CAST(doc_id AS BIGINT) AS incoming_id,
+             CAST(0 AS INT) AS hamming
+      FROM documents WHERE FALSE"""
   )
 
   /** Shared CTE chain of the q198/q199 oracles: word quotient →
@@ -6446,12 +6695,13 @@ object SparkEntry {
       "q229_pq_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int",
       "q234_quality_classifier" -> "doc_id:bigint,score:double,predicted:boolean",
       "q236_pq_index" -> "query_id:bigint,neighbor_id:bigint,rank:int",
+      "q250_ivfpq_index" -> "query_id:bigint,neighbor_id:bigint,rank:int",
       "q231_ivfpq_topk" -> "query_id:bigint,neighbor_id:bigint,rank:int")
     val rows = Map(
       "sf0.001" -> Map(
         "q226_text_components_index" -> 500L,
         "q27_minhash_lsh" -> 32191L, "q28_simhash" -> 27L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q234_quality_classifier" -> 250L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17274L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q250_ivfpq_index" -> 50L, "q234_quality_classifier" -> 250L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17274L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 62L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -6466,7 +6716,7 @@ object SparkEntry {
       "sf0.01" -> Map(
         "q226_text_components_index" -> 500L,
         "q27_minhash_lsh" -> 30328L, "q28_simhash" -> 17L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q234_quality_classifier" -> 250L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17037L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q250_ivfpq_index" -> 50L, "q234_quality_classifier" -> 250L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 250L, "q204_dedup_index" -> 17037L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 51L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -6481,7 +6731,7 @@ object SparkEntry {
       "sf0.1" -> Map(
         "q226_text_components_index" -> 5000L,
         "q27_minhash_lsh" -> 2968391L, "q28_simhash" -> 525L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q234_quality_classifier" -> 2500L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 1000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q250_ivfpq_index" -> 50L, "q234_quality_classifier" -> 2500L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 1000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 848L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -6496,7 +6746,7 @@ object SparkEntry {
       "sf1" -> Map(
         "q226_text_components_index" -> 50000L,
         "q27_minhash_lsh" -> 29682497L, "q28_simhash" -> 6190L, "q30_lsh_topk" -> 50L,
-        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q234_quality_classifier" -> 25000L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 10000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
+        "q53_approx_distinct" -> 3L, "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q250_ivfpq_index" -> 50L, "q234_quality_classifier" -> 25000L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 10000L, "q204_dedup_index" -> 769224L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q72_minhash_recall" -> 1L,
         "q73_cosine_pairs_bucketed" -> 89697L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
@@ -6518,7 +6768,7 @@ object SparkEntry {
       "sf10" -> Map(
         "q226_text_components_index" -> 500000L,
         "q30_lsh_topk" -> 50L, "q53_approx_distinct" -> 3L,
-        "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q234_quality_classifier" -> 250000L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 100000L, "q70_lsh_recall" -> 10L,
+        "q56_ivf_topk" -> 50L, "q229_pq_topk" -> 50L, "q231_ivfpq_topk" -> 50L, "q236_pq_index" -> 50L, "q250_ivfpq_index" -> 50L, "q234_quality_classifier" -> 250000L, "q200_ivf_index_topk" -> 50L, "q202_ivf_index_ingest" -> 50L, "q208_semantic_ingest_index" -> 100000L, "q70_lsh_recall" -> 10L,
         "q71_ivf_recall" -> 10L, "q87_sq8_topk" -> 50L,
         "q88_sq8_recall" -> 10L, "q91_lsh_sq8_topk" -> 50L,
         "q174_pair_budget" -> 1L,
