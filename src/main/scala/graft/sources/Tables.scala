@@ -340,17 +340,23 @@ object Tables {
       bloomCols: Seq[String], bloomBits: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val words = bloomBits / 64
+    // Bloom bands aggregate through ONE packed-words buffer per column
+    // ([[graft.functions.BloomWordsAgg]]): the probe positions are the
+    // shared [[bloomPositions]] expressions (evaluated once per row), the
+    // aggregate only sets bits — bit-identical to the previous
+    // one-bit_or-per-word formulation, whose per-row cost scaled with the
+    // word count (2·words xxhash64 evaluations per row; q254 measured
+    // 126 s / 1.9e6 ms CPU at 586 words before this rewrite).
     val aggs = keyCols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))) ++
-      bloomCols.flatMap(c => bloomWordAggs(c, bloomBits))
-    val stats0 = df
-      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      bloomCols.map { c =>
+        val ps = bloomPositions(col(c), bloomBits)
+          .map(p => when(col(c).isNull, lit(-1L)).otherwise(p))
+        graft.functions.BloomWordsAgg.bloomWords(words)(ps(0), ps(1))
+          .as(s"${c}__bloom")
+      }
+    df.groupBy(substring_index(input_file_name(), "/", -1).as("file"))
       .agg(count(lit(1)).as("cnt"), aggs: _*)
-    bloomCols.foldLeft(stats0) { (d, c) =>
-      d.withColumn(s"${c}__bloom",
-          array((0 until words).map(w => col(s"${c}__bloom_$w")): _*))
-        .drop((0 until words).map(w => s"${c}__bloom_$w"): _*)
-    }
   }
 
   /** Left-join the listing onto the stats and normalize the empty-file
@@ -379,29 +385,6 @@ object Tables {
     import org.apache.spark.sql.functions._
     Seq(pmod(xxhash64(c), lit(bits.toLong)),
       pmod(xxhash64(c, lit(0x9E3779B9L)), lit(bits.toLong)))
-  }
-
-  /** One bit_or aggregate per 64-bit word: each row contributes its two
-    * positions' bits to the word they fall in (null keys contribute
-    * nothing — a point probe for null is not meaningful and not
-    * supported). Stays inside whole-stage codegen; no per-file
-    * collection ever materializes. The SQL text mirrors
-    * [[bloomPositions]] exactly — same xxhash64 calls, same seeds — so
-    * build and probe cannot disagree on a bit.
-    */
-  private def bloomWordAggs(c: String, bits: Int): Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.expr
-    val words = bits / 64
-    val ps = Seq(
-      s"pmod(xxhash64(`$c`), ${bits}L)",
-      s"pmod(xxhash64(`$c`, ${0x9E3779B9L}L), ${bits}L)")
-    (0 until words).map { w =>
-      val contrib = ps.map(p =>
-        s"(case when `$c` is null then 0L " +
-          s"when $p div 64 = $w then shiftleft(1L, int($p % 64)) " +
-          "else 0L end)").mkString(" | ")
-      expr(s"bit_or($contrib)").as(s"${c}__bloom_$w")
-    }
   }
 
   /** Driver-side prune against the manifest: the data files whose
