@@ -1014,7 +1014,11 @@ object Dedup {
     require(maxDist >= 0, "maxDist must be >= 0")
     val base = df.select(col(idCol), col(strCol),
       blockCol.as("__blk"), length(col(strCol)).as("__len"))
-    val a = base.select(col("__blk"), col(idCol).as("id_a"),
+    // fanOut on the STREAM side: the broadcast join inherits the probe's
+    // partitioning, and a small-file scan is one split — q103's
+    // levenshtein residue measured 1.1 avg cores of 32 (10.1 s CPU on a
+    // 8.9 s wall) before this. No-op when the input already scans wide.
+    val a = Multimodal.fanOut(base).select(col("__blk"), col(idCol).as("id_a"),
       col(strCol).as("__sa"), col("__len").as("__la"))
     val b = base.select(col("__blk"), col(idCol).as("id_b"),
       col(strCol).as("__sb"), col("__len").as("__lb"))

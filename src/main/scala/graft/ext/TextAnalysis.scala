@@ -916,9 +916,21 @@ object TextAnalysis {
   def duplicatedTextFraction(df: DataFrame, idCol: String, textCol: String,
       gramLen: Int): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
-    val grams = df.select(col(idCol),
-      explode(charGrams(col(textCol), gramLen)).as("g"))
+    // fanOut: the gram explode + per-(gram, doc) partial aggregation is the
+    // expensive stage and must not inherit a small-file scan's split count
+    // (the sf0.1 documents table is ONE split — measured 5.6 avg cores of
+    // 32 on q168 before this); a no-op on inputs that already scan wide.
+    val grams = Multimodal.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(charGrams(col(textCol), gramLen)).as("g"))
+    // localCheckpoint: `perDoc` feeds BOTH the corpus totals and the
+    // verdict join — without it Spark plans two independent subtrees and
+    // the corpus explode + collapse runs TWICE (two Generate operators in
+    // the round-13 plan). The checkpoint pins the COLLAPSED frame (≤ one
+    // row per distinct (gram, doc) — far smaller than the raw gram
+    // stream), which is the cheaper side of the recompute-vs-materialize
+    // trade at any scale.
     val perDoc = grams.groupBy(col("g"), col(idCol)).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val totals = perDoc.groupBy(col("g")).agg(sum(col("c")).as("n"))
     val scored = perDoc.join(totals, Seq("g"))
       .groupBy(col(idCol))
@@ -953,10 +965,17 @@ object TextAnalysis {
   def duplicatedCharCoverage(df: DataFrame, idCol: String, textCol: String,
       gramLen: Int): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
-    val grams = df.select(col(idCol),
-      posexplode(charGrams(col(textCol), gramLen)).as(Seq("p", "g")))
+    // same fanOut + collapsed-checkpoint reasoning as
+    // [[duplicatedTextFraction]]: the explode must not inherit a 1-split
+    // scan, and `perDoc` feeds the dup-gram filter without re-running the
+    // corpus explode (the coverage side below re-explodes by necessity —
+    // it needs the positions the collapse dropped)
+    val grams = Multimodal.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(charGrams(col(textCol), gramLen)).as(Seq("p", "g")))
       .select(col(idCol), (col("p") + 1).as("i"), col("g"))
     val perDoc = grams.groupBy(col("g"), col(idCol)).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val dupGrams = perDoc.groupBy(col("g")).agg(sum(col("c")).as("n"))
       .filter(col("n") >= 2).select(col("g"))
     val L = lit(gramLen.toLong)
@@ -991,7 +1010,8 @@ object TextAnalysis {
   def topDuplicatedGrams(df: DataFrame, idCol: String, textCol: String,
       gramLen: Int, topK: Int): DataFrame = {
     require(gramLen >= 2 && topK >= 1, "need gramLen >= 2 and topK >= 1")
-    df.select(col(idCol), explode(charGrams(col(textCol), gramLen)).as("g"))
+    Multimodal.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(charGrams(col(textCol), gramLen)).as("g"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n") >= 2)
