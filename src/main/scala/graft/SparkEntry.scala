@@ -1746,7 +1746,11 @@ object SparkEntry {
     // exact sums): the standard outlier-robust cleaning step; the stat
     // frame is one row per group (fixed 3-value domain), broadcast.
     "q134_winsorize" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // fanned out: both the exact-percentile build and the clip pass are
+      // single-split at small SFs otherwise (the scan files carry one row
+      // group) — identical results, the stat frame is order-independent
+      val li = graft.ext.Multimodal.fanOut(t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice")))
       val q = li.groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, 0.01D)").as("p01"),
           expr("percentile(l_extendedprice, 0.99D)").as("p99"))
@@ -1859,7 +1863,10 @@ object SparkEntry {
     // rows outside [q1 - 1.5*iqr, q3 + 1.5*iqr] flagged per group. The
     // quartile frame is one row per group — broadcast back into the scan.
     "q121_iqr_outliers" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // fanned out like q134: exact-percentile build + fence pass must not
+      // inherit the single-split scan; identical results
+      val li = graft.ext.Multimodal.fanOut(t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice")))
       val q = li.groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, 0.25D)").as("q1"),
           expr("percentile(l_extendedprice, 0.75D)").as("q3"))

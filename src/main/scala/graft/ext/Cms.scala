@@ -58,7 +58,12 @@ object Cms {
   def sketch(df: DataFrame, keyCol: String, depth: Int = 4,
       width: Int = 8192): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad CMS shape d=$depth w=$width")
-    df.select(col(keyCol).cast("string").as("__k"))
+    // fanOut: depth md5s per key occurrence is the expensive stage and
+    // must not inherit a small-file scan's split count (q194 measured
+    // 1.2 avg cores of 32 on a 1-split token stream); no-op on inputs
+    // that already scan wide. Key rows only — the projection above the
+    // repartition keeps the shuffle to the hashed column.
+    Multimodal.fanOut(df.select(col(keyCol).cast("string").as("__k")))
       .filter(col("__k").isNotNull)
       .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn("col", bucketCol(col("row"), col("__k"), width))

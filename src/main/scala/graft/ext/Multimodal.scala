@@ -187,7 +187,7 @@ object Multimodal {
     * hop, and the alternative is idle cores). Round-robin, not hash: the
     * rows are pure work items.
     */
-  private[ext] def fanOut(df: DataFrame): DataFrame = {
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
