@@ -178,6 +178,53 @@ object Classifier {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = featurized.count().toDouble
     require(n > 0, "Classifier.fitDistributed: empty hash-thresholded sample")
+    // REGIME DISPATCH (the connectedComponents/driverBpeTrain pattern):
+    // each full-batch iteration below is ONE Spark job over the cached
+    // sample — at iters=500 that is 500 driver-sequential scheduling
+    // round-trips even when the featurized sample is a few thousand rows.
+    // Under the bounded-collect cap the sample is pulled ONCE with its
+    // partition boundaries and row order intact, and the identical update
+    // rule runs on the driver: per-partition partials accumulate row-order
+    // sequentially into their own arrays and combine in partition-index
+    // order — the exact FP operation sequence of the distributed route, so
+    // the weights are bit-identical (ClassifierSpec asserts route equality
+    // on the raw doubles). Samples above the cap — the regime this path
+    // exists for — run the per-iteration jobs unchanged.
+    val driverCap = docs.sparkSession.conf
+      .getOption("spark.graft.classifier.driverFitRows")
+      .map(_.toLong).getOrElse(131072L)
+    if (n <= driverCap) {
+      val parts = featurized
+        .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.toArray)))
+        .collect().sortBy(_._1).map(_._2)
+      featurized.unpersist(false): Unit
+      val w = new Array[Double](dim)
+      var b = 0.0
+      for (_ <- 1 to iters) {
+        val grad = new Array[Double](dim + 1)
+        parts.foreach { rows =>
+          val g = new Array[Double](dim + 1)
+          rows.foreach { case (fs, xs, y) =>
+            var margin = b
+            var i = 0
+            while (i < fs.length) { margin += w(fs(i)) * xs(i); i += 1 }
+            val resid = 1.0 / (1.0 + math.exp(-margin)) - y
+            i = 0
+            while (i < fs.length) { g(fs(i)) += resid * xs(i); i += 1 }
+            g(dim) += resid
+          }
+          var f = 0
+          while (f <= dim) { grad(f) += g(f); f += 1 }
+        }
+        var f = 0
+        while (f < dim) {
+          w(f) -= learningRate * (grad(f) / n + l2 * w(f))
+          f += 1
+        }
+        b -= learningRate * grad(dim) / n
+      }
+      return LogRegModel(w.map(_ * featScale), b)
+    }
     val w = new Array[Double](dim)
     var b = 0.0
     for (_ <- 1 to iters) {

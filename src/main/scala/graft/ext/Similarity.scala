@@ -314,8 +314,12 @@ object Similarity {
           est.min(BigInt(Long.MaxValue)).toLong, budgetPairs, 0, 0)
     }
     // the vector-carrying rows join DIRECTLY (id_a < id_b): row-level
-    // semantics are preserved even when ids are not unique
-    val a = withNorms(df, idCol, vecCol, "id_a", "va", "na")
+    // semantics are preserved even when ids are not unique.
+    // fanOut on the STREAM side: the broadcast nested-loop join inherits
+    // the probe side's partitioning, so a one-row-group scan serializes
+    // the O(n²/2) cosine kernel on a single task (editDistancePairs'
+    // failure mode in the embedding costume). No-op at real scan widths.
+    val a = Multimodal.fanOut(withNorms(df, idCol, vecCol, "id_a", "va", "na"))
     val b = withNorms(df, idCol, vecCol, "id_b", "vb", "nb")
     finishCosinePairs(a.join(b, col("id_a") < col("id_b")), threshold)
   }

@@ -1073,17 +1073,171 @@ object TextAnalysis {
     * ceil(numMerges / batchK) — bounded, the scale path for large
     * vocabularies.
     */
+  /** UTF-8 unsigned byte comparison — exactly UTF8String's binary order,
+    * the collation every distributed `orderBy` on StringType sorts in. The
+    * driver BPE loop must tie-break argmax candidates in the SAME order or
+    * the two routes could learn different (equal-count) merges.
+    */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** One greedy left-to-right merge pass — the driver-side replica of
+    * [[applyBpeMerge]]'s fold: an element joining the accumulator fuses
+    * with the PREVIOUS accumulated symbol when (prev, x) == (a, b), so a
+    * symbol consumed by one merge is never reused ("aaa" under (a,a) →
+    * [aa, a]). Returns the input array unchanged (same reference) when no
+    * merge applies, so the caller's delta bookkeeping can compare lengths.
+    */
+  private def applyMergeLocal(syms: Array[String], a: String, b: String)
+      : Array[String] = {
+    if (syms.length < 2) return syms
+    val acc = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (acc.nonEmpty && acc(acc.length - 1) == a && x == b)
+        acc(acc.length - 1) = a + b
+      else acc += x
+      i += 1
+    }
+    if (acc.length == syms.length) syms else acc.toArray
+  }
+
+  /** Driver-side BPE training loop — the small-vocabulary regime of
+    * [[bpeTrain]], reached when the word quotient fits the bounded collect
+    * cap. Replicates the distributed loop decision for decision: the same
+    * frequency-weighted adjacency counts (exact Long sums), the same
+    * (count desc, a, b) argmax in UTF-8 binary order, the same 4k+16
+    * over-collect truncation before symbol-disjoint acceptance, the same
+    * greedy merge application and freq·(len−len') applied-count deltas.
+    * The final per-word segmentation returns as a local relation with the
+    * distributed schema (w, freq, syms).
+    */
+  private def driverBpeTrain(vocab0: DataFrame, numMerges: Int, batchK: Int)
+      : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
+    val spark = vocab0.sparkSession
+    import spark.implicits._
+    val rows = vocab0.select(col("w"), col("freq"), col("syms")).collect()
+    val ws = rows.map(_.getString(0))
+    val freqs = rows.map(_.getLong(1))
+    val syms: Array[Array[String]] =
+      rows.map(_.getSeq[String](2).toArray)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val k = math.min(batchK, numMerges - rank + 1)
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i)
+        if (s.length >= 2) {
+          val f = freqs(i)
+          var j = 0
+          while (j < s.length - 1) {
+            val key = (s(j), s(j + 1))
+            counts.merge(key, f, (x, y) => x + y)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        import scala.jdk.CollectionConverters._
+        val top = counts.entrySet().iterator().asScala
+          .map(e => (e.getKey._1, e.getKey._2, e.getValue)).toArray
+          .sortWith { case ((a1, b1, c1), (a2, b2, c2)) =>
+            if (c1 != c2) c1 > c2
+            else {
+              val ca = utf8Compare(a1, a2)
+              if (ca != 0) ca < 0 else utf8Compare(b1, b2) < 0
+            }
+          }
+          .take(k * 4 + 16)
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        top.iterator.foreach { case (a, b, cnt) =>
+          if (accepted.size < k && !used(a) && !used(b) && !used(a + b)) {
+            used ++= Seq(a, b, a + b)
+            accepted += ((a, b, cnt))
+          }
+        }
+        val deltas = Array.fill(accepted.size)(0L)
+        i = 0
+        while (i < syms.length) {
+          var cur = syms(i)
+          val f = freqs(i)
+          var s = 0
+          while (s < accepted.length) {
+            val (a, b, _) = accepted(s)
+            val next = applyMergeLocal(cur, a, b)
+            deltas(s) += f * (cur.length - next.length)
+            cur = next
+            s += 1
+          }
+          syms(i) = cur
+          i += 1
+        }
+        accepted.zipWithIndex.foreach { case ((a, b, cnt), s) =>
+          merges += ((rank + s, a, b, a + b, cnt, deltas(s)))
+        }
+        rank += accepted.size
+      }
+    }
+    val finalVocab = ws.indices
+      .map(j => (ws(j), freqs(j), syms(j).toSeq))
+      .toDF("w", "freq", "syms")
+    (merges.toSeq, finalVocab)
+  }
+
   private def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
       batchK: Int = 1)
       : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
     require(numMerges >= 1 && numMerges <= 100000,
       s"numMerges must be in [1, 100000], got $numMerges")
     require(batchK >= 1, s"batchK must be >= 1, got $batchK")
-    var vocab = df
+    // fanOut: the corpus-wide tokenize+explode is the one data-sized pass
+    // of the whole trainer; a one-row-group scan serializes it (the gram
+    // family's round-14 fix). The quotient aggregate is partitioning-
+    // invariant, so the fan-out cannot change the vocabulary.
+    var vocab = Multimodal.fanOut(df.select(col(textCol)))
       .select(explode(tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"), split(col("w"), "").as("syms"))
       .localCheckpoint()
+    // REGIME DISPATCH (the connectedComponents/driverComponents pattern):
+    // every training round below costs 3 driver-sequential Spark jobs
+    // (pair-count collect, merge-apply checkpoint, deltas aggregate) on a
+    // frame that is only VOCABULARY-sized — for catalog corpora a few
+    // thousand slim rows, pure scheduling latency ~90 jobs deep at
+    // numMerges=30. Under the bounded-collect cap the quotient is pulled
+    // once and the identical greedy loop runs on the driver: adjacency
+    // counts are exact integer sums, the argmax tie-break compares
+    // UTF-8 bytes unsigned (UTF8String's binary order), the over-collect
+    // truncation (4k+16), disjoint acceptance, merge application and the
+    // applied-count deltas replicate the distributed forms step for step
+    // — BpeDispatchSpec asserts route equality merge-row by merge-row.
+    // Real-tokenizer trainers run exactly this shape (corpus pass →
+    // in-memory word-count loop); vocabularies above the cap — the
+    // open-vocabulary 100 TB regime — run the distributed loop unchanged.
+    val spark = df.sparkSession
+    val driverCap = spark.conf.getOption("spark.graft.bpe.driverVocabRows")
+      .map(_.toLong).getOrElse(1000000L)
+    if (vocab.count() <= driverCap)
+      return driverBpeTrain(vocab, numMerges, batchK)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long, Long)]
     var rank = 1
@@ -1219,7 +1373,11 @@ object TextAnalysis {
     val mapping = vocab.select(col("w"),
       size(col("syms")).cast("long").as("n_sub"),
       length(col("w")).cast("long").as("n_chr"))
-    val perDoc = df
+    // fanOut: the corpus explode + vocabulary lookup + partial aggregate
+    // is the data-sized stage; a one-row-group scan serializes it on one
+    // task (round-14 gram-family fix). Per-doc aggregation is
+    // partitioning-invariant, so the fan-out cannot change any count.
+    val perDoc = Multimodal.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("w"))
       .join(mapping, Seq("w"))
       .groupBy(col(idCol))
@@ -1368,7 +1526,11 @@ object TextAnalysis {
     val mapping = hops.filter(col("pos") === 1)
       .select(col("w"), col("steps").as("n_pieces"),
         col("wlen").cast("long").as("n_chr"))
-    val perDoc = df
+    // fanOut: the corpus explode + vocabulary lookup + partial aggregate
+    // is the data-sized stage; a one-row-group scan serializes it on one
+    // task (round-14 gram-family fix). Per-doc aggregation is
+    // partitioning-invariant, so the fan-out cannot change any count.
+    val perDoc = Multimodal.fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("w"))
       .join(mapping, Seq("w"))
       .groupBy(col(idCol))

@@ -126,4 +126,38 @@ class BpeSpec extends SparkTestBase {
       .orderBy("rank").collect().map(_.toSeq)
     assert(seqForm.toSeq === batched.toSeq)
   }
+
+  test("driver dispatch equals the distributed loop merge-row by merge-row") {
+    // corpora chosen to stress every decision the two routes must share:
+    // argmax ties (equal counts broken on UTF-8 binary order), overlapping
+    // runs (greedy non-reuse), batched disjoint acceptance with the 4k+16
+    // over-collect truncation, multi-char fused symbols re-entering the
+    // count, early exhaustion, and non-ASCII symbols (é is two UTF-8
+    // bytes — byte order must match UTF8String's, not UTF-16's)
+    val corpora = Seq(
+      sennrich,
+      Seq((1L, "aaa aaa ab ba")).toDF("doc_id", "text"),
+      Seq((1L, "héllo héllo wörld wörld wörld zz")).toDF("doc_id", "text"),
+      Seq((1L, "x y z"), (2L, "ab ab cd cd cd ef")).toDF("doc_id", "text"))
+    for (df <- corpora; batchK <- Seq(1, 3)) {
+      val driver = TextAnalysis.bpeMerges(df, "text", 8, batchK)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.bpe.driverVocabRows", "0")
+      val dist =
+        try TextAnalysis.bpeMerges(df, "text", 8, batchK)
+          .orderBy("rank").collect().map(_.toSeq).toSeq
+        finally spark.conf.unset("spark.graft.bpe.driverVocabRows")
+      assert(driver === dist, s"routes diverged (batchK=$batchK)")
+    }
+    // the final per-word segmentation (the vocab the lookup path joins
+    // against) must agree too — bpeTokenCounts rides it
+    val docs = corpora(2)
+    val driverCounts = rows(
+      TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", 6))
+    spark.conf.set("spark.graft.bpe.driverVocabRows", "0")
+    val distCounts =
+      try rows(TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", 6))
+      finally spark.conf.unset("spark.graft.bpe.driverVocabRows")
+    assert(driverCounts === distCounts)
+  }
 }

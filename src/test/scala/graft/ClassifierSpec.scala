@@ -137,4 +137,20 @@ class ClassifierSpec extends SparkTestBase {
       sampleN = 5000, iters = 20)
     assert(sub.weights.exists(_ != 0.0))
   }
+
+  test("fitDistributed driver dispatch is bit-identical to the per-iteration-job route") {
+    // the dispatch collects the featurized sample with partition
+    // boundaries and row order intact and replays the same per-partition
+    // accumulation + partition-order combine — the weights must match on
+    // RAW doubles, not within a tolerance
+    val all = markerFixture
+    val driverRoute = Classifier.fitDistributed(
+      all, "doc_id", "text", "label", iters = 25)
+    spark.conf.set("spark.graft.classifier.driverFitRows", "0")
+    val jobRoute =
+      try Classifier.fitDistributed(all, "doc_id", "text", "label", iters = 25)
+      finally spark.conf.unset("spark.graft.classifier.driverFitRows")
+    assert(driverRoute.weights.toSeq === jobRoute.weights.toSeq)
+    assert(driverRoute.bias === jobRoute.bias)
+  }
 }
