@@ -86,12 +86,23 @@ object Bench {
     // C2 kicks in. Finally one untimed q01 at the TARGET sfDir pays the
     // executor-memory ramp and the target files' footer/page-cache cost, so
     // timed numbers are steady-state (the baseline was measured warm too).
+    // Round-14 measurement fix (documented in OPTIMIZATION_r14.md; the
+    // old single-SF-warm numbers are kept in bench_r14_baseline.json /
+    // bench_r14_midpoint.json): the sf0.001 pass alone leaves every
+    // iteration-heavy codegen loop INTERPRETED at its first sf0.1 run —
+    // C2 needs real iteration counts, and the round-2 fix already warmed
+    // the pairwise-dedup family at sf0.01 for exactly this reason. At
+    // sf0.1 the gap is large and repeatable (q170 11.5 s in-bench vs
+    // 2.5 s steady-state; q243 17.8 s first vs 9.1 s warm in one JVM), so
+    // the whole measured catalog now warms at sf0.01 too — uniform, no
+    // per-query curation, still untimed. Steady-state is what the bench
+    // has always declared it measures.
     val warmups =
       SparkEntry.queries.keys.toSeq.sorted.filterNot(measurementOnly)
         .map(_ -> "/root/testdata/sf0.001") ++
-      Seq("q25_jaccard_pairs" -> "/root/testdata/sf0.01",
-          "q27_minhash_lsh" -> "/root/testdata/sf0.01",
-          "q01_summarize" -> sfDir)
+      SparkEntry.queries.keys.toSeq.sorted.filterNot(measurementOnly)
+        .map(_ -> "/root/testdata/sf0.01") ++
+      Seq("q01_summarize" -> sfDir)
     // Queries that localCheckpoint intermediate frames (the 7-stage corpus
     // pipeline, the gated top-p recursion, the compaction witnesses) leave
     // their blocks PINNED in the block manager after the query returns —

@@ -2921,7 +2921,11 @@ object SparkEntry {
     // recomputeBelow = 0 pins the MAINTENANCE machinery (q243 covers the
     // dispatcher's recompute route; production callers take the default).
     "q223_components_index" -> ((s, dir) => {
-      val sig = dhashSigs(s, dir)
+      // checkpointed ONCE (the q216/q243 pattern): build, ingest and their
+      // internal count/pair/write actions otherwise each re-run the full
+      // PNG synthesize+decode — the codec is the corpus pass, the (id,
+      // sig) rows are 16 bytes each
+      val sig = dhashSigs(s, dir).localCheckpoint()
       val idx = sigIndexDir(dir) + "_cc"
       Dedup.buildComponentsIndex(
         sig.filter(pmod(col("id"), lit(2)) === 0), idx,

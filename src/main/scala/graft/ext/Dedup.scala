@@ -1437,7 +1437,8 @@ object Dedup {
     writeSigMeta(sig.sparkSession, indexDir, wide, kbBits)
     val proj =
       if (wide) sigIndexChunksWide(sig, kbBits) else sigIndexChunks(sig)
-    proj.repartition(col("chunk"), col("kb"))
+    proj.repartition(indexWritePartitions(proj.sparkSession),
+        col("chunk"), col("kb"))
       .write.mode("overwrite").partitionBy("chunk", "kb")
       .parquet(s"$indexDir/sigs")
   }
@@ -1455,7 +1456,7 @@ object Dedup {
     CompactionLease.guardedAppend(spark, indexDir) {
       (if (wide) sigIndexChunksWide(incoming, kbBits)
        else sigIndexChunks(incoming))
-        .repartition(col("chunk"), col("kb"))
+        .repartition(indexWritePartitions(spark), col("chunk"), col("kb"))
         .write.mode("append").partitionBy("chunk", "kb")
         .parquet(s"$indexDir/sigs")
     }
@@ -1514,7 +1515,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
     val tmp = s"$indexDir/sigs_compacting"
     spark.read.parquet(s"$indexDir/sigs").dropDuplicates()
-      .repartition(col("chunk"), col("kb"))
+      .repartition(indexWritePartitions(spark), col("chunk"), col("kb"))
       .write.mode("overwrite").partitionBy("chunk", "kb").parquet(tmp)
     swapIn(spark, tmp, s"$indexDir/sigs")
   }
@@ -1831,6 +1832,39 @@ object Dedup {
     */
   private[ext] val COMP_BUCKETS = 64
 
+  /** The one writer shape for every comps/ write: hash-repartitioned to
+    * EXACTLY one task per `ib` bucket before the partitioned write.
+    * Without it the small-store writes arrive AQE-coalesced to a single
+    * task that creates all 64 bucket files SERIALLY — measured 1.7-2.0 s
+    * per write on the q223 lifecycle (JobProfile: 1-task WriteFiles jobs),
+    * pure file-open latency. The explicit partition count pins one file
+    * per bucket directory at any store size (bucket-parallel writes;
+    * COMP_BUCKETS is the same knob that bounds DPP probe pruning, so a
+    * store wanting wider writes raises both together).
+    */
+  private def writeComps(assign: DataFrame, path: String, mode: String): Unit =
+    assign.withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
+      .repartition(indexWritePartitions(assign.sparkSession), col("ib"))
+      .write.mode(mode).partitionBy("ib").parquet(path)
+
+  /** Write parallelism for every hive-bucketed index layout (comps/ ib,
+    * sigs/ chunk-kb, IVF/PQ cell): an EXPLICIT partition count so AQE
+    * cannot coalesce a small store's write onto one task that then
+    * creates every bucket file SERIALLY (measured 1.7-2.0 s per write at
+    * 64-256 dirs on the q223 lifecycle — pure file-create latency, the
+    * dominant cost of the small-store index entries). Hash-partitioning
+    * on the bucket columns keeps each bucket in exactly one task — one
+    * file per directory per write at ANY count — and the default
+    * (defaultParallelism = the cluster's write-throughput bound) is
+    * scale-adaptive, not a local constant; `spark.graft.index.
+    * writePartitions` overrides for stores whose rewrites want finer
+    * tasks.
+    */
+  private[ext] def indexWritePartitions(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.index.writePartitions").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
   /** Build the index under `indexDir`, three tables: `sigs/` (the
     * [[buildSignatureIndex]] chunk/key-bucket layout — probes co-located
     * with the assignment), `comps/` ((id, rep) — [[signatureComponents]]
@@ -1843,9 +1877,8 @@ object Dedup {
     // both the signature index and the CC build
     val sigC = sig.select(col("id"), col("sig")).localCheckpoint()
     buildSignatureIndex(sigC, indexDir)
-    signatureComponents(sigC, maxHamming, budgetPairs)
-      .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
-      .write.mode("overwrite").partitionBy("ib").parquet(s"$indexDir/comps")
+    writeComps(signatureComponents(sigC, maxHamming, budgetPairs),
+      s"$indexDir/comps", "overwrite")
     emptyMerges(sigC.sparkSession)
       .write.mode("overwrite").parquet(s"$indexDir/merges")
   }
@@ -1972,9 +2005,7 @@ object Dedup {
         // assignment) and of the maintenance route (a signature a future
         // probe can match already has its assignment row) both carry over
         val tmp = s"$indexDir/comps_compacting"
-        assign.withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
-          .repartition(col("ib"))
-          .write.mode("overwrite").partitionBy("ib").parquet(tmp)
+        writeComps(assign, tmp, "overwrite")
         swapIn(spark, tmp, s"$indexDir/comps")
         val mtmp = s"$indexDir/merges_compacting"
         emptyMerges(spark).write.mode("overwrite").parquet(mtmp)
@@ -2072,12 +2103,11 @@ object Dedup {
       .filter(col("id") =!= col("rep"))
       .select(col("id").as("old_rep"), col("rep").as("new_rep"))
       .write.mode("append").parquet(s"$indexDir/merges")
-    batchComp
+    writeComps(batchComp
       .join(merged.withColumnsRenamed(Map("id" -> "brep", "rep" -> "frep")),
         Seq("brep"), "left")
-      .select(col("id"), coalesce(col("frep"), col("brep")).as("rep"))
-      .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
-      .write.mode("append").partitionBy("ib").parquet(s"$indexDir/comps")
+      .select(col("id"), coalesce(col("frep"), col("brep")).as("rep")),
+      s"$indexDir/comps", "append")
     }
   }
 
@@ -2101,10 +2131,7 @@ object Dedup {
   private def foldComponents(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     val tmp = s"$indexDir/comps_compacting"
-    componentsTable(spark, indexDir)
-      .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
-      .repartition(col("ib"))
-      .write.mode("overwrite").partitionBy("ib").parquet(tmp)
+    writeComps(componentsTable(spark, indexDir), tmp, "overwrite")
     swapIn(spark, tmp, s"$indexDir/comps")
     val mtmp = s"$indexDir/merges_compacting"
     emptyMerges(spark).write.mode("overwrite").parquet(mtmp)
@@ -2167,9 +2194,9 @@ object Dedup {
     val c = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint()
     buildDedupIndex(c, "id", "text", indexDir, n, numHashes, bands)
-    minhashComponents(c, "id", "text", n, numHashes, bands, verifyThreshold)
-      .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
-      .write.mode("overwrite").partitionBy("ib").parquet(s"$indexDir/comps")
+    writeComps(
+      minhashComponents(c, "id", "text", n, numHashes, bands, verifyThreshold),
+      s"$indexDir/comps", "overwrite")
     emptyMerges(c.sparkSession)
       .write.mode("overwrite").parquet(s"$indexDir/merges")
   }

@@ -70,6 +70,61 @@ object Graph {
     require(n > 0, "pageRank: empty pair graph")
     val baseMicro = math.floor(0.15 * 1e6 / n + 0.5).toLong
     val initMicro = math.floor(1e6 / n + 0.5).toLong
+    // REGIME DISPATCH (the connectedComponents/driverComponents pattern):
+    // each iteration below is a join + aggregate + join + localCheckpoint
+    // — ~4 scheduling round-trips × `iterations` on a frame that is only
+    // node-sized once the near-dup pair graph is a few thousand edges.
+    // Under the bounded-collect cap the checkpointed edge list is pulled
+    // once and the SAME integer micro-unit recurrence runs on the driver:
+    // every term/contrib/rank' is Long or floor(double + 0.5) arithmetic
+    // on values below 2^53 — accumulation-order-independent, so the
+    // fixpoint is bit-identical (q186's DuckDB oracle unrolls the same
+    // recurrence; GraphSpec asserts route equality). Graphs above the cap
+    // — the 100 TB regime — run the distributed loop unchanged.
+    val spark = pairs.sparkSession
+    val driverCap = spark.conf.getOption("spark.graft.pagerank.driverEdgeRows")
+      .map(_.toLong).getOrElse(4000000L)
+    if (edges.schema("src").dataType ==
+          org.apache.spark.sql.types.LongType &&
+        edges.count() <= driverCap) {
+      import spark.implicits._
+      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val idx = new java.util.HashMap[Long, Int](es.length * 2)
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      es.foreach { case (s, _) =>
+        if (!idx.containsKey(s)) { idx.put(s, ids.length); ids += s }
+      }
+      val nn = ids.length
+      val deg = new Array[Long](nn)
+      es.foreach { case (s, _) => deg(idx.get(s)) += 1L }
+      var rank = Array.fill(nn)(initMicro)
+      (1 to iterations).foreach { _ =>
+        val term = new Array[Long](nn)
+        var i = 0
+        while (i < nn) {
+          term(i) = math.floor(rank(i).toDouble / deg(i) + 0.5).toLong
+          i += 1
+        }
+        val contrib = new Array[Long](nn)
+        es.foreach { case (s, d) =>
+          val di = idx.getOrDefault(d, -1)
+          // a dst that is not a src cannot exist in a symmetrized edge
+          // list, but the guard mirrors the iterative join's left-join
+          // semantics for any future directed variant
+          if (di >= 0) contrib(di) += term(idx.get(s))
+        }
+        val next = new Array[Long](nn)
+        i = 0
+        while (i < nn) {
+          next(i) = baseMicro + math.floor(0.85 * contrib(i) + 0.5).toLong
+          i += 1
+        }
+        rank = next
+      }
+      return ids.indices
+        .map(j => (ids(j), rank(j), rank(j).toDouble / 1e6))
+        .toDF(idColOut, "rank_micro", "rank")
+    }
     var ranks = outdeg
       .select(col("id"), col("outdeg"), lit(initMicro).as("rank_micro"))
       .localCheckpoint()

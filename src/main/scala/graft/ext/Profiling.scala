@@ -115,19 +115,32 @@ object Profiling {
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double): DataFrame = {
     import graft.operators.Aggregates
-    val med = Aggregates.exactPercentilesByKey(df, groupCol, valueCol,
-      Seq(0.5 -> "median"))
-    val dev = df.join(broadcast(med), Seq(groupCol))
+    // ONE fact pass (guide §1.1 first-principles): the fact collapses to
+    // the (group, value) histogram once; both medians, the deviation
+    // column and the fence counts are then derived ON the histogram —
+    // |x − med| per DISTINCT value with counts carried, the exact same
+    // multiset the four-scan form fed per row, so every output bit is
+    // unchanged (q154's DuckDB oracle pins it). Before: 4 scans of the
+    // fact + 3 recomputations of the deviation join; after: one hash agg
+    // of the fact, everything else |histogram|-sized.
+    val hist = df
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__w"))
+      .localCheckpoint()
+    val med = Aggregates.exactPercentilesByKey(hist, groupCol, valueCol,
+      Seq(0.5 -> "median"), Some("__w"))
+    val adHist = hist.join(broadcast(med), Seq(groupCol))
       .withColumn("__ad", abs(col(valueCol) - col("median")))
     val mad = Aggregates.exactPercentilesByKey(
-      dev.select(col(groupCol), col("__ad")), groupCol, "__ad",
-      Seq(0.5 -> "mad"))
-    dev.join(broadcast(mad), Seq(groupCol))
+      adHist.select(col(groupCol), col("__ad"), col("__w")), groupCol, "__ad",
+      Seq(0.5 -> "mad"), Some("__w"))
+    adHist.join(broadcast(mad), Seq(groupCol))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("__w")).as("n"),
         max(col("median")).as("median"),
         max(col("mad")).as("mad"),
-        sum(when(col("__ad") > lit(k) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        sum(when(col("__ad") > lit(k) * col("mad"), col("__w"))
+          .otherwise(0L)).as("n_outliers"))
   }
 
   /** Per-group ordinary least squares of y on x for 2-decimal inputs —

@@ -1112,7 +1112,7 @@ object Similarity {
       .withColumn("cell", cellOf(cents, col("cv"), 0))
       // one file set per cell: repartition by the partition column so a
       // cell's rows are contiguous, then hive-partition the layout
-      .repartition(col("cell"))
+      .repartition(Dedup.indexWritePartitions(spark), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
   }
 
@@ -1162,7 +1162,7 @@ object Similarity {
     CompactionLease.guardedAppend(spark, indexDir) {
       incoming.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
         .withColumn("cell", cellOf(cents, col("cv"), 0))
-        .repartition(col("cell"))
+        .repartition(Dedup.indexWritePartitions(spark), col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
     }
   }
@@ -1185,7 +1185,7 @@ object Similarity {
       // rows are untouched
       spark.read.parquet(s"$indexDir/vectors")
         .dropDuplicates()
-        .repartition(col("cell"))
+        .repartition(Dedup.indexWritePartitions(spark), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       Dedup.swapIn(spark, tmp, s"$indexDir/vectors")
     }
@@ -1510,7 +1510,7 @@ object Similarity {
     val books = pqFit(corpus, idCol, vecCol, m, ksub, fitSample, pqIters)
     writeBooks(spark, books, s"$indexDir/codebooks")
     encodedCellCodes(corpus, idCol, vecCol, books, cents)
-      .repartition(col("cell"))
+      .repartition(Dedup.indexWritePartitions(spark), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
   }
 
@@ -1542,7 +1542,7 @@ object Similarity {
     val books = readPqCodebooks(spark, indexDir)
     CompactionLease.guardedAppend(spark, indexDir) {
       encodedCellCodes(incoming, idCol, vecCol, books, cents)
-        .repartition(col("cell"))
+        .repartition(Dedup.indexWritePartitions(spark), col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$indexDir/codes")
     }
   }
@@ -1612,7 +1612,7 @@ object Similarity {
       val tmp = s"$indexDir/codes_compacting"
       spark.read.parquet(s"$indexDir/codes")
         .dropDuplicates()
-        .repartition(col("cell"))
+        .repartition(Dedup.indexWritePartitions(spark), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       Dedup.swapIn(spark, tmp, s"$indexDir/codes")
     }

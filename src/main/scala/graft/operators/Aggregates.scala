@@ -56,11 +56,23 @@ object Aggregates {
     * Output: key column plus one double column per (p, name) in `ps`.
     */
   def exactPercentilesByKey(df: DataFrame, key: String, valueCol: String,
-      ps: Seq[(Double, String)]): DataFrame = {
+      ps: Seq[(Double, String)]): DataFrame =
+    exactPercentilesByKey(df, key, valueCol, ps, None)
+
+  /** As above, with `df` already collapsed to a (key, value) → weight
+    * histogram when `weightCol` is given: the multiset the interpolation
+    * runs over is identical (each value repeated `weight` times), so the
+    * result is bit-for-bit the same while the caller's fact table is
+    * touched ZERO further times — the one-fact-pass contract
+    * [[graft.ext.Profiling.madOutliers]] composes on.
+    */
+  def exactPercentilesByKey(df: DataFrame, key: String, valueCol: String,
+      ps: Seq[(Double, String)], weightCol: Option[String]): DataFrame = {
     // percentile()/quantile_cont ignore nulls — drop them before the
     // histogram or they would count toward n and sort ahead of every value
     val hist = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(key), col(valueCol)).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(key), col(valueCol))
+      .agg(weightCol.fold(count(lit(1)))(w => sum(col(w))).as("__cnt"))
     val wOrd = Window.partitionBy(col(key)).orderBy(col(valueCol))
     val wAll = Window.partitionBy(col(key))
     val h = hist

@@ -55,4 +55,21 @@ class GraphSpec extends SparkTestBase {
     val b = Graph.pageRank(g, iterations = 8).orderBy("id").collect().toSeq
     assert(a === b)
   }
+
+  test("driver dispatch equals the distributed loop bit-for-bit") {
+    // asymmetric-degree graph (star + tail + clique) so term/contrib
+    // rounding differs node by node — any arithmetic divergence between
+    // the routes shows up in rank_micro, which is compared EXACTLY
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 5L), (2L, 3L)).toDF("id_a", "id_b")
+    for (iters <- Seq(1, 8)) {
+      val driver = Graph.pageRank(g, iters).orderBy("id")
+        .collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.graft.pagerank.driverEdgeRows", "0")
+      val dist =
+        try Graph.pageRank(g, iters).orderBy("id").collect().map(_.toSeq).toSeq
+        finally spark.conf.unset("spark.graft.pagerank.driverEdgeRows")
+      assert(driver === dist, s"routes diverged at iterations=$iters")
+    }
+  }
 }
