@@ -563,7 +563,22 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .withColumn("skey", xxhash64(col("sh")))
     val members = sets.select(col("skey"), col("id"))
-    val reps = sets.groupBy(col("skey"))
+    // min_by over an ARRAY value cannot hash-aggregate (variable-width
+    // buffer) — the rep collapse is a SortAggregate, and AQE coalesces its
+    // post-shuffle side to ONE task at catalog sizes (~1 s of serial
+    // array deserialize+sort per call, in EVERY minhash entry; JobProfile
+    // q226). An explicit-width repartition on the grouping key pins the
+    // aggregate wide; width is conf-parameterized (the guide's rule for
+    // scale-dependent settings): defaultParallelism locally, and a
+    // dup-dense 100 TB corpus that wants map-side partial aggregation
+    // back can set spark.graft.minhash.repPartitions=0 to restore the
+    // AQE-planned shape unchanged.
+    val repParts = df.sparkSession.conf
+      .getOption("spark.graft.minhash.repPartitions").map(_.toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val grouped =
+      if (repParts > 0) sets.repartition(repParts, col("skey")) else sets
+    val reps = grouped.groupBy(col("skey"))
       .agg(min_by(col("sh"), col("id")).as("sh"))
       .withColumn("sh_size", size(col("sh")))
     (reps, members)
