@@ -482,7 +482,7 @@ object SparkEntry {
 
     // ---- Composite: the reference's imputations pipeline shape -------------------------
     "q42_pipeline" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
+      val l = ext.Multimodal.fanOut(t(s, dir, "lineitem"))
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
@@ -1481,7 +1481,13 @@ object SparkEntry {
     // the dedup stage guarantees, and exactly why the split's hash decision
     // is leakage-free here (q161 demonstrates the non-degenerate case).
     "q167_corpus_pipeline" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // fanned out AND materialized once at the head: every stage's
+      // scan-side pass (the regex-heavy curation gate above all — 1.4 s on
+      // ONE task per JobProfile) otherwise inherits the one-row-group
+      // sf0.1 scan, and the seven restrict() re-reads would otherwise each
+      // re-pay the fan-out shuffle; all downstream joins/aggregates are
+      // partitioning-invariant
+      val docs = ext.Multimodal.fanOut(t(s, dir, "documents")).localCheckpoint()
       def ids(df: DataFrame): DataFrame = df.select(col("doc_id")).localCheckpoint()
       def restrict(idFrame: DataFrame): DataFrame =
         docs.join(idFrame, Seq("doc_id"), "left_semi")
@@ -2154,8 +2160,10 @@ object SparkEntry {
 
     // ---- Skew-safe salted join (same result as plain inner join) ----------------
     "q58_salted_join" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      // fanOut: the salted-join probe side inherits the one-row-group
+      // sf0.1 scan (q42's fix); join + agg are partitioning-invariant
+      val l = ext.Multimodal.fanOut(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
       val o = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       Joins.saltedJoin(l, o, Seq("l_orderkey"), salts = 8)
