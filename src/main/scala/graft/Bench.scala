@@ -109,10 +109,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // NonFatal only: a fatal VM error (OOM, stack overflow) in a warm pass
+    // leaves the whole JVM degraded — swallowing it would let every later
+    // query be measured in a broken process with no record of the event
     warmups.foreach { case (w, dir) =>
       try SparkEntry.queries(w)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       dropLeakedBlocks()
     }
     // Per-query attribution (round-10 verdict: a contaminated run must
@@ -190,7 +193,11 @@ object Bench {
         else {
           val w0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () } // the timed pass records failures
+          // NonFatal: the timed pass records failures; fatal VM errors
+          // (OOM/StackOverflow) must propagate — after one the heap state
+          // is unreliable and every later measurement would be silently
+          // degraded
+          catch { case scala.util.control.NonFatal(_) => () }
           dropLeakedBlocks()
           (System.nanoTime() - w0) / 1e9
         }

@@ -49,6 +49,16 @@ object Session {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // File listing of the engine's hive-bucketed index layouts (comps/
+      // 64 dirs, sigs/ 256-8192, IVF/PQ cells): the default threshold (32
+      // paths) turns EVERY read of such a store into a distributed
+      // listing job — one scheduler round-trip per spark.read on the
+      // lifecycle hot paths (measured ~60-110 ms each, 5-9 per lifecycle
+      // entry). Driver-side listing of up to 1024 directories is cheaper
+      // than a job dispatch on any filesystem; stores wider than that
+      // (the 8192-bucket wide layout at the billion-row decade) still get
+      // the distributed listing.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
     val withMaster = master.fold(b)(b.master)
     shufflePartitions.fold(withMaster)(n =>
       withMaster

@@ -353,6 +353,14 @@ object Dedup {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** True iff the frame's plan root is already a materialized RDD leaf (a
+    * localCheckpoint / checkpointFlat product with no transformations on
+    * top) — checkpointing such a frame again only copies blocks.
+    */
+  private def isCheckpointRoot(df: DataFrame): Boolean =
+    df.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+
   def connectedComponents(
       nodes: DataFrame,
       idCol: String,
@@ -369,9 +377,6 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     val nodeIds = nodes.select(col(idCol).as("id"))
-    val touched = sym.select(col("src").as("id")).distinct()
-      .join(nodeIds, Seq("id"), "left_semi")
-      .localCheckpoint()
     // REGIME DISPATCH (the componentsIngest/editDistancePairsAuto pattern):
     // after class collapse the component graph is routinely TINY relative
     // to the corpus (thousands of class nodes at catalog scale — and even
@@ -395,12 +400,40 @@ object Dedup {
       sym.schema("src").dataType == org.apache.spark.sql.types.LongType &&
         nodeIds.schema("id").dataType == org.apache.spark.sql.types.LongType
     if (longIds && sym.count() <= driverCap) {
-      val labels = driverComponents(spark, sym, touched)
-      val isolated = nodeIds.join(touched, Seq("id"), "left_anti")
+      // r15 job fusion: the edge collect already carries every endpoint,
+      // so the touched set is derived from it on the driver instead of a
+      // distinct + semi-join + checkpoint round-trip (2 shuffles and 2-3
+      // scheduling gaps per CC call, on every lifecycle entry). The
+      // endpoint set is bounded by the edge cap; nodes stay distributed —
+      // touched = endpoints ∩ nodes via one broadcast semi-join collect,
+      // and nodes ∖ touched = nodes ∖ endpoints (touched ⊆ endpoints), so
+      // the isolated anti-join is against the same broadcast endpoints.
+      import spark.implicits._
+      val chunks = collectLongPairs(sym.select(col("src"), col("dst")))
+      val epSet = new java.util.HashSet[java.lang.Long]()
+      chunks.foreach { c =>
+        var p = 0
+        // src positions only: sym is symmetric, src covers all endpoints
+        while (p < c.length) { epSet.add(c(p)); p += 2 }
+      }
+      val eps = {
+        val it = epSet.iterator()
+        val b = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      val epDF = eps.toSeq.toDF("id")
+      val touchedIds = nodeIds.join(broadcast(epDF), Seq("id"), "left_semi")
+        .as[Long].collect()
+      val labels = driverComponents(spark, chunks, touchedIds)
+      val isolated = nodeIds.join(broadcast(epDF), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("rep"))
       return labels.unionByName(isolated)
         .select(col("id").as(idCol), col("rep"))
     }
+    val touched = sym.select(col("src").as("id")).distinct()
+      .join(nodeIds, Seq("id"), "left_semi")
+      .localCheckpoint()
     var labels = touched.select(col("id"), col("id").as("rep"))
     var converged = false
     var iter = 0
@@ -464,20 +497,19 @@ object Dedup {
       .select(col("id").as(idCol), col("rep"))
   }
 
-  /** The small-graph fast path of [[connectedComponents]]: collect the
-    * (bounded) symmetric edge list and touched-node set, run union-find
-    * with path compression on the driver, and label every touched node
-    * with its component's MIN id — the exact fixpoint the HashToMin loop
-    * converges to, including the induced-subgraph semantics (edges with an
-    * endpoint outside `touched` contribute nothing, matching the
-    * iterative join's null-label behavior). Returns a local-relation
-    * (id, rep) frame over the touched nodes only; the caller unions the
-    * isolated remainder distributively.
+  /** The small-graph fast path of [[connectedComponents]]: over the
+    * already-collected packed edge chunks and touched-node ids, run
+    * union-find with path compression on the driver, and label every
+    * touched node with its component's MIN id — the exact fixpoint the
+    * HashToMin loop converges to, including the induced-subgraph
+    * semantics (edges with an endpoint outside `touched` contribute
+    * nothing, matching the iterative join's null-label behavior).
+    * Returns a local-relation (id, rep) frame over the touched nodes
+    * only; the caller unions the isolated remainder distributively.
     */
   private def driverComponents(spark: org.apache.spark.sql.SparkSession,
-      sym: DataFrame, touched: DataFrame): DataFrame = {
+      chunks: Array[Array[Long]], ids: Array[Long]): DataFrame = {
     import spark.implicits._
-    val ids = touched.select(col("id")).as[Long].collect()
     val idx = new java.util.HashMap[Long, Int](ids.length * 2)
     var i = 0
     while (i < ids.length) { idx.put(ids(i), i); i += 1 }
@@ -489,15 +521,19 @@ object Dedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    sym.select(col("src"), col("dst")).as[(Long, Long)].collect()
-      .foreach { case (s, d) =>
-        val si = idx.getOrDefault(s, -1)
-        val di = idx.getOrDefault(d, -1)
-        // both endpoints must be touched NODES: an edge into a non-node id
-        // never relays labels in the iterative form either
-        if (si >= 0 && di >= 0) {
-          val (rs, rd) = (find(si), find(di))
-          if (rs != rd) parent(rs) = rd
+    chunks.foreach { chunk =>
+        var p = 0
+        while (p < chunk.length) {
+          val si = idx.getOrDefault(chunk(p), -1)
+          val di = idx.getOrDefault(chunk(p + 1), -1)
+          // both endpoints must be touched NODES: an edge into a non-node id
+          // never relays labels in the iterative form either
+          if (si >= 0 && di >= 0) {
+            val rs = find(si)
+            val rd = find(di)
+            if (rs != rd) parent(rs) = rd
+          }
+          p += 2
         }
       }
     val minOfRoot = new java.util.HashMap[Int, Long](ids.length)
@@ -510,6 +546,20 @@ object Dedup {
     }
     ids.indices.map(j => (ids(j), minOfRoot.get(find(j)))).toDF("id", "rep")
   }
+
+  /** Collect a two-Long-column frame as PACKED primitive arrays — one
+    * `Array[Long]` of [a0, b0, a1, b1, …] per input partition — so a
+    * bounded driver-dispatch collect costs exactly 16 bytes per row on the
+    * heap instead of the ~3-6× a boxed `Array[(Long, Long)]` materializes
+    * (48+ bytes of Tuple2 + two java.lang.Long per row). This is what
+    * makes the documented cap arithmetic honest: 4 M rows = 64 MB.
+    */
+  private[ext] def collectLongPairs(df: DataFrame): Array[Array[Long]] =
+    df.rdd.mapPartitions { it =>
+      val b = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r => b += r.getLong(0); b += r.getLong(1) }
+      Iterator.single(b.result())
+    }.collect()
 
   /** Leakage-free train/val/test split: near-duplicate documents must land
     * in the SAME split, or evaluation leaks training data (the classic
@@ -568,14 +618,26 @@ object Dedup {
     // post-shuffle side to ONE task at catalog sizes (~1 s of serial
     // array deserialize+sort per call, in EVERY minhash entry; JobProfile
     // q226). An explicit-width repartition on the grouping key pins the
-    // aggregate wide; width is conf-parameterized (the guide's rule for
-    // scale-dependent settings): defaultParallelism locally, and a
-    // dup-dense 100 TB corpus that wants map-side partial aggregation
-    // back can set spark.graft.minhash.repPartitions=0 to restore the
-    // AQE-planned shape unchanged.
-    val repParts = df.sparkSession.conf
-      .getOption("spark.graft.minhash.repPartitions").map(_.toInt)
-      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    // aggregate wide — but it also DROPS map-side partial aggregation,
+    // which the r14 sf10 A/B measured as a 14% LOSS exactly where member
+    // rows collapse 10× (dup-dense corpora). The width is therefore a
+    // REGIME DISPATCH on the input's plan-size estimate (zero extra jobs:
+    // the scan's sizeInBytes is file metadata): small inputs — where AQE
+    // would coalesce the aggregate to one serial task — pin wide; inputs
+    // above spark.graft.minhash.repPinMaxBytes (default 256 MB, between
+    // the measured sf1 win and sf10 loss decades) keep the AQE-planned
+    // shape WITH map-side partial aggregation, which is also the 100 TB
+    // default. spark.graft.minhash.repPartitions still overrides both
+    // ways: explicit N pins that width always, 0 forces the AQE shape.
+    val conf = df.sparkSession.conf
+    val repParts = conf.getOption("spark.graft.minhash.repPartitions")
+      .map(_.toInt).getOrElse {
+        val pinMax = conf.getOption("spark.graft.minhash.repPinMaxBytes")
+          .map(_.toLong).getOrElse(256L << 20)
+        if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= pinMax)
+          df.sparkSession.sparkContext.defaultParallelism
+        else 0
+      }
     val grouped =
       if (repParts > 0) sets.repartition(repParts, col("skey")) else sets
     val reps = grouped.groupBy(col("skey"))
@@ -1420,7 +1482,10 @@ object Dedup {
     if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
       (false, 6)
     else {
-      val r = spark.read.parquet(s"$indexDir/sigmeta").head()
+      // explicit schema: parquet schema inference is its own footer-read
+      // job — this 1-row read is on every probe/ingest hot path
+      val r = spark.read.schema("wide boolean, kb_bits int")
+        .parquet(s"$indexDir/sigmeta").head()
       (r.getBoolean(0), r.getInt(1))
     }
   }
@@ -1468,6 +1533,12 @@ object Dedup {
   def signatureIndexIngest(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, incoming: DataFrame): Unit = {
     val (wide, kbBits) = readSigMeta(spark, indexDir)
+    signatureIndexIngestWithLayout(spark, indexDir, incoming, wide, kbBits)
+  }
+
+  private def signatureIndexIngestWithLayout(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      incoming: DataFrame, wide: Boolean, kbBits: Int): Unit =
     CompactionLease.guardedAppend(spark, indexDir) {
       (if (wide) sigIndexChunksWide(incoming, kbBits)
        else sigIndexChunks(incoming))
@@ -1475,7 +1546,6 @@ object Dedup {
         .write.mode("append").partitionBy("chunk", "kb")
         .parquet(s"$indexDir/sigs")
     }
-  }
 
   /** Probe a batch against the index: equi-join on `(chunk, kb, key)` —
     * partition pruning restricts the store read to the batch's buckets,
@@ -1493,10 +1563,18 @@ object Dedup {
     */
   def signatureIndexProbe(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, incoming: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val (wide, kbBits) = readSigMeta(spark, indexDir)
+    signatureIndexProbeWithLayout(spark, indexDir, incoming, maxHamming,
+      wide, kbBits)
+  }
+
+  private def signatureIndexProbeWithLayout(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      incoming: DataFrame, maxHamming: Int, wide: Boolean,
+      kbBits: Int): DataFrame = {
     require(maxHamming <= 3,
       "blocking covers hamming <= 3 (4 x 16-bit chunks / 2 x 32-bit ball)")
-    val (wide, kbBits) = readSigMeta(spark, indexDir)
-    val store = spark.read.parquet(s"$indexDir/sigs")
+    val store = readSigs(spark, indexDir)
       .select(col("chunk"), col("kb"), col("key"),
         col("id").as("existing_id"), col("sig").as("sig_e"))
     // NO checkpoint on the batch side: it feeds the join once, and
@@ -1529,7 +1607,7 @@ object Dedup {
   private def signatureIndexCompactUnleased(
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
     val tmp = s"$indexDir/sigs_compacting"
-    spark.read.parquet(s"$indexDir/sigs").dropDuplicates()
+    readSigs(spark, indexDir).dropDuplicates()
       .repartition(indexWritePartitions(spark), col("chunk"), col("kb"))
       .write.mode("overwrite").partitionBy("chunk", "kb").parquet(tmp)
     swapIn(spark, tmp, s"$indexDir/sigs")
@@ -1593,8 +1671,11 @@ object Dedup {
   def signatureComponents(sig: DataFrame, maxHamming: Int = 3,
       budgetPairs: Long = Long.MaxValue, maxIter: Int = 20): DataFrame = {
     // one pass over the (possibly codec-derived) signature frame serves
-    // class collapse, pair generation, and the final expansion join
-    val sigC = sig.localCheckpoint()
+    // class collapse, pair generation, and the final expansion join. A
+    // frame whose plan root is ALREADY a materialized checkpoint (every
+    // lifecycle caller hands one in) is reused as-is — re-checkpointing
+    // it would be one full copy job per call for nothing.
+    val sigC = if (isCheckpointRoot(sig)) sig else sig.localCheckpoint()
     val classes = sigC.groupBy(col("sig")).agg(min(col("id")).as("cid"))
       .localCheckpoint()
     val classPairs = hammingPairs64(
@@ -1627,7 +1708,14 @@ object Dedup {
       indexDir: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(corpus.sparkSession)
-    val (reps, members) = setRepresentatives(corpus, idCol, textCol, n)
+    val (reps0, members0) = setRepresentatives(corpus, idCol, textCol, n)
+    // checkpoint the set quotient ONCE: the three table writes previously
+    // each re-ran the whole tokenize+shingle+collapse pipeline (three
+    // corpus passes per build — §2.4 redundant subtrees); now the corpus
+    // is shingled twice (reps + members share the pass only up to the
+    // collapse) and the writes scan the checkpointed quotients
+    val reps = reps0.localCheckpoint()
+    val members = members0.localCheckpoint()
     bandedKeys(reps, numHashes, bands).select("skey", "band", "bucket")
       .write.mode("overwrite").parquet(s"$indexDir/bands")
     reps.select("skey", "sh", "sh_size")
@@ -1714,9 +1802,12 @@ object Dedup {
     if (bulkRoute.isDefined) return bulkRoute.get
     if (corpusForBulk.isEmpty) warnOnUndispatchedBulk(spark, indexDir,
       incoming, bulkDispatchRatio)
-    val idxBands = spark.read.parquet(s"$indexDir/bands")
+    val idxBands = spark.read.schema("skey bigint, band int, bucket bigint")
+      .parquet(s"$indexDir/bands")
       .withColumnsRenamed(Map("skey" -> "skey_e"))
-    val idxSets = spark.read.parquet(s"$indexDir/sets")
+    val idxSets = spark.read
+      .schema("skey bigint, sh array<bigint>, sh_size int")
+      .parquet(s"$indexDir/sets")
       .select(col("skey").as("skey_e"), col("sh").as("sh_e"), col("sh_size").as("sz_e"))
       .dropDuplicates("skey_e") // ingest may append duplicate set rows
     val idxMembers = spark.read.parquet(s"$indexDir/members")
@@ -1889,20 +1980,49 @@ object Dedup {
   def buildComponentsIndex(sig: DataFrame, indexDir: String,
       maxHamming: Int = 3, budgetPairs: Long = Long.MaxValue): Unit = {
     // one pass over the (possibly codec-derived) signature frame serves
-    // both the signature index and the CC build
+    // both the signature index and the CC build. The two legs consume the
+    // same checkpointed frame and write DISJOINT tables, so they run as
+    // concurrent jobs (guide §2.6) — the CC leg's driver-sequential gaps
+    // backfill with the signature leg's write tasks. merges/ still lands
+    // LAST: its presence is what marks the index complete, and both
+    // orderings of a crashed build leave a loudly-missing table.
     val sigC = sig.select(col("id"), col("sig")).localCheckpoint()
-    buildSignatureIndex(sigC, indexDir)
-    writeComps(signatureComponents(sigC, maxHamming, budgetPairs),
+    val sigLeg = concurrently { buildSignatureIndex(sigC, indexDir) }
+    try writeComps(signatureComponents(sigC, maxHamming, budgetPairs),
       s"$indexDir/comps", "overwrite")
+    finally sigLeg.await()
     emptyMerges(sigC.sparkSession)
       .write.mode("overwrite").parquet(s"$indexDir/merges")
   }
 
-  // repartition(1) forces one (empty) part file so the parquet dir always
-  // carries a readable schema — range(0) alone can plan zero tasks
+  /** Run one side job on a private thread so two independent Spark
+    * actions overlap (guide §2.6 — the FIFO scheduler backfills the
+    * other job's driver gaps). `await` rethrows the leg's failure.
+    */
+  private final class Leg(body: () => Unit) {
+    private val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    private val t = new Thread(() =>
+      try body() catch { case e: Throwable => err.set(e) },
+      "graft-index-leg")
+    t.setDaemon(true)
+    t.start()
+    def await(): Unit = { t.join(); if (err.get() != null) throw err.get() }
+  }
+
+  private def concurrently(body: => Unit): Leg = new Leg(() => body)
+
+  // an explicit 1-slice empty RDD forces exactly one (empty) part file so
+  // the parquet dir always carries a readable schema — range(0) alone can
+  // plan zero tasks, and the previous repartition(1) paid an Exchange
+  // stage (an extra scheduling round-trip) on every build/recompute
   private def emptyMerges(spark: org.apache.spark.sql.SparkSession): DataFrame =
-    spark.range(0).repartition(1)
-      .select(col("id").as("old_rep"), col("id").as("new_rep"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("old_rep",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("new_rep",
+          org.apache.spark.sql.types.LongType, nullable = false))))
 
   /** Flatten the merges chain (old_rep -> new_rep) to direct pointers by
     * pointer doubling — merge events chain across batches (r2 merged into
@@ -1914,6 +2034,64 @@ object Dedup {
     * collapse in the leading distinct.
     */
   private def flattenMerges(merges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // REGIME DISPATCH (the connectedComponents pattern): the merge table
+    // is component-UNION-EVENT sized — tiny next to the corpus by
+    // construction — yet the pointer-doubling loop below costs 2-3
+    // scheduling round-trips per round on every componentsTable /
+    // unionFindIngest call of every lifecycle. Under the bounded-collect
+    // cap the events are pulled once (packed longs, 16 B/row) and chains
+    // are resolved by driver pointer-chasing: new_rep < old_rep on every
+    // event (a component absorbs into a smaller min), so chains strictly
+    // decrease and terminate; an absorbed old_rep is never a current rep
+    // again, so keys are unique and replayed duplicate events collapse in
+    // the map exactly as they did in the leading distinct. The result is
+    // the same (old_rep, FINAL new_rep) local map the loop converges to.
+    // Above the cap — corpus-scale merge backlogs — the distributed loop
+    // runs unchanged.
+    val spark = merges.sparkSession
+    val cap = spark.conf.getOption("spark.graft.cc.driverMergeRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val longTypes =
+      merges.schema("old_rep").dataType == org.apache.spark.sql.types.LongType &&
+        merges.schema("new_rep").dataType == org.apache.spark.sql.types.LongType
+    // the count is parquet-footer metadata on the merges/ read every
+    // caller passes — no data scan
+    if (longTypes && merges.count() <= cap) {
+      import spark.implicits._
+      // BOXED key/value types: a primitive-typed java.util.HashMap.get
+      // silently unboxes an absent key's null to 0 (and `!= null` on a
+      // primitive is vacuously true) — the exact bug class the boxed
+      // declaration makes impossible
+      val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      collectLongPairs(merges.select(col("old_rep"), col("new_rep")))
+        .foreach { c =>
+          var p = 0
+          while (p < c.length) {
+            m.put(java.lang.Long.valueOf(c(p)), java.lang.Long.valueOf(c(p + 1)))
+            p += 2
+          }
+        }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](m.size)
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        var v: Long = e.getValue.longValue()
+        var hop: java.lang.Long = m.get(java.lang.Long.valueOf(v))
+        var hops = 0
+        // chain length is bounded by the event count; the guard turns a
+        // (contract-impossible) cycle into a loud failure, not a hang
+        while (hop != null && hop.longValue() != v) {
+          v = hop.longValue()
+          hop = m.get(java.lang.Long.valueOf(v))
+          hops += 1
+          if (hops > m.size)
+            throw new IllegalStateException(
+              "flattenMerges: merge-event cycle detected (corrupt merges/)")
+        }
+        out += ((e.getKey.longValue(), v))
+      }
+      return out.toSeq.toDF("old_rep", "new_rep")
+    }
     var m = checkpointFlat(merges.select(col("old_rep"), col("new_rep")).distinct())
     var converged = m.isEmpty
     var iter = 0
@@ -1940,14 +2118,49 @@ object Dedup {
     */
   def componentsTable(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame =
-    resolveReps(spark.read.parquet(s"$indexDir/comps").select(col("id"), col("rep")),
-      flattenMerges(spark.read.parquet(s"$indexDir/merges")))
+    resolveReps(readComps(spark, indexDir).select(col("id"), col("rep")),
+      flattenMerges(readMerges(spark, indexDir)))
       .groupBy(col("id")).agg(min(col("rep")).as("rep"))
 
-  private def resolveReps(assign: DataFrame, flat: DataFrame): DataFrame =
-    assign.join(broadcast(flat.withColumnsRenamed(Map("old_rep" -> "rep"))),
+  /** Schema-pinned reads of the engine-owned index tables: parquet schema
+    * inference is its own footer-reading Spark job PER READ — on the
+    * lifecycle hot paths that is 4-8 extra scheduling round-trips per
+    * entry for schemas this library fixed at write time (ids are int64
+    * engine-wide). The pinned types match what partition discovery infers
+    * from the written layout (ib/chunk/kb ints), so plans are unchanged.
+    */
+  private def readComps(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.schema("id bigint, rep bigint, ib int")
+      .parquet(s"$indexDir/comps")
+
+  private def readMerges(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.schema("old_rep bigint, new_rep bigint")
+      .parquet(s"$indexDir/merges")
+
+  private def readSigs(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.schema("id bigint, sig bigint, key bigint, chunk int, kb int")
+      .parquet(s"$indexDir/sigs")
+
+  private def resolveReps(assign: DataFrame, flat: DataFrame): DataFrame = {
+    // an EMPTY local flat map (the steady state after compaction, and the
+    // whole pre-first-merge life of an index) resolves as the identity —
+    // skip the broadcast-build + join instead of planning a no-op join on
+    // every componentsTable read. Detection is plan-level (a LocalRelation
+    // with no rows, what the driver flattenMerges path returns), so the
+    // distributed flat path never pays an extra action for it.
+    val emptyLocal = flat.queryExecution.logical match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+    if (emptyLocal) assign.select(col("id"), col("rep"))
+    else assign.join(broadcast(flat.withColumnsRenamed(Map("old_rep" -> "rep"))),
         Seq("rep"), "left")
       .select(col("id"), coalesce(col("new_rep"), col("rep")).as("rep"))
+  }
 
   /** Ingest a crawl batch `(id, sig)` into the components index,
     * maintaining the invariant that [[componentsTable]] equals
@@ -2029,8 +2242,14 @@ object Dedup {
     } else {
       val batchComp = checkpointFlat(signatureComponents(inc, maxHamming, budgetPairs)
         .withColumnsRenamed(Map("rep" -> "brep")))
-      val cross = signatureIndexProbe(spark, indexDir, inc, maxHamming)
+      // one sigmeta read serves the probe and the trailing sigs append —
+      // each read was a 2-job round-trip per ingest call
+      val (wide, kbBits) = readSigMeta(spark, indexDir)
+      val cross = signatureIndexProbeWithLayout(spark, indexDir, inc,
+        maxHamming, wide, kbBits)
       unionFindIngest(spark, batchComp, cross, indexDir)
+      signatureIndexIngestWithLayout(spark, indexDir, inc, wide, kbBits)
+      return
     }
     signatureIndexIngest(spark, indexDir, inc)
   }
@@ -2068,7 +2287,7 @@ object Dedup {
     */
   private def storedSignatures(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/sigs").filter(col("chunk") === 0)
+    readSigs(spark, indexDir).filter(col("chunk") === 0)
       .select(col("id"), col("sig")).dropDuplicates("id", "sig")
 
   /** Stored-signature count for the dispatch pre-flight: COUNT(*) over
@@ -2079,7 +2298,7 @@ object Dedup {
     */
   private def storedSignatureCount(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Long =
-    spark.read.parquet(s"$indexDir/sigs").filter(col("chunk") === 0).count()
+    readSigs(spark, indexDir).filter(col("chunk") === 0).count()
 
   /** The union-find update shared by the signature- and text-family
     * components ingests — family-agnostic because it sees only the
@@ -2088,14 +2307,20 @@ object Dedup {
     * whichever pair generator defines the family's edges.
     */
   private def unionFindIngest(spark: org.apache.spark.sql.SparkSession,
-      batchComp: DataFrame, cross: DataFrame, indexDir: String): Unit = {
+      batchComp: DataFrame, cross0: DataFrame, indexDir: String): Unit = {
+    // the cross-pair generator (the expensive store probe) feeds BOTH the
+    // rep lookup's id restriction and the contracted-edge join below —
+    // checkpoint it once so the probe executes once and every downstream
+    // action plans against a flat scan instead of re-optimizing the whole
+    // probe tree (plan size is driver gap time on 100+-job lifecycles)
+    val cross = checkpointFlat(cross0)
     // rep lookup restricted to matched ids BEFORE the corpus-scale table:
     // join on (ib, id) so partition pruning reaches the comps/ scan
     val need = cross.select(col("existing_id").as("id")).distinct()
       .withColumn("ib", pmod(col("id"), lit(COMP_BUCKETS)))
-    val flat = flattenMerges(spark.read.parquet(s"$indexDir/merges"))
+    val flat = flattenMerges(readMerges(spark, indexDir))
     val curReps = resolveReps(
-      spark.read.parquet(s"$indexDir/comps").join(need, Seq("ib", "id"))
+      readComps(spark, indexDir).join(need, Seq("ib", "id"))
         .groupBy(col("id")).agg(min(col("rep")).as("rep")),
       flat)
     val crossReps0 = cross
@@ -2208,10 +2433,16 @@ object Dedup {
       bands: Int = 16, verifyThreshold: Double = 0.7): Unit = {
     val c = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
       .localCheckpoint()
-    buildDedupIndex(c, "id", "text", indexDir, n, numHashes, bands)
-    writeComps(
+    // MinHash tables and the CC assignment are disjoint legs over the
+    // same checkpointed corpus — overlap them (the buildComponentsIndex
+    // pattern); merges/ last marks the index complete
+    val idxLeg = concurrently {
+      buildDedupIndex(c, "id", "text", indexDir, n, numHashes, bands)
+    }
+    try writeComps(
       minhashComponents(c, "id", "text", n, numHashes, bands, verifyThreshold),
       s"$indexDir/comps", "overwrite")
+    finally idxLeg.await()
     emptyMerges(c.sparkSession)
       .write.mode("overwrite").parquet(s"$indexDir/merges")
   }

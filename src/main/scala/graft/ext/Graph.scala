@@ -88,15 +88,28 @@ object Graph {
           org.apache.spark.sql.types.LongType &&
         edges.count() <= driverCap) {
       import spark.implicits._
-      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
-      val idx = new java.util.HashMap[Long, Int](es.length * 2)
+      // packed primitive collect (Dedup.collectLongPairs): exactly 16
+      // bytes per edge row on the driver heap — the cap arithmetic
+      // (4 M rows = 64 MB) holds without boxing slack
+      val chunks = Dedup.collectLongPairs(edges.select(col("src"), col("dst")))
+      val nEdgeRows = chunks.map(_.length.toLong).sum / 2
+      val idx = new java.util.HashMap[Long, Int](
+        math.min(nEdgeRows * 2, 1 << 28).toInt max 16)
       val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-      es.foreach { case (s, _) =>
-        if (!idx.containsKey(s)) { idx.put(s, ids.length); ids += s }
+      chunks.foreach { c =>
+        var p = 0
+        while (p < c.length) {
+          val s = c(p)
+          if (!idx.containsKey(s)) { idx.put(s, ids.length); ids += s }
+          p += 2
+        }
       }
       val nn = ids.length
       val deg = new Array[Long](nn)
-      es.foreach { case (s, _) => deg(idx.get(s)) += 1L }
+      chunks.foreach { c =>
+        var p = 0
+        while (p < c.length) { deg(idx.get(c(p))) += 1L; p += 2 }
+      }
       var rank = Array.fill(nn)(initMicro)
       (1 to iterations).foreach { _ =>
         val term = new Array[Long](nn)
@@ -106,12 +119,16 @@ object Graph {
           i += 1
         }
         val contrib = new Array[Long](nn)
-        es.foreach { case (s, d) =>
-          val di = idx.getOrDefault(d, -1)
-          // a dst that is not a src cannot exist in a symmetrized edge
-          // list, but the guard mirrors the iterative join's left-join
-          // semantics for any future directed variant
-          if (di >= 0) contrib(di) += term(idx.get(s))
+        chunks.foreach { c =>
+          var p = 0
+          while (p < c.length) {
+            val di = idx.getOrDefault(c(p + 1), -1)
+            // a dst that is not a src cannot exist in a symmetrized edge
+            // list, but the guard mirrors the iterative join's left-join
+            // semantics for any future directed variant
+            if (di >= 0) contrib(di) += term(idx.get(c(p)))
+            p += 2
+          }
         }
         val next = new Array[Long](nn)
         i = 0

@@ -1236,7 +1236,17 @@ object TextAnalysis {
     val spark = df.sparkSession
     val driverCap = spark.conf.getOption("spark.graft.bpe.driverVocabRows")
       .map(_.toLong).getOrElse(1000000L)
-    if (vocab.count() <= driverCap)
+    // the collect materializes one 1-char String PER CHARACTER (the syms
+    // array): ~64 heap bytes per char, so the cap must bound characters,
+    // not just rows — a long-word corpus at the row cap alone could need
+    // GBs. Defaults: 1 M rows AND 16 M chars ≈ 1 GB worst-case heap,
+    // measured against real drivers, both conf-tunable. One aggregate
+    // job answers both (same job count as the old row-only pre-flight).
+    val charCap = spark.conf.getOption("spark.graft.bpe.driverVocabChars")
+      .map(_.toLong).getOrElse(16000000L)
+    val pre = vocab.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("w"))), lit(0L)).as("chars")).head()
+    if (pre.getLong(0) <= driverCap && pre.getLong(1) <= charCap)
       return driverBpeTrain(vocab, numMerges, batchK)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long, Long)]

@@ -34,6 +34,11 @@ case class BloomWordsAgg(words: Int)
 
   override def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
     if (in._1 >= 0) { // negative = null-key sentinel: contributes nothing
+      // both positions come from the same when(isNull) wrapper, so they are
+      // negative together; fail loudly on a contract-violating call site
+      // instead of letting (-1)/64 silently set a wrong bit in word 0
+      require(in._2 >= 0,
+        s"bloom positions must be negative together (got ${in._1}, ${in._2})")
       buf((in._1 / 64).toInt) |= 1L << (in._1 % 64).toInt
       buf((in._2 / 64).toInt) |= 1L << (in._2 % 64).toInt
     }

@@ -14,9 +14,14 @@ object JobProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val name = args(1)
-    val reps = if (args.length > 2) args(2).toInt else 2
+    val reps = if (args.length > 2 && !args(2).contains("=")) args(2).toInt else 2
     val spark = graft.Session.local(32, appName = "graft-jobprofile")
     spark.sparkContext.setLogLevel("ERROR")
+    // trailing k=v args become session confs (A/B a conf-gated path)
+    args.drop(2).filter(_.contains("=")).foreach { a =>
+      val Array(k, v) = a.split("=", 2)
+      spark.conf.set(k, v)
+    }
     case class J(id: Int, var start: Long = 0L, var end: Long = 0L,
       var site: String = "", var taskMs: Long = 0L, var tasks: Int = 0) {
       val stages = new scala.collection.mutable.ArrayBuffer[String]()

@@ -65,6 +65,21 @@ class ComponentsIndexSpec extends SparkTestBase {
     assert(events == Set((10L, 5L), (5L, 2L), (20L, 2L)))
   }
 
+  test("merge-chain resolution: driver dispatch equals the distributed loop") {
+    // the r15 flattenMerges regime dispatch (driver pointer-chase under
+    // spark.graft.cc.driverMergeRows) must resolve the 10→5→2 chain to
+    // exactly what the distributed pointer-doubling loop resolves
+    val idx = freshIndex()
+    buildAndIngestWaves(idx)
+    val driver = assignment(Dedup.componentsTable(spark, idx))
+    spark.conf.set("spark.graft.cc.driverMergeRows", "0")
+    val dist =
+      try assignment(Dedup.componentsTable(spark, idx))
+      finally spark.conf.unset("spark.graft.cc.driverMergeRows")
+    assert(driver === dist)
+    assert(driver(10L) === 2L) // the chained event resolved end to end
+  }
+
   test("replayed ingest appends tolerated duplicates, assignment unchanged") {
     val idx = freshIndex()
     buildAndIngestWaves(idx)

@@ -423,6 +423,33 @@ class DedupSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("connectedComponents driver dispatch equals the distributed loop") {
+    // the GraphSpec/BpeSpec route-equality pattern: with Long ids and a
+    // graph under the default cap, every normal call takes the driver
+    // union-find — force the distributed HashToMin loop with
+    // spark.graft.cc.driverEdgeRows=0 and compare (id, rep) EXACTLY.
+    // The fixture exercises the contract's corners: a long chain (hub
+    // aggregation + pointer doubling), an isolated node (rep = id), a
+    // hub star, and edges whose endpoints are NOT in the node set
+    // (induced-subgraph semantics — they must relay nothing).
+    val nodes = ((1L to 30L) ++ Seq(100L, 200L, 201L, 202L)).toDF("id")
+    val pairs = ((1L until 30L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L), (200L, 202L),
+        (50L, 51L),   // both endpoints outside the node set
+        (100L, 999L)) // one endpoint outside: 100 stays its own rep
+      ).toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set("spark.graft.cc.driverEdgeRows", "0")
+    val dist =
+      try Dedup.connectedComponents(nodes, "id", pairs)
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset("spark.graft.cc.driverEdgeRows")
+    assert(driver === dist)
+    assert(driver(100L) === 100L && driver(200L) === 200L &&
+      driver(30L) === 1L)
+  }
+
   test("connectedComponents converges on a chain far longer than maxIter") {
     // a 60-node path has diameter 59: plain neighbor-min propagation moves
     // the min label one hop per round and would still be intermediate at
