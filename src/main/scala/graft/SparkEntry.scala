@@ -3305,9 +3305,12 @@ object SparkEntry {
         maxHamming = 3, budgetPairs = 10000000000L)
       Dedup.componentsIngest(s, odd, idx, // replayed batch, same route
         maxHamming = 3, budgetPairs = 10000000000L)
-      val fromIndex = Dedup.componentsTable(s, idx)
+      // both symmetric-diff inputs feed BOTH exceptAll branches — without
+      // the checkpoints each side's whole pipeline executes twice in the
+      // one returned action (rows identical either way)
+      val fromIndex = Dedup.componentsTable(s, idx).localCheckpoint()
       val direct = Dedup.signatureComponents(sig,
-        maxHamming = 3, budgetPairs = 10000000000L)
+        maxHamming = 3, budgetPairs = 10000000000L).localCheckpoint()
       val rawDups = s.read.parquet(s"$idx/comps")
         .groupBy(col("id")).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)

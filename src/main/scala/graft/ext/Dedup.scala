@@ -373,9 +373,14 @@ object Dedup {
     // a flat scan of the previous labels. checkpointFlat (not plain
     // localCheckpoint) also resets the size estimate each round — see its
     // scaladoc for the BigInteger blowup plain checkpoints compound.
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    // checkpoint the PAIR GENERATION once and symmetrize from the
+    // checkpoint: the previous `pairs ∪ pairs.swap` checkpoint ran the
+    // generator's final join+verify stage TWICE (only the exchanges
+    // below it are reuse-deduped) — on q167's 0.98-jaccard stages that
+    // was half of a 13.5 s task-time job, in every CC call engine-wide
+    val p = checkpointFlat(pairs.select(col("id_a"), col("id_b")))
+    val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     val nodeIds = nodes.select(col(idCol).as("id"))
     // REGIME DISPATCH (the componentsIngest/editDistancePairsAuto pattern):
     // after class collapse the component graph is routinely TINY relative
@@ -1515,13 +1520,30 @@ object Dedup {
   def buildSignatureIndexWithLayout(sig: DataFrame, indexDir: String,
       wide: Boolean, kbBits: Int = 6): Unit = {
     writeSigMeta(sig.sparkSession, indexDir, wide, kbBits)
+    // `key` is NOT stored: it is a pure function of (sig, chunk) under
+    // either layout, so the store keeps only (id, sig) per bucket row —
+    // one less column writer per bucket file, 8 fewer bytes per row
+    // through the write exchange and every store scan; the probe
+    // re-derives it ([[storedKey]]) with the partition column, keeping
+    // the (chunk, kb, key) equi-join and its DPP pruning unchanged
     val proj =
       if (wide) sigIndexChunksWide(sig, kbBits) else sigIndexChunks(sig)
-    proj.repartition(indexWritePartitions(proj.sparkSession),
+    proj.select(col("id"), col("sig"), col("chunk"), col("kb"))
+      .repartition(indexWritePartitions(proj.sparkSession),
         col("chunk"), col("kb"))
       .write.mode("overwrite").partitionBy("chunk", "kb")
       .parquet(s"$indexDir/sigs")
   }
+
+  /** The stored bucket row's blocking key, re-derived from (sig, chunk):
+    * narrow = the chunk-th 16-bit slice, wide = the chunk-th 32-bit
+    * block — bit-identical to what the write-side projection computed.
+    */
+  private def storedKey(wide: Boolean): Column =
+    if (wide)
+      expr("CASE WHEN chunk = 0 THEN sig & 4294967295 " +
+        "ELSE shiftright(sig, 32) & 4294967295 END")
+    else expr("shiftright(sig, chunk * 16) & 65535")
 
   /** Append a batch's signatures into the index (no rebuild): the same
     * blocking projection the index was built with (layout read back from
@@ -1542,6 +1564,7 @@ object Dedup {
     CompactionLease.guardedAppend(spark, indexDir) {
       (if (wide) sigIndexChunksWide(incoming, kbBits)
        else sigIndexChunks(incoming))
+        .select(col("id"), col("sig"), col("chunk"), col("kb"))
         .repartition(indexWritePartitions(spark), col("chunk"), col("kb"))
         .write.mode("append").partitionBy("chunk", "kb")
         .parquet(s"$indexDir/sigs")
@@ -1575,7 +1598,7 @@ object Dedup {
     require(maxHamming <= 3,
       "blocking covers hamming <= 3 (4 x 16-bit chunks / 2 x 32-bit ball)")
     val store = readSigs(spark, indexDir)
-      .select(col("chunk"), col("kb"), col("key"),
+      .select(col("chunk"), col("kb"), storedKey(wide).as("key"),
         col("id").as("existing_id"), col("sig").as("sig_e"))
     // NO checkpoint on the batch side: it feeds the join once, and
     // hiding its filters behind a LogicalRDD would defeat the dynamic
@@ -2141,7 +2164,7 @@ object Dedup {
 
   private def readSigs(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame =
-    spark.read.schema("id bigint, sig bigint, key bigint, chunk int, kb int")
+    spark.read.schema("id bigint, sig bigint, chunk int, kb int")
       .parquet(s"$indexDir/sigs")
 
   private def resolveReps(assign: DataFrame, flat: DataFrame): DataFrame = {

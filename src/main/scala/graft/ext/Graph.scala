@@ -60,10 +60,13 @@ object Graph {
       idColOut: String = "id"): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
-    val edges = pairs
+    // checkpoint the pair frame once and symmetrize from the checkpoint —
+    // `pairs ∪ pairs.swap` re-executes the pair generator's final stage
+    // per union branch (the Dedup.connectedComponents fix)
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     val outdeg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
     val n = outdeg.count()
