@@ -147,10 +147,15 @@ object ScaleUp {
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val names = args.tail.toSeq
+    // trailing k=v args become session confs (A/B a conf-gated path)
+    val names = args.tail.toSeq.filterNot(_.contains("="))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Session.local(cpus, appName = "graft-scalebench")
     spark.sparkContext.setLogLevel("WARN")
+    args.tail.filter(_.contains("=")).foreach { a =>
+      val Array(k, v) = a.split("=", 2)
+      spark.conf.set(k, v)
+    }
     // same warmup discipline as Bench: codegen/JIT at sf0.001, then one
     // untimed query at the target dir for executor ramp + page cache
     names.foreach { n =>

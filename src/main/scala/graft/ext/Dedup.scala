@@ -629,16 +629,17 @@ object Dedup {
     // REGIME DISPATCH on the input's plan-size estimate (zero extra jobs:
     // the scan's sizeInBytes is file metadata): small inputs — where AQE
     // would coalesce the aggregate to one serial task — pin wide; inputs
-    // above spark.graft.minhash.repPinMaxBytes (default 256 MB, between
-    // the measured sf1 win and sf10 loss decades) keep the AQE-planned
-    // shape WITH map-side partial aggregation, which is also the 100 TB
+    // above spark.graft.minhash.repPinMaxBytes (default 16 MB of scan
+    // bytes, between the measured ×10 win decade ≈6 MB and the ×100
+    // loss decade ≈60 MB of this corpus) keep the AQE-planned shape
+    // WITH map-side partial aggregation, which is also the 100 TB
     // default. spark.graft.minhash.repPartitions still overrides both
     // ways: explicit N pins that width always, 0 forces the AQE shape.
     val conf = df.sparkSession.conf
     val repParts = conf.getOption("spark.graft.minhash.repPartitions")
       .map(_.toInt).getOrElse {
         val pinMax = conf.getOption("spark.graft.minhash.repPinMaxBytes")
-          .map(_.toLong).getOrElse(256L << 20)
+          .map(_.toLong).getOrElse(16L << 20)
         if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= pinMax)
           df.sparkSession.sparkContext.defaultParallelism
         else 0
