@@ -799,7 +799,16 @@ object Dedup {
       // t·|a| ≤ |b| ≤ |a|/t) short-circuit ahead of the O(|a|+|b|)
       // intersection, so redundant collisions cost 16 long compares, not
       // an intersection.
-      val banded = withBuckets
+      // checkpoint the bucketed quotient ONCE, pre-explode: the self-join
+      // otherwise runs the whole tokenize+shingle+minhash+bucket pipeline
+      // per side (JobProfile q226: two 13-14 s task-time stages for one
+      // pipeline's work). The checkpoint is |distinct sets| rows (sig
+      // dropped — only the bucket vector survives banding), so the 16×
+      // band duplication stays streaming, never materialized.
+      val quotient = withBuckets
+        .select(col("skey"), col("sh"), col("sh_size"), col("buckets"))
+        .localCheckpoint()
+      val banded = quotient
         .select(col("skey"), col("sh"), col("sh_size"), col("buckets"),
           posexplode(col("buckets")))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
