@@ -1769,7 +1769,11 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     GraftFunctions.register(incoming.sparkSession)
     CompactionLease.guardedAppend(incoming.sparkSession, indexDir) {
-      val (reps, members) = setRepresentatives(incoming, idCol, textCol, n)
+      // the buildDedupIndex one-pass rule: without the checkpoints the
+      // three appends each re-run the batch's shingle pipeline
+      val (reps0, members0) = setRepresentatives(incoming, idCol, textCol, n)
+      val reps = reps0.localCheckpoint()
+      val members = members0.localCheckpoint()
       bandedKeys(reps, numHashes, bands).select("skey", "band", "bucket")
         .write.mode("append").parquet(s"$indexDir/bands")
       reps.select("skey", "sh", "sh_size")

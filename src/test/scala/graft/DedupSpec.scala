@@ -448,6 +448,18 @@ class DedupSpec extends SparkTestBase {
     assert(driver === dist)
     assert(driver(100L) === 100L && driver(200L) === 200L &&
       driver(30L) === 1L)
+    // cap boundary: the dispatch is <= — at exactly the symmetric edge-row
+    // count the driver route still runs; one below it the distributed loop
+    // runs; both must emit the identical fixpoint
+    val symRows = 2 * (29 + 4) // pairs above, symmetrized
+    for (cap <- Seq(symRows, symRows - 1)) {
+      spark.conf.set("spark.graft.cc.driverEdgeRows", cap.toString)
+      val got =
+        try Dedup.connectedComponents(nodes, "id", pairs)
+          .as[(Long, Long)].collect().toMap
+        finally spark.conf.unset("spark.graft.cc.driverEdgeRows")
+      assert(got === driver, s"cap=$cap diverged")
+    }
   }
 
   test("connectedComponents converges on a chain far longer than maxIter") {
