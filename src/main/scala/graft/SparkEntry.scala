@@ -3298,19 +3298,28 @@ object SparkEntry {
         .localCheckpoint()
       val idx = sigIndexDir(dir) + "_ccd"
       val odd = sig.filter(pmod(col("id"), lit(2)) === 1).localCheckpoint()
-      Dedup.buildComponentsIndex(
-        sig.filter(pmod(col("id"), lit(2)) === 0), idx,
-        maxHamming = 3, budgetPairs = 10000000000L)
-      Dedup.componentsIngest(s, odd, idx,
-        maxHamming = 3, budgetPairs = 10000000000L)
-      Dedup.componentsIngest(s, odd, idx, // replayed batch, same route
-        maxHamming = 3, budgetPairs = 10000000000L)
+      // the direct one-shot comparator depends only on the checkpointed
+      // sig frame, not on the index lifecycle — run it as a concurrent
+      // job (guide §2.6) so its compute backfills the lifecycle's
+      // driver-sequential gaps; awaited before the diff is built
+      var direct: DataFrame = null
+      val directLeg = Dedup.concurrently {
+        direct = Dedup.signatureComponents(sig,
+          maxHamming = 3, budgetPairs = 10000000000L).localCheckpoint()
+      }
+      try {
+        Dedup.buildComponentsIndex(
+          sig.filter(pmod(col("id"), lit(2)) === 0), idx,
+          maxHamming = 3, budgetPairs = 10000000000L)
+        Dedup.componentsIngest(s, odd, idx,
+          maxHamming = 3, budgetPairs = 10000000000L)
+        Dedup.componentsIngest(s, odd, idx, // replayed batch, same route
+          maxHamming = 3, budgetPairs = 10000000000L)
+      } finally directLeg.await()
       // both symmetric-diff inputs feed BOTH exceptAll branches — without
       // the checkpoints each side's whole pipeline executes twice in the
       // one returned action (rows identical either way)
       val fromIndex = Dedup.componentsTable(s, idx).localCheckpoint()
-      val direct = Dedup.signatureComponents(sig,
-        maxHamming = 3, budgetPairs = 10000000000L).localCheckpoint()
       val rawDups = s.read.parquet(s"$idx/comps")
         .groupBy(col("id")).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)

@@ -2036,7 +2036,7 @@ object Dedup {
     * actions overlap (guide §2.6 — the FIFO scheduler backfills the
     * other job's driver gaps). `await` rethrows the leg's failure.
     */
-  private final class Leg(body: () => Unit) {
+  private[graft] final class Leg(body: () => Unit) {
     private val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     private val t = new Thread(() =>
       try body() catch { case e: Throwable => err.set(e) },
@@ -2046,7 +2046,7 @@ object Dedup {
     def await(): Unit = { t.join(); if (err.get() != null) throw err.get() }
   }
 
-  private def concurrently(body: => Unit): Leg = new Leg(() => body)
+  private[graft] def concurrently(body: => Unit): Leg = new Leg(() => body)
 
   // an explicit 1-slice empty RDD forces exactly one (empty) part file so
   // the parquet dir always carries a readable schema — range(0) alone can
