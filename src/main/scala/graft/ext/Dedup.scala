@@ -349,7 +349,9 @@ object Dedup {
     * hop is noise next to the joins it unblocks.
     */
   private def checkpointFlat(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
+    // a frame whose root is already a materialized RDD leaf needs no
+    // second block copy — re-wrapping it resets the stats snapshot alone
+    val ck = if (isCheckpointRoot(df)) df else df.localCheckpoint()
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
